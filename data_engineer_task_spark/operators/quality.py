@@ -1,0 +1,50 @@
+"""Data-quality checks — Spark's answer to the reference's PK/FK/UNIQUE
+constraints (``queries.py:3,10,22-23,28``), which Spark doesn't enforce.
+
+Each check is a DataFrame of violations (empty = pass) plus an assert
+wrapper; the reference's own "validation" queries (count shows with no
+crew / no listings, ``queries.py:40-51``) are the same idea, so this is
+parity, not invention.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .relational import anti_join
+
+
+def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+def assert_unique(df: DataFrame, keys: Sequence[str]) -> None:
+    dupes = duplicate_keys(df, keys).limit(1).collect()
+    if dupes:
+        raise AssertionError(f"duplicate key {list(keys)}: {dupes[0]}")
+
+
+def dangling_references(child: DataFrame, parent: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """Child rows whose FK has no parent (FK-constraint violations)."""
+    return anti_join(child, parent, on)
+
+
+def assert_referential(child: DataFrame, parent: DataFrame, on: str | Sequence[str]) -> None:
+    bad = dangling_references(child, parent, on).limit(1).collect()
+    if bad:
+        raise AssertionError(f"dangling FK {on}: {bad[0]}")
+
+
+def null_counts(df: DataFrame) -> dict[str, int]:
+    """Per-column null counts in one pass (for nullability audits)."""
+    row = df.select(
+        [F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in df.columns]
+    ).collect()[0]
+    return row.asDict()
