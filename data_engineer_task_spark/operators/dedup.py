@@ -1,0 +1,160 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact and near-duplicate detection, all as shuffle-conscious DataFrame
+programs:
+
+ - exact: hash-groupBy keep-first — one shuffle on the hash
+ - MinHash + LSH: shingle → per-seed min-hash signature → band buckets →
+   bucket self-join for candidates → exact Jaccard verification.
+   The self-join is on (band, value) buckets, never all-pairs: at 100 TB
+   the candidate set is the only quadratic-ish object and banding keeps
+   it near-linear for realistic dup rates.
+
+Determinism: "random" hash functions are md5 over a seed prefix —
+reproducible across runs, engines, and languages (same trick the
+SQL oracle uses, so results are bit-comparable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles, tokenize
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], id_col: str
+) -> DataFrame:
+    """Keep-first (min id) per key group — the distributed form of the
+    reference's ``drop_duplicates`` keep-first (``task.py:99``, SURVEY
+    §2 T12), with an explicit deterministic survivor rule."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_duplicates"),
+        )
+        .select(id_col, *key_cols, "n_duplicates")
+    )
+
+
+def content_hash_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact content dedup by md5 — hash first so the shuffle carries
+    32-byte digests, not document bodies."""
+    hashed = df.select(id_col, F.md5(F.col(text_col)).alias("content_hash"))
+    return exact_dedup(hashed, ["content_hash"], id_col)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: mh_i = min over shingles of
+    md5('<i>:' || shingle). One groupBy with n_hashes aggregates —
+    a single shuffle regardless of signature width."""
+    sh = shingles(tokenize(df, id_col, text_col), id_col, k=shingle_k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    *,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Band the signature and self-join on (band index, band value):
+    documents agreeing on ALL hashes of any band become a candidate
+    pair. Returns distinct (id_a, id_b) with id_a < id_b."""
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.posexplode(bands).alias("band", "band_val")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs. Joins the distinct
+    (id, shingle) set to itself THROUGH the candidate list, so cost is
+    O(candidates × shingles), never all-pairs.
+    Output: id_a, id_b, jaccard (rounded 4)."""
+    sets = (
+        shingles(tokenize(df, id_col, text_col), id_col, k=shingle_k)
+        .select(id_col, "shingle")
+        .distinct()
+    )
+    sizes = sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sets.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sets.select(
+        F.col(id_col).alias("id_b_r"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        candidates.join(sa, "id_a")
+        .join(
+            sb,
+            (F.col("id_b") == F.col("id_b_r"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        candidates.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                (
+                    F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                ).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

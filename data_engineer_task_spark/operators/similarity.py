@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the correctness baseline, and a
+sign-LSH-bucketed variant as the scale path (candidates only within a
+bucket — the 100 TB shape: bucket is the shuffle key, each bucket's
+pair enumeration is local to a partition).
+
+All arithmetic is native column expressions (``zip_with`` +
+``aggregate`` fold in double precision, deterministic order) — no UDFs,
+no collect. An IVF variant would assign vectors to broadcast centroids
+with the same bucket-join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold — deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def with_norm(df: DataFrame, vec_col: str) -> DataFrame:
+    v = as_double(F.col(vec_col))
+    return df.withColumn("_v", v).withColumn("_norm", l2_norm(F.col("_v")))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_filter: Column,
+    k: int = 3,
+    round_to: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors for the rows matching ``query_filter``
+    against the whole table. Query side is broadcast (small by
+    construction); ranking uses the ROUNDED similarity with an id
+    tie-break so results are stable under fp reassociation."""
+    base = with_norm(emb, vec_col)
+    queries = base.where(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    pairs = base.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
+    cos = F.round(
+        (dot(F.col("_qv"), F.col("_v")) / (F.col("_qnorm") * F.col("_norm"))),
+        round_to,
+    )
+    scored = pairs.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def sign_bucket(vec_col: str, n_bits: int = 6) -> Column:
+    """Sign-LSH bucket id: concatenated sign bits of the leading dims.
+    (A full random-hyperplane LSH replaces element_at with dot products
+    against broadcast hyperplanes — same downstream shape.)"""
+    bits = [
+        F.when(F.element_at(F.col(vec_col), i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(1, n_bits + 1)
+    ]
+    return F.concat(*bits)
+
+
+def bucketed_similar_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_bits: int = 6,
+    threshold: float = 0.0,
+    round_to: int = 5,
+) -> DataFrame:
+    """ANN candidate pairs: self-join within sign-LSH buckets only.
+    Output: bucket, id_a, id_b, cos_sim (id_a < id_b)."""
+    base = with_norm(emb, vec_col).withColumn("bucket", sign_bucket(vec_col, n_bits))
+    a = base.select(
+        "bucket", F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
+    )
+    b = base.select(
+        "bucket", F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
+    )
+    pairs = a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b"))
+    cos = F.round(
+        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), round_to
+    )
+    return (
+        pairs.select("bucket", "id_a", "id_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

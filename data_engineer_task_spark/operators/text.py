@@ -1,0 +1,162 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All native DataFrame ops (no Python UDFs): tokenization is
+split+posexplode, hashes are ``F.md5``, fingerprints are window
+functions — everything stays JVM-side in whole-stage codegen and
+scales linearly with a shuffle only at the per-document groupBy.
+
+Operators: tokenization, shingling, token/quality stats, n-gram
+language-ID heuristic, SimHash-style fingerprint, winnowing (rolling
+hash) fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# Small english-ish stopword list (public knowledge); parameterizable.
+DEFAULT_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it")
+
+_HEX = "0123456789abcdef"
+
+
+def tokenize(df: DataFrame, id_col: str, text_col: str, *, sep: str = " ") -> DataFrame:
+    """One row per (id, pos, token); pos is 1-based (matches SQL
+    ``generate_subscripts``). Order within a document is preserved by
+    ``posexplode`` so downstream window functions can rebuild it."""
+    return df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), sep)).alias("pos0", "token")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "token")
+
+
+def shingles(
+    tokens: DataFrame, id_col: str, *, k: int = 3, out_col: str = "shingle"
+) -> DataFrame:
+    """k-token shingles via lead windows over token order. NULL-propagating
+    concat (``F.concat``) drops the <k-sized tail, matching `a || b` SQL."""
+    w = W.partitionBy(id_col).orderBy("pos")
+    parts: list[Column] = []
+    for i in range(k):
+        if i:
+            parts.append(F.lit(" "))
+        parts.append(F.lead("token", i).over(w) if i else F.col("token"))
+    return (
+        tokens.withColumn(out_col, F.concat(*parts))
+        .where(F.col(out_col).isNotNull())
+        .select(id_col, "pos", out_col)
+    )
+
+
+def token_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+    punct_class: str = r"[.,!?;:]",
+) -> DataFrame:
+    """Per-document quality features: token count, char count, average
+    token length, stopword ratio, punctuation ratio. These are the
+    standard cheap quality filters (length / stopword density / symbol
+    density) for pretraining-corpus curation."""
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(punct_class), F.lit(0)))
+    avg_len = (n_chars - (n_tok - 1)) / n_tok  # chars minus separators
+    return df.select(
+        id_col,
+        n_tok.cast("long").alias("token_count"),
+        n_chars.cast("long").alias("char_count"),
+        F.round(avg_len.cast("double"), 4).alias("avg_token_len"),
+        F.round((n_stop / n_tok).cast("double"), 4).alias("stopword_ratio"),
+        F.round((n_punct / n_chars).cast("double"), 4).alias("punct_ratio"),
+    )
+
+
+def bpe_ish_token_count(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "bpe_tokens"
+) -> DataFrame:
+    """Sub-word-ish token estimate: word chunks of ≤4 chars + punctuation,
+    via one regexp pass (the usual ~chars/4 BPE heuristic, computed
+    exactly rather than divided)."""
+    pat = F.lit(r"\w{1,4}|[^\w\s]")
+    return df.select(
+        id_col,
+        F.size(F.regexp_extract_all(F.col(text_col), pat, F.lit(0)))
+        .cast("long")
+        .alias(out_col),
+    )
+
+
+def language_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keyword_sets: dict[str, tuple[str, ...]],
+) -> DataFrame:
+    """Keyword-hit-ratio language ID: for each language, the fraction of
+    tokens found in its keyword set; prediction = argmax with
+    alphabetical tie-break. A broadcastable, UDF-free heuristic — the
+    real-corpus version swaps the keyword sets for per-language n-gram
+    tables via the same broadcast-join shape."""
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    scored = df.select(
+        id_col,
+        *[
+            F.round(
+                (F.size(F.filter(toks, lambda t: t.isin(*kws))) / n_tok).cast("double"), 4
+            ).alias(f"score_{lang}")
+            for lang, kws in sorted(keyword_sets.items())
+        ],
+    )
+    langs = sorted(keyword_sets)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{l}") == best, F.lit(l)) for l in langs]
+    )
+    return scored.withColumn("predicted_lang", pred)
+
+
+def _hex_val(c: Column) -> Column:
+    return F.instr(F.lit(_HEX), c) - 1
+
+
+def simhash16(tokens: DataFrame, id_col: str) -> DataFrame:
+    """SimHash-style 16-position fingerprint: per md5 hex position, the
+    majority-weighted digit (avg ≥ 7.5 → bit 1), weighted by token
+    frequency. Near-identical documents agree on nearly all positions.
+    One groupBy with 16 aggregates — a single shuffle on doc id."""
+    h = F.md5(F.col("token"))
+    aggs = [
+        F.avg(_hex_val(F.substring(h, p, 1))).alias(f"_a{p}") for p in range(1, 17)
+    ]
+    per_doc = tokens.groupBy(id_col).agg(*aggs)
+    bits = [
+        F.when(F.col(f"_a{p}") >= 7.5, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(1, 17)
+    ]
+    return per_doc.select(id_col, F.concat(*bits).alias("simhash"))
+
+
+def winnow_fingerprints(
+    tokens: DataFrame, id_col: str, *, k: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowing (Schleimer et al., SIGMOD'03): hash k-shingles, take the
+    min hash in each sliding window of ``window`` shingles, keep the
+    distinct mins per document. Output: (id, n_fingerprints)."""
+    sh = shingles(tokens, id_col, k=k)
+    h = F.md5(F.col("shingle"))
+    w = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    local_min = sh.select(id_col, F.min(h).over(w).alias("fp"))
+    return (
+        local_min.groupBy(id_col)
+        .agg(F.countDistinct("fp").alias("n_fingerprints"))
+    )

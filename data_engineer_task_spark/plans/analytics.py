@@ -1,0 +1,927 @@
+"""The engine's declared query inventory over the driver testdata.
+
+Each entry pairs a Spark DataFrame program with an equivalent ANSI-SQL
+oracle (DuckDB dialect-compatible) over the same parquet tables. The
+pairs re-express every operator family from SURVEY.md §2 (reference
+``coded4alex/data_engineer_task``) on the TPC-H-ish testdata, plus the
+large-scale training-data operators (dedup / similarity / text
+analysis) the 100 TB north star calls for.
+
+Authoring rules (keep these or the driver's hash compare breaks):
+ - alias every computed column IDENTICALLY in Spark and SQL
+ - round every float aggregate (both sides) — fp summation order differs
+ - cast DuckDB COUNT/SUM of ints to BIGINT (sum(int) is HUGEINT there)
+ - no raw timestamps in output — format to string or extract ints
+ - explicit null ordering + deterministic tie-breaks on every sort
+   (SURVEY §2.4 D3)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators.normalize import explode_multivalue, surrogate_key
+from ..operators.relational import anti_join, semi_join, top_k, top_k_per_group, yoy_growth
+from ..sources.catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (reference parity patterns, SURVEY §2.1-§2.3)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT)                                   AS n_items,
+           round(sum(l_quantity), 2)                                  AS sum_qty,
+           round(sum(l_extendedprice), 2)                             AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
+           round(avg(l_quantity), 4)                                  AS avg_qty,
+           round(avg(l_discount), 4)                                  AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped scan→filter→agg. The filter and the 2-column
+    grouping key reach the parquet scan (PushedFilters + ReadSchema
+    pruning); partial aggregation is map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC NULLS LAST, nation
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact lineitem ⋈ orders, then broadcast dims. nation/
+    region/customer are broadcast (≪ threshold) so only the
+    lineitem⋈orders join shuffles — at 100 TB that's the one join that
+    should shuffle, co-partitioned on orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc_nulls_last("revenue"), F.asc("nation"))
+    )
+
+
+@q(
+    "orders_without_lineitems",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_orders_no_items
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+)
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join validation count (reference Q1/Q2 pattern,
+    ``queries.py:40-51``) on the testdata star."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return anti_join(
+        orders, li.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey"
+    ).agg(F.count(F.lit(1)).alias("n_orders_no_items"))
+
+
+@q(
+    "big_spender_segments",
+    """
+    SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    GROUP BY c.c_mktsegment
+    ORDER BY n_customers DESC NULLS LAST, segment
+    """,
+)
+def big_spender_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS) — the distributed form of the reference's
+    client-side IN-list splice (``task.py:222-223``)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        semi_join(cust, big, "c_custkey")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc_nulls_last("n_customers"), F.asc("segment"))
+    )
+
+
+@q(
+    "part_name_split",
+    """
+    SELECT p_partkey,
+           upper(substr(split_part(p_name, ' ', 1), 1, 1))
+             || lower(substr(split_part(p_name, ' ', 1), 2)) AS first_word,
+           CASE WHEN strpos(p_name, ' ') > 0
+                THEN substr(p_name, strpos(p_name, ' ') + 1)
+                ELSE '' END AS last_word
+    FROM part ORDER BY p_partkey
+    """,
+)
+def part_name_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-space name split + initcap (reference T14/T15 nsplit UDF,
+    ``task.py:55-60``) as pure native columns — no Python UDF."""
+    from ..functions.names import with_name_parts
+
+    part = _t(spark, sf_dir, "part")
+    return (
+        with_name_parts(part.select("p_partkey", F.col("p_name").alias("name")),
+                        first_col="first_word", last_col="last_word")
+        .select("p_partkey", "first_word", "last_word")
+        .orderBy("p_partkey")
+    )
+
+
+@q(
+    "part_name_vocabulary",
+    """
+    SELECT word, CAST(count(*) AS BIGINT) AS n_parts
+    FROM (SELECT trim(unnest(string_split(p_name, ' '))) AS word FROM part)
+    WHERE word IS NOT NULL AND word <> ''
+    GROUP BY word
+    ORDER BY n_parts DESC NULLS LAST, word
+    """,
+)
+def part_name_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split → explode → trim → groupBy (reference T6/T8/T9/T10 chain,
+    ``task.py:76-91``) via the generic normalizer."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        explode_multivalue(part.select("p_name"), "p_name", sep=" ", trim=True,
+                           keep_null_rows=False, out_col="word")
+        .where(F.col("word").isNotNull() & (F.col("word") != ""))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy(F.desc_nulls_last("n_parts"), F.asc("word"))
+    )
+
+
+@q(
+    "brand_surrogate_keys",
+    """
+    SELECT CAST(row_number() OVER (ORDER BY p_brand) AS BIGINT) AS id, p_brand
+    FROM (SELECT DISTINCT p_brand FROM part)
+    ORDER BY id
+    """,
+)
+def brand_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dense surrogate keys over a distinct dimension
+    (reference T13, ``task.py:100``; ordering per SURVEY §2.4 D2)."""
+    part = _t(spark, sf_dir, "part")
+    return surrogate_key(
+        part.select("p_brand").distinct(), order_by=["p_brand"], key_col="id"
+    ).select("id", "p_brand").orderBy("id")
+
+
+@q(
+    "all_company_names",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT name) AS BIGINT) AS n_distinct
+    FROM (SELECT c_name AS name FROM customer
+          UNION ALL
+          SELECT s_name AS name FROM supplier)
+    """,
+)
+def all_company_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + distinct (reference T11/T12 concat+dedup,
+    ``task.py:95-99``)."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_name").alias("name"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_name").alias("name"))
+    u = cust.unionByName(supp)
+    return u.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("name").alias("n_distinct"),
+    )
+
+
+@q(
+    "busiest_order_month",
+    """
+    SELECT CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY month(o_orderdate)
+    ORDER BY n_orders DESC NULLS LAST, order_month
+    LIMIT 1
+    """,
+)
+def busiest_order_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month top-1 (reference Q7 ``queries.py:85-90``, with the
+    month-name post-processing folded into the plan per D5)."""
+    orders = _t(spark, sf_dir, "orders")
+    return top_k(
+        orders.groupBy(F.month("o_orderdate").alias("order_month"))
+        .agg(F.count(F.lit(1)).alias("n_orders")),
+        [F.desc_nulls_last("n_orders"), F.asc("order_month")],
+    )
+
+
+@q(
+    "longest_ship_delay",
+    """
+    SELECT o.o_orderkey,
+           CAST(date_diff('day', o.o_orderdate, max(l.l_shipdate)) AS BIGINT) AS delay_days
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY delay_days DESC NULLS LAST, o.o_orderkey
+    LIMIT 5
+    """,
+)
+def longest_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max order→ship gap (reference Q6 'longest gap' pattern,
+    ``queries.py:79-82``) with explicit NULLS LAST + key tie-break."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return top_k(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            "o_orderkey",
+            F.datediff(F.col("last_ship"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("delay_days"),
+        ),
+        [F.desc_nulls_last("delay_days"), F.asc("o_orderkey")],
+        k=5,
+    )
+
+
+@q(
+    "order_growth_by_year",
+    """
+    WITH per_year AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY year(o_orderdate)
+    )
+    SELECT order_year, n,
+           round((n - lag(n) OVER (ORDER BY order_year))
+                 / CAST(lag(n) OVER (ORDER BY order_year) AS DOUBLE) * 100, 4)
+             AS growth_pct
+    FROM per_year
+    ORDER BY order_year
+    """,
+)
+def order_growth_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YoY growth via lag window (reference Q8's manual self-join on
+    year = year+1, ``queries.py:93-108``, rewritten per SURVEY §2.3).
+    Years are contiguous here so lag ≡ the self-join; the operator
+    nulls out gap years to preserve self-join semantics in general."""
+    orders = _t(spark, sf_dir, "orders")
+    per_year = orders.groupBy(
+        F.year("o_orderdate").alias("order_year")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        yoy_growth(per_year, "order_year", "n")
+        .select(
+            "order_year", "n", F.round(F.col("growth_pct"), 4).alias("growth_pct")
+        )
+        .orderBy("order_year")
+    )
+
+
+@q(
+    "top_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total_price
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC NULLS LAST, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    ORDER BY o_orderpriority, total_price DESC NULLS LAST, o_orderkey
+    """,
+)
+def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via window row_number (no per-group collect)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        top_k_per_group(
+            orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+            group_by=["o_orderpriority"],
+            order_by=[F.desc_nulls_last("o_totalprice"), F.asc("o_orderkey")],
+            k=3,
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+        .orderBy(
+            "o_orderpriority", F.desc_nulls_last("total_price"), F.asc("o_orderkey")
+        )
+    )
+
+
+@q(
+    "order_stats_rollup",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+    ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def order_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals — beyond the reference's single-column
+    GROUP BYs (SURVEY §2.5 scoping), native in both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup(
+            F.year("o_orderdate").alias("order_year"), F.col("o_orderstatus")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(
+            F.asc_nulls_first("order_year"), F.asc_nulls_first("o_orderstatus")
+        )
+    )
+
+
+@q(
+    "returnflag_status_pivot",
+    """
+    SELECT l_returnflag,
+           round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0), 2) AS qty_open,
+           round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0), 2) AS qty_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def returnflag_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (conditional aggregation) — expressed as FILTER aggs in the
+    oracle; Spark's .pivot produces the same plan shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("qty_open"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("qty_filled"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: windowed aggregation + sessionization (streaming-unified batch)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "hourly_event_stats",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+    """,
+)
+def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation — the SAME function that runs as a
+    Structured Streaming query (streaming/aggregate.py), here in batch
+    mode for the oracle comparison."""
+    from ..streaming.aggregate import hourly_event_counts
+
+    return hourly_event_counts(_t(spark, sf_dir, "events")).orderBy(
+        "hour", "event_type"
+    )
+
+
+@q(
+    "stream_hourly_event_stats",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+    """,
+)
+def stream_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same hourly aggregation executed as a REAL Structured
+    Streaming query (parquet file source, multiple micro-batches via
+    maxFilesPerTrigger, memory sink) — verified against the same batch
+    SQL oracle: streaming and batch must agree exactly."""
+    from ..streaming.aggregate import run_stream_once
+
+    return run_stream_once(
+        spark, f"{sf_dir}/events.parquet", query_name="stream_hourly"
+    )
+
+
+@q(
+    "user_sessions",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN date_diff('second',
+                                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                                 ts) > 3600
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(brk) + 1 AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + running count), one shuffle on
+    user_id."""
+    from ..streaming.aggregate import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_seconds=3600)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "('the', 'a', 'an', 'and', 'of', 'to', 'in', 'is', 'it')"
+
+
+@q(
+    "doc_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,
+           CAST(length(text) AS BIGINT) AS char_count,
+           round((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+                 / len(string_split(text, ' ')), 4) AS avg_token_len,
+           round(len(list_filter(string_split(text, ' '),
+                                 t -> t IN {_STOP_SQL}))::DOUBLE
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           round(len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+                 / length(text), 4) AS punct_ratio
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (token count / char count / avg
+    token length / stopword + punct density) — all native columns."""
+    from ..operators.text import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@q(
+    "doc_bpe_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\w{1,4}|[^\w\s]')) AS BIGINT)
+             AS bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token counting via one regexp pass (BPE-budget
+    estimation for training pipelines)."""
+    from ..operators.text import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_ish_token_count(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@q(
+    "language_profile",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (doc counts, sizes, token volume)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SIMHASH_AVGS = ",\n           ".join(
+    f"avg(instr('0123456789abcdef', substr(md5(token), {p}, 1)) - 1) AS a{p}"
+    for p in range(1, 17)
+)
+_SIMHASH_BITS = " || ".join(
+    f"CASE WHEN a{p} >= 7.5 THEN '1' ELSE '0' END" for p in range(1, 17)
+)
+
+
+@q(
+    "doc_simhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), agg AS (
+      SELECT doc_id,
+           {_SIMHASH_AVGS}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {_SIMHASH_BITS} AS simhash
+    FROM agg ORDER BY doc_id
+    """,
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-style 16-bit fingerprint (frequency-weighted per-position
+    majority over token md5 digits)."""
+    from ..operators.text import simhash16, tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash16(tokenize(docs, "doc_id", "text"), "doc_id").orderBy("doc_id")
+
+
+_SHINGLE_CTE = """
+    toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS token,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, pos,
+             token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w
+               AS shingle
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), shf AS (SELECT doc_id, pos, shingle FROM sh WHERE shingle IS NOT NULL)
+"""
+
+
+@q(
+    "doc_winnow_fingerprints",
+    f"""
+    WITH {_SHINGLE_CTE},
+    loc AS (
+      SELECT doc_id,
+             min(md5(shingle)) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM shf
+    )
+    SELECT doc_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints
+    FROM loc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (local-min selection over a
+    sliding shingle window) — document fingerprinting for containment
+    detection."""
+    from ..operators.text import tokenize, winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(
+        tokenize(docs, "doc_id", "text"), "doc_id", k=3, window=4
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (documents table)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_docs_exact",
+    """
+    SELECT min(doc_id) AS doc_id, lang, source,
+           CAST(count(*) AS BIGINT) AS n_duplicates
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def dedup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact keep-first dedup by key (hash-groupBy, min-id survivor) —
+    generic form of the reference's drop_duplicates keep-first."""
+    from ..operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        exact_dedup(docs.select("doc_id", "lang", "source"), ["lang", "source"], "doc_id")
+        .orderBy("lang", "source")
+    )
+
+
+_MINHASH_MINS = ",\n           ".join(
+    f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(8)
+)
+
+
+@q(
+    "doc_minhash_signatures",
+    f"""
+    WITH {_SHINGLE_CTE}
+    SELECT doc_id,
+           {_MINHASH_MINS}
+    FROM shf GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-hash MinHash signatures over 3-token shingles (deterministic
+    seeded md5 'hash family'). One shuffle for any signature width."""
+    from ..operators.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signatures(
+        docs, "doc_id", "text", n_hashes=8, shingle_k=3
+    ).orderBy("doc_id")
+
+
+_BAND_CASE = " ".join(
+    f"WHEN {b} THEN md5(mh_{2 * b} || '|' || mh_{2 * b + 1})" for b in range(4)
+)
+
+
+@q(
+    "near_dup_pairs",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (
+      SELECT doc_id,
+           {_MINHASH_MINS}
+      FROM shf GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, bb.band,
+             CASE bb.band {_BAND_CASE} END AS band_val
+      FROM sig, (VALUES (0), (1), (2), (3)) bb(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT DISTINCT doc_id, shingle FROM shf),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sets sa ON sa.doc_id = c.id_a
+      JOIN sets sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT c.id_a AS id_a, c.id_b AS id_b,
+           round(coalesce(i.n_inter, 0)::DOUBLE
+                 / (za.n + zb.n - coalesce(i.n_inter, 0)), 4) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes za ON za.doc_id = c.id_a
+    JOIN sizes zb ON zb.doc_id = c.id_b
+    ORDER BY c.id_a, c.id_b
+    """,
+)
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures → band buckets →
+    candidate pairs → exact Jaccard verification. Candidates only ever
+    come from shared buckets — never an all-pairs join."""
+    from ..operators.dedup import jaccard_verify, lsh_candidate_pairs, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=8, shingle_k=3)
+    cands = lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, band_size=2)
+    return jaccard_verify(docs, cands, "doc_id", "text", shingle_k=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+_EMB_BASE = """
+    base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+"""
+
+
+@q(
+    "embedding_cosine_topk",
+    f"""
+    WITH {_EMB_BASE},
+    qv AS (SELECT * FROM base WHERE vec_id < 20),
+    pairs AS (
+      SELECT qv.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(qv.v, b.v) / (qv.nrm * b.nrm), 5) AS cos_sim
+      FROM qv JOIN base b ON b.vec_id <> qv.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC NULLS LAST, neighbor_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 3
+    ORDER BY query_id, cos_sim DESC NULLS LAST, neighbor_id
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (query rows broadcast against the full
+    table; native zip_with/aggregate fold — no UDF). The correctness
+    baseline for the bucketed ANN variant."""
+    from ..operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb, "vec_id", "embedding", query_filter=F.col("vec_id") < 20, k=3
+    ).orderBy("query_id", F.desc_nulls_last("cos_sim"), F.asc("neighbor_id"))
+
+
+_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END)" for i in range(1, 7)
+)
+
+
+@q(
+    "embedding_ann_bucketed",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+             {_BUCKET_SQL} AS bucket
+      FROM embeddings
+    )
+    SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 5) AS cos_sim
+    FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 5) >= 0.0
+    ORDER BY a.bucket, a.vec_id, b.vec_id
+    """,
+)
+def embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: pairs enumerated only within buckets (the
+    scale path — bucket is the shuffle key)."""
+    from ..operators.similarity import bucketed_similar_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return bucketed_similar_pairs(
+        emb, "vec_id", "embedding", n_bits=6, threshold=0.0
+    ).orderBy("bucket", "id_a", "id_b")
+
+
+@q(
+    "label_centroid_profile",
+    """
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(embedding[1]::DOUBLE), 5) AS avg_d1,
+           round(avg(embedding[2]::DOUBLE), 5) AS avg_d2,
+           round(avg(embedding[3]::DOUBLE), 5) AS avg_d3
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def label_centroid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid coordinates (leading dims) — array element
+    access + grouped averages (the IVF centroid-build shape)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            *[
+                F.round(
+                    F.avg(F.element_at("embedding", i).cast("double")), 5
+                ).alias(f"avg_d{i}")
+                for i in (1, 2, 3)
+            ],
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary column + Arrow-batched decode)
+# ---------------------------------------------------------------------------
+
+_HEXV = "instr('0123456789abcdef', substr(hx, {p}, 1)) - 1"
+
+
+@q(
+    "multimodal_decode",
+    f"""
+    WITH h AS (SELECT doc_id AS id, md5(text) AS hx FROM documents),
+    b AS (
+      SELECT id,
+             ({_HEXV.format(p=1)}) * 16 + ({_HEXV.format(p=2)}) AS b0,
+             ({_HEXV.format(p=3)}) * 16 + ({_HEXV.format(p=4)}) AS b1,
+             ({_HEXV.format(p=31)}) * 16 + ({_HEXV.format(p=32)}) AS b15
+      FROM h
+    )
+    SELECT id,
+           CAST(16 AS BIGINT) AS byte_len,
+           CASE b0 % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                       WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
+           CAST(16 * (1 + b0 % 64) AS BIGINT) AS width,
+           CAST(16 * (1 + b1 % 64) AS BIGINT) AS height,
+           CAST(1 + b15 % 8 AS BIGINT) AS n_frames
+    FROM b ORDER BY id
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing end-to-end: synthesize a binary media
+    column, then extract metadata via an Arrow-batched mapInPandas
+    decode (deterministic fake codec — the real decoder is an
+    env-gated drop-in). The oracle recomputes the same metadata in
+    pure SQL, so the whole binary path is value-checked."""
+    from ..operators.multimodal import decode_media, synthesize_media_column
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synthesize_media_column(docs, "doc_id", "text")
+    return decode_media(media, "doc_id", "media").orderBy("id")

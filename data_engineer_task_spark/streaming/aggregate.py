@@ -1,0 +1,112 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface (SURVEY §2.5) — this is the
+100-TB-pipeline extension: the same windowed aggregation is defined
+ONCE and runs in both batch and streaming mode (Structured Streaming's
+unified DataFrame model), with a watermark bounding state for late
+data.
+
+Local testing drives a parquet-backed stream to completion with a
+memory sink (``run_stream_once``); in production the source/sink lines
+swap for Kafka + a transactional table format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ts is long (epoch nanos): the testdata parquet stores TIMESTAMP(NANOS)
+# which Spark reads only as long (legacy nanosAsLong); the stream source
+# converts to micros explicitly, matching the batch catalog loader.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def hourly_event_counts(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window × event_type counts + value sum. Works on
+    a batch OR streaming DataFrame (watermark applies to streaming;
+    on batch it's a no-op column hint)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, *, gap_seconds: int = 3600
+) -> DataFrame:
+    """Batch sessionization: a session break is a gap > gap_seconds
+    between consecutive events of a user (lag + running sum — the
+    standard single-shuffle formulation). Streaming equivalent is
+    ``session_window``/``applyInPandasWithState``; batch form kept
+    separate because the oracle comparison needs a deterministic
+    batch program."""
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    new_sess = F.when(gap > gap_seconds, 1).otherwise(0)
+    sess = events.select("user_id", "ts").withColumn("brk", new_sess)
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("brk") + 1).cast("long").alias("n_sessions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def run_stream_once(
+    spark: SparkSession, events_path: str, query_name: str = "stream_out"
+) -> DataFrame:
+    """Drive the hourly aggregation as a REAL streaming query over the
+    parquet source, synchronously to completion, and return the result.
+
+    maxFilesPerTrigger forces multiple micro-batches so incremental
+    state handling is actually exercised (not one batch = batch mode).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source needs a directory/glob, not a bare file path.
+    glob_path = (
+        events_path if events_path.endswith("*") or "." not in events_path.rsplit("/", 1)[-1]
+        else events_path.replace(".parquet", "*.parquet")
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob_path)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = hourly_event_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT * FROM {query_name} ORDER BY hour, event_type"  # noqa: S608
+    )
