@@ -1,0 +1,94 @@
+"""CLI driver — parity with the reference's entry point
+(``python task.py -i netflix_titles.csv``, ``task.py:276-303``).
+
+Same flow: (DEBUG → purge) → ledger check → extract → transform →
+load → run the analytics workload and log the answers. The analytics
+answers print in the reference's human-readable shape (month NAME,
+HAVING folded in — SURVEY §2.4 D5).
+
+Usage:
+    python -m data_engineer_task_spark.cli -i /path/netflix_titles.csv \
+        [--warehouse /tmp/warehouse] [--debug] [--force]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import shutil
+
+from pyspark.sql import functions as F
+
+from .plans import netflix_queries as q
+from .plans.netflix import NetflixPipeline
+from .session import get_spark
+
+log = logging.getLogger("data_engineer_task_spark")
+
+
+def purge(warehouse: str) -> None:
+    """DROP-equivalent: remove the warehouse tables (reference
+    ``purge()``, ``task.py:170-177``; CASCADE is a no-op here — no
+    enforced FK graph)."""
+    shutil.rmtree(warehouse, ignore_errors=True)
+
+
+def run_analytics(pipe: NetflixPipeline, person: str = "Woody Harrelson") -> None:
+    shows = pipe.table("shows")
+    personnel = pipe.table("personnel")
+    crew = pipe.table("movie_crew")
+    listings = pipe.table("listings")
+
+    log.info("shows with no crew: %s",
+             q.shows_without_crew(shows, crew).collect()[0][0])
+    log.info("shows with no listings: %s",
+             q.shows_without_listings(shows, listings).collect()[0][0])
+    for gender in ("female", "male", "unknown"):
+        row = q.most_common_first_name(personnel, crew, gender).collect()
+        if row:
+            log.info("most common %s cast first name: %s (%s)",
+                     gender, row[0]["first_name"], row[0]["n"])
+    gap = q.longest_addition_gap(shows).collect()[0]
+    log.info("longest release→added gap: %s (%s years)", gap["title"], gap["gap"])
+    month = q.busiest_month(shows).collect()[0]
+    log.info("busiest month: %s (%s titles)", month["month"], month["n"])
+    growth = q.best_tv_show_growth_year(shows).collect()
+    if growth:
+        log.info("best TV Show growth year: %s (%.1f%%)",
+                 growth[0]["release_year"], growth[0]["growth_pct"])
+    n_shows = q.shows_featuring(personnel, crew, person).count()
+    log.info("%s appears in %s shows", person, n_shows)
+    for r in q.frequent_costars(personnel, crew, person).collect():
+        log.info("frequent costar: %s (%s shows)", r["name"], r["n"])
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description="Netflix catalog ETL + analytics")
+    parser.add_argument("-i", "--input", required=True, help="path to the catalog CSV")
+    parser.add_argument("--warehouse", default="/tmp/netflix_warehouse")
+    parser.add_argument("--debug", action="store_true",
+                        help="verbose logging + purge warehouse first (ref DEBUG)")
+    parser.add_argument("--force", action="store_true",
+                        help="re-ingest even if the ledger has seen this file")
+    args = parser.parse_args(argv)
+
+    # root stays at INFO (py4j is deafening at DEBUG); only our logger
+    # gets the debug level — same observable behavior as the reference's
+    # DEBUG branch without the gateway noise.
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
+    if args.debug:
+        log.setLevel(logging.DEBUG)
+    if args.debug:
+        purge(args.warehouse)
+
+    spark = get_spark("netflix-etl")
+    pipe = NetflixPipeline(spark, args.warehouse)
+    star = pipe.run(args.input, force=args.force)
+    if star is None:
+        log.info("input already ingested (ledger hit) — skipping ETL")
+    run_analytics(pipe)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

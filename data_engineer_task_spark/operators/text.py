@@ -60,13 +60,19 @@ def token_stats(
     token length, stopword ratio, punctuation ratio. These are the
     standard cheap quality filters (length / stopword density / symbol
     density) for pretraining-corpus curation."""
-    toks = F.split(F.col(text_col), " ")
-    n_tok = F.size(toks)
-    n_chars = F.length(F.col(text_col))
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(punct_class), F.lit(0)))
+    # Split once in a projection; downstream expressions reuse the array
+    # column instead of re-splitting per stat.
+    with_toks = df.select(
+        id_col,
+        F.col(text_col).alias("_txt"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    )
+    n_tok = F.size(F.col("_toks"))
+    n_chars = F.length(F.col("_txt"))
+    n_stop = F.size(F.filter(F.col("_toks"), lambda t: t.isin(*stopwords)))
+    n_punct = F.size(F.regexp_extract_all(F.col("_txt"), F.lit(punct_class), F.lit(0)))
     avg_len = (n_chars - (n_tok - 1)) / n_tok  # chars minus separators
-    return df.select(
+    return with_toks.select(
         id_col,
         n_tok.cast("long").alias("token_count"),
         n_chars.cast("long").alias("char_count"),
@@ -130,11 +136,14 @@ def simhash16(tokens: DataFrame, id_col: str) -> DataFrame:
     majority-weighted digit (avg ≥ 7.5 → bit 1), weighted by token
     frequency. Near-identical documents agree on nearly all positions.
     One groupBy with 16 aggregates — a single shuffle on doc id."""
-    h = F.md5(F.col("token"))
+    # Hash once per row in a projection — 16 agg expressions otherwise
+    # each recompute md5 (no CSE across aggregate expressions).
+    hashed = tokens.select(id_col, F.md5(F.col("token")).alias("_h"))
     aggs = [
-        F.avg(_hex_val(F.substring(h, p, 1))).alias(f"_a{p}") for p in range(1, 17)
+        F.avg(_hex_val(F.substring(F.col("_h"), p, 1))).alias(f"_a{p}")
+        for p in range(1, 17)
     ]
-    per_doc = tokens.groupBy(id_col).agg(*aggs)
+    per_doc = hashed.groupBy(id_col).agg(*aggs)
     bits = [
         F.when(F.col(f"_a{p}") >= 7.5, F.lit("1")).otherwise(F.lit("0"))
         for p in range(1, 17)

@@ -1,0 +1,248 @@
+"""Unit tests for the generic operator library on crafted micro-frames —
+edge-case semantics that the testdata can't exercise (nulls, gap years,
+ties, known-similarity documents)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_engineer_task_spark.operators.dedup import (
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from data_engineer_task_spark.operators.normalize import (
+    explode_multivalue,
+    normalize_multivalue,
+    surrogate_key,
+)
+from data_engineer_task_spark.operators.relational import (
+    anti_join,
+    semi_join,
+    top_k,
+    top_k_per_group,
+    yoy_growth,
+)
+from data_engineer_task_spark.operators.similarity import cosine_topk
+from data_engineer_task_spark.operators.text import (
+    language_scores,
+    shingles,
+    simhash16,
+    token_stats,
+    tokenize,
+    winnow_fingerprints,
+)
+
+
+# --- explode / normalize ---------------------------------------------------
+
+
+def test_explode_outer_keeps_null_rows(spark):
+    df = spark.createDataFrame(
+        [("1", "a,b"), ("2", None)], ["id", "vals"]
+    )
+    out = explode_multivalue(df, "vals", keep_null_rows=True)
+    assert out.count() == 3  # pandas-explode parity: null row preserved
+    strict = explode_multivalue(df, "vals", keep_null_rows=False)
+    assert strict.count() == 2
+
+
+def test_explode_trim_toggle(spark):
+    df = spark.createDataFrame([("1", "a, b , c")], ["id", "vals"])
+    trimmed = {r["vals"] for r in explode_multivalue(df, "vals").collect()}
+    raw = {r["vals"] for r in explode_multivalue(df, "vals", trim=False).collect()}
+    assert trimmed == {"a", "b", "c"}
+    assert raw == {"a", " b ", " c"}  # the reference's untrimmed-listings quirk
+
+
+def test_normalize_multivalue_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("s1", "x, y"), ("s2", "y,z"), ("s3", None)], ["sid", "tags"]
+    )
+    dim, bridge = normalize_multivalue(df, "sid", "tags")
+    assert {(r["tags"], r["id"]) for r in dim.collect()} == {("x", 1), ("y", 2), ("z", 3)}
+    assert bridge.count() == 4  # s3 contributes nothing
+
+
+def test_surrogate_key_deterministic(spark):
+    df = spark.createDataFrame([("b",), ("c",), ("a",)], ["name"])
+    out = {(r["name"], r["id"]) for r in surrogate_key(df, ["name"]).collect()}
+    assert out == {("a", 1), ("b", 2), ("c", 3)}
+
+
+# --- joins / topk / growth -------------------------------------------------
+
+
+def test_anti_semi_join(spark):
+    left = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], ["k", "v"])
+    right = spark.createDataFrame([(2, "q"), (2, "r")], ["k", "w"])
+    assert {r["k"] for r in anti_join(left, right, "k").collect()} == {1, 3}
+    assert {r["k"] for r in semi_join(left, right, "k").collect()} == {2}
+
+
+def test_top_k_null_ordering(spark):
+    df = spark.createDataFrame(
+        [Row(t="a", g=None), Row(t="b", g=5), Row(t="c", g=3)]
+    )
+    top = top_k(df, [F.desc_nulls_last("g")], 1).collect()[0]
+    assert top["t"] == "b"  # null must NOT win (SURVEY D3)
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", 1), ("g1", 9), ("g1", 5), ("g2", 2)], ["g", "v"]
+    )
+    out = top_k_per_group(df, ["g"], [F.desc("v")], k=2)
+    got = {(r["g"], r["v"]) for r in out.collect()}
+    assert got == {("g1", 9), ("g1", 5), ("g2", 2)}
+
+
+def test_yoy_growth_gap_year_nulls_out(spark):
+    # 2000:10 → 2001:20 (+100%); 2003 after a gap → growth must be null
+    # (self-join parity with the reference, not lag-to-latest).
+    df = spark.createDataFrame([(2000, 10), (2001, 20), (2003, 40)], ["y", "n"])
+    rows = {r["y"]: r["growth_pct"] for r in yoy_growth(df, "y", "n").collect()}
+    assert rows[2001] == 100.0
+    assert rows[2003] is None
+    assert rows[2000] is None
+
+
+# --- text ------------------------------------------------------------------
+
+
+def test_tokenize_positions(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["id", "text"])
+    got = sorted((r["pos"], r["token"]) for r in tokenize(df, "id", "text").collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_shingles_drop_short_tail(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["id", "text"])
+    sh = shingles(tokenize(df, "id", "text"), "id", k=3)
+    got = sorted(r["shingle"] for r in sh.collect())
+    assert got == ["a b c", "b c d"]
+
+
+def test_token_stats_values(spark):
+    df = spark.createDataFrame([(1, "the cat, sat!")], ["id", "text"])
+    r = token_stats(df, "id", "text", punct_class=r"[.,!?;:]").collect()[0]
+    assert r["token_count"] == 3
+    assert r["char_count"] == 13
+    assert r["stopword_ratio"] == round(1 / 3, 4)
+    assert r["punct_ratio"] == round(2 / 13, 4)
+
+
+def test_language_scores_discriminate(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "el gato y el perro")], ["id", "text"]
+    )
+    out = language_scores(
+        df, "id", "text",
+        {"en": ("the", "and", "cat", "dog"), "es": ("el", "y", "gato", "perro")},
+    )
+    pred = {r["id"]: r["predicted_lang"] for r in out.collect()}
+    assert pred == {1: "en", 2: "es"}
+
+
+def test_simhash_similarity_property(spark):
+    # near-identical docs agree on (almost all) positions; unrelated differ
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    b = a + "iota"  # one extra token
+    c = "one two three four five six seven eight nine ten " * 8
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["id", "text"])
+    sh = {r["id"]: r["simhash"] for r in simhash16(tokenize(df, "id", "text"), "id").collect()}
+    ham_ab = sum(x != y for x, y in zip(sh[1], sh[2]))
+    ham_ac = sum(x != y for x, y in zip(sh[1], sh[3]))
+    assert ham_ab <= 2
+    assert ham_ac > ham_ab
+
+
+def test_winnow_fingerprint_containment(spark):
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    df = spark.createDataFrame([(1, base), (2, base)], ["id", "text"])
+    out = {r["id"]: r["n_fingerprints"] for r in
+           winnow_fingerprints(tokenize(df, "id", "text"), "id").collect()}
+    assert out[1] == out[2] > 0  # identical docs → identical fingerprint count
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    words = [f"t{i}" for i in range(40)]
+    doc_a = " ".join(words)
+    doc_b = " ".join(words[:38] + ["x1", "x2"])  # high overlap
+    doc_c = " ".join(f"z{i}" for i in range(40))  # disjoint
+    df = spark.createDataFrame([(1, doc_a), (2, doc_b), (3, doc_c)], ["id", "text"])
+    sigs = minhash_signatures(df, "id", "text")
+    cands = lsh_candidate_pairs(sigs, "id")
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs
+    verified = jaccard_verify(df, cands, "id", "text", threshold=0.5)
+    vd = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert (1, 2) in vd and vd[(1, 2)] > 0.8
+    assert (1, 3) not in vd and (2, 3) not in vd
+
+
+# --- similarity ------------------------------------------------------------
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = cosine_topk(df, "vec_id", "embedding",
+                      query_filter=F.col("vec_id") == 0, k=3).collect()
+    order = [r["neighbor_id"] for r in out]
+    assert order == [1, 2, 3]
+    expected = 0.9 / math.sqrt(0.9**2 + 0.1**2)
+    assert abs(out[0]["cos_sim"] - round(expected, 5)) < 1e-9
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def test_multimodal_decode_deterministic(spark):
+    from data_engineer_task_spark.operators.multimodal import (
+        decode_media,
+        real_decode,
+        synthesize_media_column,
+    )
+
+    df = spark.createDataFrame([(1, "hello"), (2, "world")], ["id", "text"])
+    media = synthesize_media_column(df, "id", "text")
+    out1 = sorted(map(tuple, decode_media(media, "id", "media").collect()))
+    out2 = sorted(map(tuple, decode_media(media, "id", "media").collect()))
+    assert out1 == out2
+    assert all(r[1] == 16 for r in out1)  # md5 → 16 bytes
+    assert all(r[2] in {"jpeg", "png", "wav", "mp4"} for r in out1)
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\x00")
+
+
+# --- streaming (batch/stream agreement is covered by the oracle test) ------
+
+
+def test_sessionize_gap_logic(spark):
+    from data_engineer_task_spark.streaming.aggregate import sessionize
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:30:00"),  # same session (30 min)
+        (1, "2024-01-01 02:00:00"),  # new session (90 min gap)
+        (2, "2024-01-01 05:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_s"]).select(
+        "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    out = {r["user_id"]: (r["n_events"], r["n_sessions"]) for r in
+           sessionize(df, gap_seconds=3600).collect()}
+    assert out == {1: (3, 2), 2: (1, 1)}

@@ -1,0 +1,72 @@
+"""Physical-plan regression tests — the scale contract.
+
+Correctness tests prove the answers; these prove the PLANS stay the
+ones that survive 100 TB: filters pushed into the parquet scan, pruned
+read schemas, broadcast joins for dims, no Python row UDFs in hot
+paths. A regression here is a performance bug even when answers stay
+right.
+"""
+
+from __future__ import annotations
+
+from data_engineer_task_spark.plans.analytics import QUERIES
+
+from conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: the scan must not read unused columns
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    plan = _plan(spark, "revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 3  # customer/nation/region at minimum
+    assert "CartesianProduct" not in plan
+
+
+def test_anti_join_is_native(spark):
+    plan = _plan(spark, "orders_without_lineitems")
+    assert "LeftAnti" in plan
+
+
+def test_semi_join_is_native(spark):
+    plan = _plan(spark, "big_spender_segments")
+    assert "LeftSemi" in plan
+
+
+def test_no_python_row_udfs_in_relational_queries(spark):
+    # BatchEvalPython = row-at-a-time Python UDF — banned in hot paths.
+    for name in (
+        "pricing_summary",
+        "revenue_by_nation",
+        "doc_token_stats",
+        "doc_simhash",
+        "embedding_cosine_topk",
+    ):
+        assert "BatchEvalPython" not in _plan(spark, name), name
+
+
+def test_whole_stage_codegen_active(spark):
+    # AQE's pre-execution formatted plan hides codegen spans; the
+    # codegen explain mode reports the generated subtrees directly.
+    df = QUERIES["pricing_summary"](spark, SF_SMOKE)
+    codegen = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    )
+    assert "Found" in codegen and "WholeStageCodegen" in codegen
+
+
+def test_vectorized_parquet_scan(spark):
+    assert "Batched: true" in _plan(spark, "pricing_summary")
