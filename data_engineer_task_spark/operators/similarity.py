@@ -112,3 +112,37 @@ def bucketed_similar_pairs(
         pairs.select("bucket", "id_a", "id_b", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    centroid_filter: Column,
+    round_to: int = 5,
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its
+    highest-cosine centroid (centroids broadcast). On a real corpus the
+    centroids come from k-means over a sample; here any deterministic
+    seed set works (``centroid_filter``), since the operator under test
+    is the assignment join, not the training.
+    Output: (id, centroid_id, cos_sim)."""
+    base = with_norm(emb, vec_col)
+    cents = base.where(centroid_filter).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col("_v").alias("_cv"),
+        F.col("_norm").alias("_cnorm"),
+    )
+    cos = F.round(
+        dot(F.col("_cv"), F.col("_v")) / (F.col("_cnorm") * F.col("_norm")), round_to
+    )
+    scored = base.join(F.broadcast(cents), F.lit(True)).select(
+        F.col(id_col), F.col("centroid_id"), cos.alias("cos_sim")
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc_nulls_last("cos_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

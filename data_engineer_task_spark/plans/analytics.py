@@ -925,3 +925,65 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = synthesize_media_column(docs, "doc_id", "text")
     return decode_media(media, "doc_id", "media").orderBy("id")
+
+
+@q(
+    "embedding_ivf_assign",
+    f"""
+    WITH {_EMB_BASE},
+    cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+              FROM base WHERE vec_id < 8),
+    scored AS (
+      SELECT b.vec_id, c.centroid_id,
+             round(list_dot_product(c.cv, b.v) / (c.cnrm * b.nrm), 5) AS cos_sim
+      FROM base b CROSS JOIN cents c
+    )
+    SELECT vec_id, centroid_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC NULLS LAST, centroid_id) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def embedding_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: every vector assigned to its best
+    (broadcast) centroid — the cluster-build half of IVF ANN search;
+    the probe half reuses the same join within the assigned cluster."""
+    from ..operators.similarity import ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_assign(
+        emb, "vec_id", "embedding", centroid_filter=F.col("vec_id") < 8
+    ).orderBy("vec_id")
+
+
+@q(
+    "embedding_near_dup_pairs",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+             {_BUCKET_SQL} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 5) AS cos_sim
+    FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 5) >= 0.35
+    ORDER BY a.vec_id, b.vec_id
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates: same sign-LSH bucket
+    AND cosine above threshold (0.35 ≈ top 0.1% of this corpus's pair
+    distribution — the corpus has no true near-dups, so the operator is
+    exercised at the top of the real distribution)."""
+    from ..operators.similarity import bucketed_similar_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        bucketed_similar_pairs(emb, "vec_id", "embedding", n_bits=6, threshold=0.35)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,68 @@
+"""Streaming tests: real multi-micro-batch runs with state, verified
+against the equivalent batch computation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineer_task_spark.sources.catalog import load_table
+from data_engineer_task_spark.streaming.aggregate import EVENTS_SCHEMA
+from data_engineer_task_spark.streaming.stateful import running_user_totals
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """Re-write the events table as 4 files so maxFilesPerTrigger=1
+    yields 4 micro-batches — state must survive across batches."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")  # ts as long nanos
+    raw.repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_stateful_running_totals_across_batches(spark, events_stream_dir):
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    out = running_user_totals(stream)
+
+    # capture the LAST update per user across all micro-batches
+    final: dict[int, tuple] = {}
+    batches = []
+
+    def sink(df, epoch_id):
+        rows = df.collect()
+        batches.append(len(rows))
+        for r in rows:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+
+    q = out.writeStream.outputMode("update").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(batches) >= 4, f"expected >=4 micro-batches, got {batches}"
+
+    expected = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("v"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for uid, (n, v) in expected.items():
+        fn, fv = final[uid]
+        assert fn == n, (uid, fn, n)
+        assert abs(fv - v) < 0.05, (uid, fv, v)  # per-batch rounding drift
