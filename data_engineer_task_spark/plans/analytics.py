@@ -987,3 +987,60 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "cos_sim")
         .orderBy("id_a", "id_b")
     )
+
+
+@q(
+    "event_props_json",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k,
+           CAST(max(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS max_k
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction: JSON path into a string
+    column (native get_json_object — stays in codegen), then grouped
+    stats. The reference has no JSON surface (SURVEY §2.5); any event
+    pipeline needs one."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.where(F.col("props").isNotNull())
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "order_price_quantiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5)::DOUBLE, 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9)::DOUBLE, 2) AS p90
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``). The approximate path for 100 TB is
+    ``percentile_approx`` — same call shape, sketch-merged, not
+    oracle-comparable by construction."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )
