@@ -1,0 +1,78 @@
+"""As-of (backward temporal) join — an operator Spark lacks natively.
+
+For each left row, attach the most recent right row of the same key
+with ``right_ts <= left_ts`` (inclusive). Implemented as the
+union-marker pattern: tag sides, union on (key, ts, side), and carry
+the right payload forward with ``last(..., ignorenulls=True)`` over a
+(key, ts, side) window — ONE shuffle on the key, no per-group pandas,
+no range-bucketed self-join. At equal timestamps the right row sorts
+first (side 0 < 1), so "at or before" is inclusive, matching SQL
+``ASOF LEFT JOIN ... ON l.ts >= r.ts``.
+
+Scale: equivalent to a single sort-based shuffle on the join key —
+the same cost class as a sort-merge join, with skew handled by AQE.
+The alternative (``pd.merge_asof`` inside ``applyInPandas``) pays
+Arrow transfer plus Python per group; this stays in codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value_cols: Sequence[str] = (),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join. Output: every left row + ``{right_ts}{suffix}``
+    (+ each right value col suffixed), NULL where no prior right row."""
+    on = [on] if isinstance(on, str) else list(on)
+    carried = [right_ts, *right_value_cols]
+
+    left_payload = [c for c in left.columns if c not in on and c != left_ts]
+    right_types = dict(right.dtypes)
+    left_types = dict(left.dtypes)
+
+    l_side = left.select(
+        *on,
+        F.col(left_ts).cast("timestamp").alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_payload],
+        *[
+            F.lit(None).cast(right_types[c]).alias(f"{c}{suffix}")
+            for c in carried
+        ],
+    )
+    r_side = right.select(
+        *on,
+        F.col(right_ts).cast("timestamp").alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left_types[c]).alias(c) for c in left_payload],
+        *[F.col(c).alias(f"{c}{suffix}") for c in carried],
+    )
+
+    w = (
+        W.partitionBy(*on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = l_side.unionByName(r_side)
+    for c in carried:
+        filled = filled.withColumn(
+            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
+        )
+    return filled.where(F.col("_side") == 1).select(
+        *on,
+        F.col("_ts").alias(left_ts),
+        *left_payload,
+        *[F.col(f"{c}{suffix}") for c in carried],
+    )

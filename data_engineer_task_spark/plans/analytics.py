@@ -1044,3 +1044,39 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@q(
+    "purchase_asof_click",
+    """
+    WITH purchases AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+         clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS secs_since_click
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent prior
+    click (inclusive). Spark lacks ASOF JOIN — operators/asof.py
+    implements it as a single-shuffle union-marker window program; the
+    oracle uses DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.asof import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = as_of_join(purchases, clicks, "user_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        (F.col("ts").cast("long") - F.col("ts_asof").cast("long"))
+        .cast("long")
+        .alias("secs_since_click"),
+    ).orderBy("event_id")

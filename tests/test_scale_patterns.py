@@ -1,0 +1,84 @@
+"""Scale-pattern proofs: bucketed co-located joins (no shuffle) and
+salted joins (skew), plus the as-of join operator's semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineer_task_spark.operators.asof import as_of_join
+from data_engineer_task_spark.operators.skew import salted_join
+from data_engineer_task_spark.sources.catalog import load_table
+
+from conftest import SF_SMOKE
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Two tables bucketed on the join key must sort-merge-join with no
+    Exchange on either side — the co-location contract that removes the
+    dominant shuffle at 100 TB."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_orders")
+    li.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_lineitem")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one hot key (90% of rows) + a tail
+    big = spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (15, "cold"), (25, "cold2")], ["k", "label"]
+    )
+    plain = plain_rows = sorted(
+        (r["k"], r["payload"], r["label"])
+        for r in big.join(small, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["payload"], r["label"])
+        for r in salted_join(big, small, "k", n_salts=4).collect()
+    )
+    assert salted == plain
+
+
+def test_as_of_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "p1"),
+         (1, "2024-01-01 12:00:00", "p2"),
+         (2, "2024-01-01 09:00:00", "p3")],
+        ["uid", "ts_s", "tag"],
+    ).select("uid", F.to_timestamp("ts_s").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00"),
+         (1, "2024-01-01 10:00:00"),   # equal ts → inclusive match for p1
+         (1, "2024-01-01 11:59:00"),
+         (2, "2024-01-01 10:00:00")],  # AFTER p3 → no match
+        ["uid", "ts_s"],
+    ).select("uid", F.to_timestamp("ts_s").alias("ts"))
+
+    out = {r["tag"]: r["ts_asof"] for r in
+           as_of_join(left, right, "uid").collect()}
+    assert str(out["p1"]) == "2024-01-01 10:00:00"  # inclusive at equality
+    assert str(out["p2"]) == "2024-01-01 11:59:00"  # most recent prior
+    assert out["p3"] is None                        # nothing at-or-before
