@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingles, tokenize
+from .text import shingles_from_text
 
 
 def exact_dedup(
@@ -53,16 +53,64 @@ def minhash_signatures(
     *,
     n_hashes: int = 8,
     shingle_k: int = 3,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature: mh_i = min over shingles of
     md5('<i>:' || shingle). One groupBy with n_hashes aggregates —
-    a single shuffle regardless of signature width."""
-    sh = shingles(tokenize(df, id_col, text_col), id_col, k=shingle_k)
+    a single shuffle regardless of signature width. Pass
+    ``shingle_sets`` (id, shingle) to reuse an already-computed (e.g.
+    persisted) shingle frame; min over the set equals min over the bag,
+    so distinct or not both give the same signature."""
+    sh = (
+        shingle_sets
+        if shingle_sets is not None
+        else shingles_from_text(df, id_col, text_col, k=shingle_k)
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
         for i in range(n_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
+
+
+def near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 8,
+    shingle_k: int = 3,
+    band_size: int = 2,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Full MinHash→LSH→exact-verify near-dup pipeline with the shingle
+    set computed ONCE and persisted, then shared by the signature
+    aggregation and the Jaccard verification joins. Without sharing,
+    the shingle subplan (the widest intermediate — one row per (doc,
+    shingle)) executes twice; the distinct set is also exactly what
+    both consumers need, so the cache holds the narrowest sufficient
+    frame."""
+    sets = (
+        shingles_from_text(df, id_col, text_col, k=shingle_k)
+        .select(id_col, "shingle")
+        .distinct()
+        .persist()
+    )
+    sigs = minhash_signatures(
+        df, id_col, text_col, n_hashes=n_hashes, shingle_sets=sets
+    )
+    cands = lsh_candidate_pairs(
+        sigs, id_col, n_hashes=n_hashes, band_size=band_size
+    )
+    return jaccard_verify(
+        df,
+        cands,
+        id_col,
+        text_col,
+        shingle_k=shingle_k,
+        threshold=threshold,
+        shingle_sets=sets,
+    )
 
 
 def lsh_candidate_pairs(
@@ -113,13 +161,17 @@ def jaccard_verify(
     *,
     shingle_k: int = 3,
     threshold: float = 0.0,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs. Joins the distinct
     (id, shingle) set to itself THROUGH the candidate list, so cost is
     O(candidates × shingles), never all-pairs.
-    Output: id_a, id_b, jaccard (rounded 4)."""
+    Output: id_a, id_b, jaccard (rounded 4). Pass ``shingle_sets``
+    (id, shingle, already distinct) to reuse a shared/persisted frame."""
     sets = (
-        shingles(tokenize(df, id_col, text_col), id_col, k=shingle_k)
+        shingle_sets
+        if shingle_sets is not None
+        else shingles_from_text(df, id_col, text_col, k=shingle_k)
         .select(id_col, "shingle")
         .distinct()
     )

@@ -48,6 +48,34 @@ def shingles(
     )
 
 
+def shingles_from_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    out_col: str = "shingle",
+    sep: str = " ",
+) -> DataFrame:
+    """k-token shingles computed row-locally from the text column —
+    zero shuffle. ``slice``/``array_join`` over the split-token array
+    replaces the tokenize→posexplode→lead-window pipeline, which costs
+    a partitionBy(id) sort per consumer; at 100 TB that sort is pure
+    waste since every shingle is derivable within its own row.
+    Output (id, pos, shingle) is identical to
+    ``shingles(tokenize(df, ...))`` — pos is the 1-based position of
+    the shingle's first token."""
+    toks = F.split(F.col(text_col), sep)
+    n = F.size(toks)
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    return df.select(id_col, F.posexplode(sh).alias("pos0", out_col)).select(
+        id_col, (F.col("pos0") + 1).alias("pos"), out_col
+    )
+
+
 def token_stats(
     df: DataFrame,
     id_col: str,

@@ -770,15 +770,15 @@ _BAND_CASE = " ".join(
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures → band buckets →
     candidate pairs → exact Jaccard verification. Candidates only ever
-    come from shared buckets — never an all-pairs join."""
-    from ..operators.dedup import jaccard_verify, lsh_candidate_pairs, minhash_signatures
+    come from shared buckets — never an all-pairs join; the shingle set
+    is computed once and persisted (see operators/dedup.py::
+    near_duplicates)."""
+    from ..operators.dedup import near_duplicates
 
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=8, shingle_k=3)
-    cands = lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, band_size=2)
-    return jaccard_verify(docs, cands, "doc_id", "text", shingle_k=3).orderBy(
-        "id_a", "id_b"
-    )
+    return near_duplicates(
+        docs, "doc_id", "text", n_hashes=8, shingle_k=3, band_size=2
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
