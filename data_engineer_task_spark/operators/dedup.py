@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingles_from_text
+from .text import char_shingles_from_text, shingles_from_text
 
 
 def exact_dedup(
@@ -82,6 +82,7 @@ def near_duplicates(
     shingle_k: int = 3,
     band_size: int = 2,
     threshold: float = 0.0,
+    shingle_mode: str = "token",
 ) -> DataFrame:
     """Full MinHash→LSH→exact-verify near-dup pipeline with the shingle
     set computed ONCE and persisted, then shared by the signature
@@ -89,9 +90,13 @@ def near_duplicates(
     the shingle subplan (the widest intermediate — one row per (doc,
     shingle)) executes twice; the distinct set is also exactly what
     both consumers need, so the cache holds the narrowest sufficient
-    frame."""
+    frame. ``shingle_mode``: 'token' (k-token) or 'char' (k-char
+    n-grams — tokenization-free, robust to spacing/punctuation)."""
+    make = {"token": shingles_from_text, "char": char_shingles_from_text}[
+        shingle_mode
+    ]
     sets = (
-        shingles_from_text(df, id_col, text_col, k=shingle_k)
+        make(df, id_col, text_col, k=shingle_k)
         .select(id_col, "shingle")
         .distinct()
         .persist()
@@ -200,12 +205,17 @@ def jaccard_verify(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                (
+            # Scale-then-divide: round(n*1e4/union)/1e4 puts the round on a
+            # double both engines compute identically (int*1e4 is exact),
+            # avoiding half-way disagreements between Spark's BigDecimal
+            # half-up and DuckDB's std::round on round(x, 4).
+            (
+                F.round(
                     F.col("n_inter")
+                    * 10000.0
                     / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-                ).cast("double"),
-                4,
+                )
+                / 10000.0
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)

@@ -76,6 +76,31 @@ def shingles_from_text(
     )
 
 
+def char_shingles_from_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    out_col: str = "shingle",
+) -> DataFrame:
+    """Character k-grams, row-local like ``shingles_from_text`` (zero
+    shuffle): substr windows over the raw text. Char shingles are the
+    standard alternative to token shingles for near-dup detection on
+    noisy text (tokenization-free, robust to spacing/punctuation
+    differences). Output (id, pos, shingle); pos = 1-based char
+    offset."""
+    txt = F.col(text_col)
+    n = F.length(txt)
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(starts, lambda i: txt.substr(i, F.lit(k)))
+    return df.select(id_col, F.posexplode(sh).alias("pos0", out_col)).select(
+        id_col, (F.col("pos0") + 1).alias("pos"), out_col
+    )
+
+
 def token_stats(
     df: DataFrame,
     id_col: str,

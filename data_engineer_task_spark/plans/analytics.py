@@ -729,10 +729,7 @@ _BAND_CASE = " ".join(
 )
 
 
-@q(
-    "near_dup_pairs",
-    f"""
-    WITH {_SHINGLE_CTE},
+_NEAR_DUP_TAIL = f"""
     sig AS (
       SELECT doc_id,
            {_MINHASH_MINS}
@@ -758,13 +755,21 @@ _BAND_CASE = " ".join(
       GROUP BY c.id_a, c.id_b
     )
     SELECT c.id_a AS id_a, c.id_b AS id_b,
-           round(coalesce(i.n_inter, 0)::DOUBLE
-                 / (za.n + zb.n - coalesce(i.n_inter, 0)), 4) AS jaccard
+           round(coalesce(i.n_inter, 0) * 10000.0
+                 / (za.n + zb.n - coalesce(i.n_inter, 0))) / 10000.0 AS jaccard
     FROM cand c
     LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
     JOIN sizes za ON za.doc_id = c.id_a
     JOIN sizes zb ON zb.doc_id = c.id_b
     ORDER BY c.id_a, c.id_b
+"""
+
+
+@q(
+    "near_dup_pairs",
+    f"""
+    WITH {_SHINGLE_CTE},
+    {_NEAR_DUP_TAIL}
     """,
 )
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,6 +783,37 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return near_duplicates(
         docs, "doc_id", "text", n_hashes=8, shingle_k=3, band_size=2
+    ).orderBy("id_a", "id_b")
+
+
+@q(
+    "near_dup_pairs_char",
+    f"""
+    WITH shf AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), 8) AS shingle
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 7)) AS i
+            FROM documents)
+    ),
+    {_NEAR_DUP_TAIL}
+    """,
+)
+def near_dup_pairs_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-8-gram variant of the MinHash+LSH near-dup pipeline —
+    tokenization-free, robust to spacing/punctuation noise. Same
+    signature→band→verify chain as `near_dup_pairs`, swapping the
+    shingle frame (row-local substr windows, zero shuffle)."""
+    from ..operators.dedup import near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_duplicates(
+        docs,
+        "doc_id",
+        "text",
+        n_hashes=8,
+        shingle_k=8,
+        band_size=2,
+        shingle_mode="char",
     ).orderBy("id_a", "id_b")
 
 
@@ -1080,3 +1116,149 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("secs_since_click"),
     ).orderBy("event_id")
+
+
+@q(
+    "customer_order_cohorts",
+    """
+    WITH c94 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE year(o_orderdate) = 1994),
+         c95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE year(o_orderdate) = 1995),
+         i AS (SELECT * FROM c94 INTERSECT SELECT * FROM c95),
+         x AS (SELECT * FROM c94 EXCEPT SELECT * FROM c95)
+    SELECT 'both_94_95' AS cohort, CAST(count(*) AS BIGINT) AS n_customers,
+           min(o_custkey) AS min_key, max(o_custkey) AS max_key FROM i
+    UNION ALL
+    SELECT 'only_1994', CAST(count(*) AS BIGINT), min(o_custkey),
+           max(o_custkey) FROM x
+    ORDER BY cohort
+    """,
+)
+def customer_order_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (a gap in the reference —
+    SURVEY §2.5 lists UNION ALL as its only set op): customers active
+    in both 1994 and 1995 vs 1994-only. Spark plans both as
+    (broadcastable) semi/anti joins over the distinct key sets."""
+    o = _t(spark, sf_dir, "orders")
+    c94 = o.where(F.year("o_orderdate") == 1994).select("o_custkey").distinct()
+    c95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+
+    def summarize(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("cohort"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("o_custkey").alias("min_key"),
+            F.max("o_custkey").alias("max_key"),
+        ).select("cohort", "n_customers", "min_key", "max_key")
+
+    return summarize(c94.intersect(c95), "both_94_95").unionByName(
+        summarize(c94.subtract(c95), "only_1994")
+    ).orderBy("cohort")
+
+
+_HAMMING_SQL = " + ".join(
+    f"CASE WHEN substr(sa, {p}, 1) <> substr(sb, {p}, 1) THEN 1 ELSE 0 END"
+    for p in range(1, 17)
+)
+
+
+@q(
+    "simhash_near_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), agg AS (
+      SELECT doc_id,
+           {_SIMHASH_AVGS}
+      FROM toks GROUP BY doc_id
+    ), sim AS (
+      SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM agg
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM sim a JOIN sim b
+        ON substr(a.simhash, 1, 8) = substr(b.simhash, 1, 8)
+       AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+      FROM sim a JOIN sim b
+        ON substr(a.simhash, 9, 8) = substr(b.simhash, 9, 8)
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST({_HAMMING_SQL} AS BIGINT) AS hamming
+    FROM cand
+    WHERE {_HAMMING_SQL} <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairing: candidate pairs share an exact half of
+    the 16-bit fingerprint (two equi-joins — the pigeonhole guarantees
+    full recall at hamming <= 1 and high recall beyond), then exact
+    hamming distance filters to <= 3. The half-match equi-join is the
+    scale path: bucket keys shuffle, never an all-pairs or OR-predicate
+    nested-loop join."""
+    from ..operators.text import simhash16, tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    sim = simhash16(tokenize(docs, "doc_id", "text"), "doc_id")
+    a = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+
+    def half_join(start: int) -> DataFrame:
+        return a.join(
+            b,
+            (F.substring("sa", start, 8) == F.substring("sb", start, 8))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+
+    cand = half_join(1).unionByName(half_join(9)).distinct()
+    hamming = sum(
+        (F.substring("sa", p, 1) != F.substring("sb", p, 1)).cast("int")
+        for p in range(1, 17)
+    )
+    return (
+        cand.select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
+        .where(F.col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@q(
+    "purchase_click_window_counts",
+    """
+    WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, epoch_ns(ts) // 1000 AS us
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           CAST(count(c.us) AS BIGINT) AS n_clicks_30m
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.us BETWEEN p.us - 1800000000 AND p.us
+    GROUP BY p.event_id, p.user_id
+    ORDER BY p.event_id
+    """,
+)
+def purchase_click_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded time-range join: clicks within 30 minutes before each
+    purchase, per user. operators/rangejoin.py buckets the time axis so
+    the range predicate rides a plain equi-shuffle (each left row
+    probes <= 2 buckets) instead of a per-key nested loop; comparisons
+    are integer epoch-micros on both engines."""
+    from ..operators.rangejoin import bounded_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    j = bounded_range_join(
+        purchases, clicks, "user_id", lower_s=-1800, upper_s=0, how="left"
+    )
+    return (
+        j.groupBy("event_id", "user_id")
+        .agg(F.count("ts_r").alias("n_clicks_30m"))
+        .orderBy("event_id")
+    )

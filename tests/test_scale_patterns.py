@@ -82,3 +82,70 @@ def test_as_of_join_semantics(spark):
     assert str(out["p1"]) == "2024-01-01 10:00:00"  # inclusive at equality
     assert str(out["p2"]) == "2024-01-01 11:59:00"  # most recent prior
     assert out["p3"] is None                        # nothing at-or-before
+
+
+def test_bounded_range_join_matches_theta_join(spark):
+    from data_engineer_task_spark.operators.rangejoin import bounded_range_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"), (1, "2024-01-01 12:00:00", "b"),
+         (2, "2024-01-01 09:00:00", "c")],
+        ["uid", "ts_s", "tag"],
+    ).select("uid", F.to_timestamp("ts_s").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:31:00"), (1, "2024-01-01 09:29:59"),
+         (1, "2024-01-01 10:00:00"), (1, "2024-01-01 11:58:00"),
+         (2, "2024-01-01 09:00:01")],
+        ["uid", "ts_s"],
+    ).select("uid", F.to_timestamp("ts_s").alias("ts"))
+
+    got = sorted(
+        (r["tag"], str(r["ts_r"]))
+        for r in bounded_range_join(
+            left, right, "uid", lower_s=-1800, upper_s=0
+        ).collect()
+    )
+    naive = sorted(
+        (r["tag"], str(r["ts_r"]))
+        for r in left.join(
+            right.select("uid", F.col("ts").alias("ts_r")), "uid"
+        )
+        .where(
+            F.col("ts_r").between(
+                F.col("ts") - F.expr("INTERVAL 1800 SECOND"), F.col("ts")
+            )
+        )
+        .select("tag", "ts_r")
+        .collect()
+    )
+    assert got == naive
+    assert got == [
+        ("a", "2024-01-01 09:31:00"),
+        ("a", "2024-01-01 10:00:00"),
+        ("b", "2024-01-01 11:58:00"),
+    ]
+
+    left_out = bounded_range_join(
+        left, right, "uid", lower_s=-1800, upper_s=0, how="left"
+    )
+    tags = sorted(r["tag"] for r in left_out.collect())
+    assert tags == ["a", "a", "b", "c"]  # c unmatched but kept
+
+
+def test_char_shingles_row_local(spark):
+    from data_engineer_task_spark.operators.text import char_shingles_from_text
+
+    df = spark.createDataFrame([(1, "abcdef"), (2, "abc")], ["id", "text"])
+    got = sorted(
+        (r["id"], r["pos"], r["shingle"])
+        for r in char_shingles_from_text(df, "id", "text", k=4).collect()
+    )
+    assert got == [(1, 1, "abcd"), (1, 2, "bcde"), (1, 3, "cdef")]
+    # zero Exchange: shingling must not shuffle
+    plan = (
+        char_shingles_from_text(df, "id", "text", k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
