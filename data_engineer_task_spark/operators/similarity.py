@@ -114,6 +114,79 @@ def bucketed_similar_pairs(
     )
 
 
+def _assign_to_centroids(
+    base: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """Add a ``cluster`` (0-based argmin squared-L2, lowest-index
+    tie-break) and ``_d2`` (that distance) column. Centroids ride into
+    the plan as literals — the k×d table is driver-side tiny, so this
+    is a map-only stage: no join, no shuffle."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("_v"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return base.withColumn("_dists", dists).select(
+        "*",
+        (F.array_position(F.col("_dists"), F.array_min(F.col("_dists"))) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_min(F.col("_dists")).alias("_d2"),
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+    n_iters: int = 5,
+    round_to: int = 6,
+) -> tuple[list[list[float]], DataFrame]:
+    """Lloyd's k-means over a distributed embedding table. Per
+    iteration: one map-only assignment pass (centroid literals — no
+    join) plus one groupBy computing the d per-dimension means, then
+    the k×d centroid table (tiny) returns to the driver. That loop
+    shape is the canonical Spark iterative-ML pattern: only O(k·d)
+    state ever crosses the driver boundary, so it scales to any row
+    count. Determinism: init = the k lowest-``id_col`` vectors;
+    centroids rounded to ``round_to`` decimals each iteration (pins
+    down fp summation-order noise); empty clusters keep their previous
+    centroid. Returns (centroids, assignment DataFrame with
+    ``cluster`` and squared distance ``_d2``)."""
+    base = emb.select(
+        id_col, as_double(F.col(vec_col)).alias("_v")
+    ).persist()
+    init = base.orderBy(id_col).limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"need >= {k} vectors, got {len(init)}")
+    dim = len(init[0]["_v"])
+    centroids = [[round(float(x), round_to) for x in r["_v"]] for r in init]
+    for _ in range(n_iters):
+        assigned = _assign_to_centroids(base, centroids)
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(*[F.avg(F.element_at("_v", d + 1)).alias(f"c{d}") for d in range(dim)])
+            .collect()
+        )
+        new = {
+            r["cluster"]: [round(float(r[f"c{d}"]), round_to) for d in range(dim)]
+            for r in rows
+        }
+        centroids = [new.get(c, centroids[c]) for c in range(k)]
+    return centroids, _assign_to_centroids(base, centroids)
+
+
 def ivf_assign(
     emb: DataFrame,
     id_col: str,

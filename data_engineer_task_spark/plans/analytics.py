@@ -1262,3 +1262,27 @@ def purchase_click_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("ts_r").alias("n_clicks_30m"))
         .orderBy("event_id")
     )
+
+
+@q("embedding_kmeans_clusters")  # iterative (Lloyd's) — not SQL-expressible
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained k-means IVF: 5 Lloyd iterations over the embeddings
+    (deterministic lowest-id init, centroids rounded per iteration),
+    then per-cluster population and inertia. The loop moves only the
+    k×d centroid table through the driver per iteration — assignment
+    is a map-only stage against centroid literals, so the shape holds
+    at any corpus size. No SQL oracle: a fixed-point iteration isn't
+    expressible as one ANSI query; correctness is pinned by unit tests
+    on separated blobs + determinism (tests/test_scale_patterns.py)."""
+    from ..operators.similarity import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, assigned = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iters=5)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.sum("_d2"), 2).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )

@@ -149,3 +149,33 @@ def test_char_shingles_row_local(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_kmeans_separates_blobs_deterministically(spark):
+    from data_engineer_task_spark.operators.similarity import kmeans_fit
+
+    # 3 tight blobs far apart in 4-d; ids interleaved across blobs
+    import random
+
+    rng = random.Random(7)
+    centers = [[0.0, 0.0, 0.0, 0.0], [10.0, 10.0, 0.0, 0.0], [0.0, 0.0, 10.0, 10.0]]
+    rows = []
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in c]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def run():
+        cents, assigned = kmeans_fit(df, "vec_id", "embedding", k=3, n_iters=5)
+        return cents, {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+
+    cents1, asg1 = run()
+    cents2, asg2 = run()
+    assert cents1 == cents2 and asg1 == asg2  # bitwise deterministic
+    # every blob lands wholly in one cluster, and blobs in different ones
+    blob_of = {i: i % 3 for i in range(60)}
+    cluster_by_blob = {}
+    for vid, cl in asg1.items():
+        cluster_by_blob.setdefault(blob_of[vid], set()).add(cl)
+    assert all(len(s) == 1 for s in cluster_by_blob.values())
+    assert len({s.pop() for s in cluster_by_blob.values()}) == 3
