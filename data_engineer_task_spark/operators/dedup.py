@@ -101,12 +101,21 @@ def near_duplicates(
         .distinct()
         .persist()
     )
+    # Materialize the cache eagerly: the downstream plan references
+    # `sets` four times (signatures, both verify sides, sizes) and AQE
+    # launches those stages concurrently — racing writers would each
+    # recompute the full shingle subplan instead of hitting the cache.
+    sets.count()
     sigs = minhash_signatures(
         df, id_col, text_col, n_hashes=n_hashes, shingle_sets=sets
     )
+    # Persist + materialize candidates as well: jaccard_verify references
+    # them twice (intersection branch + final assembly), and without the
+    # cache the whole signature/band-join subplan executes twice.
     cands = lsh_candidate_pairs(
         sigs, id_col, n_hashes=n_hashes, band_size=band_size
-    )
+    ).persist()
+    cands.count()
     return jaccard_verify(
         df,
         cands,
@@ -185,8 +194,14 @@ def jaccard_verify(
     sb = sets.select(
         F.col(id_col).alias("id_b_r"), F.col("shingle").alias("shingle_b")
     )
+    # Broadcast the candidate list, NOT the shingle sets: LSH banding
+    # guarantees candidates ≪ corpus, while `sa`/`sb` are the widest
+    # frames in the pipeline (left unhinted, Spark broadcast a 1.35M-row
+    # hashed relation here at sf0.1). The candidate-restricted product
+    # then meets `sb` at whatever strategy AQE picks from real sizes.
     inter = (
-        candidates.join(sa, "id_a")
+        F.broadcast(candidates)
+        .join(sa, "id_a")
         .join(
             sb,
             (F.col("id_b") == F.col("id_b_r"))

@@ -118,30 +118,40 @@ def _assign_to_centroids(
     base: DataFrame, centroids: list[list[float]]
 ) -> DataFrame:
     """Add a ``cluster`` (0-based argmin squared-L2, lowest-index
-    tie-break) and ``_d2`` (that distance) column. Centroids ride into
-    the plan as literals — the k×d table is driver-side tiny, so this
-    is a map-only stage: no join, no shuffle."""
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("_v"),
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for c in centroids
-        ]
-    )
-    return base.withColumn("_dists", dists).select(
-        "*",
-        (F.array_position(F.col("_dists"), F.array_min(F.col("_dists"))) - 1)
-        .cast("int")
-        .alias("cluster"),
-        F.array_min(F.col("_dists")).alias("_d2"),
-    )
+    tie-break) and ``_d2`` (that distance) column. The centroid matrix
+    ships in the UDF closure (k×d — driver-side tiny), so this is a
+    map-only stage: no join, no shuffle. Dense distance-to-all-
+    centroids is the one place a vectorized Arrow UDF beats native
+    column expressions: the k×d literal expression tree costs Catalyst
+    planning + codegen per k-means iteration and evaluates
+    element-by-element, while one numpy matmul per Arrow batch is
+    O(n·k·d) in BLAS."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    # NOTE: legacy PandasUDFType form on purpose — PySpark 4.1 type-hint
+    # inference rejects the Series -> DataFrame (struct result) shape.
+    @F.pandas_udf("struct<cluster:int,d2:double>", F.PandasUDFType.SCALAR)
+    def assign(vs):
+        if len(vs) == 0:
+            return pd.DataFrame({"cluster": pd.array([], dtype="int32"),
+                                 "d2": pd.array([], dtype="float64")})
+        V = np.asarray(vs.tolist(), dtype=np.float64)
+        d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
+        cl = d2.argmin(axis=1)  # lowest-index tie-break, like array_position
+        return pd.DataFrame(
+            {
+                "cluster": cl.astype("int32"),
+                "d2": np.maximum(d2[np.arange(len(cl)), cl], 0.0),
+            }
+        )
+
+    return base.withColumn("_a", assign("_v")).select(
+        "*", F.col("_a.cluster").alias("cluster"), F.col("_a.d2").alias("_d2")
+    ).drop("_a")
 
 
 def kmeans_fit(

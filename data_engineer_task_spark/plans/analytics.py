@@ -45,6 +45,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load + spread across the session's full parallelism. The doc/
+    embedding test files are single-row-group parquet (one scan
+    partition), so compute-dense per-row pipelines (shingling, hashing,
+    vector math) would otherwise run in ONE task — and broadcast joins
+    keep that layout downstream. The repartition round-robins the
+    (small) table once; at real scale the scan is already
+    multi-partition and this is a no-op choice, the operators
+    themselves stay partitioning-agnostic."""
+    df = load_table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # Relational core (reference parity patterns, SURVEY §2.1-§2.3)
 # ---------------------------------------------------------------------------
@@ -555,7 +568,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     token length / stopword + punct density) — all native columns."""
     from ..operators.text import token_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return token_stats(docs, "doc_id", "text").orderBy("doc_id")
 
 
@@ -573,7 +586,7 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimation for training pipelines)."""
     from ..operators.text import bpe_ish_token_count
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return bpe_ish_token_count(docs, "doc_id", "text").orderBy("doc_id")
 
 
@@ -589,7 +602,7 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus profile (doc counts, sizes, token volume)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return (
         docs.groupBy("lang")
         .agg(
@@ -629,7 +642,7 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     majority over token md5 digits)."""
     from ..operators.text import simhash16, tokenize
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return simhash16(tokenize(docs, "doc_id", "text"), "doc_id").orderBy("doc_id")
 
 
@@ -668,7 +681,7 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection."""
     from ..operators.text import tokenize, winnow_fingerprints
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return winnow_fingerprints(
         tokenize(docs, "doc_id", "text"), "doc_id", k=3, window=4
     ).orderBy("doc_id")
@@ -692,7 +705,7 @@ def dedup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     generic form of the reference's drop_duplicates keep-first."""
     from ..operators.dedup import exact_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return (
         exact_dedup(docs.select("doc_id", "lang", "source"), ["lang", "source"], "doc_id")
         .orderBy("lang", "source")
@@ -718,18 +731,28 @@ def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded md5 'hash family'). One shuffle for any signature width."""
     from ..operators.dedup import minhash_signatures
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return minhash_signatures(
         docs, "doc_id", "text", n_hashes=8, shingle_k=3
     ).orderBy("doc_id")
 
 
-_BAND_CASE = " ".join(
-    f"WHEN {b} THEN md5(mh_{2 * b} || '|' || mh_{2 * b + 1})" for b in range(4)
-)
-
-
-_NEAR_DUP_TAIL = f"""
+def _near_dup_tail(n_hashes: int = 8, band_size: int = 2) -> str:
+    """SQL tail shared by the near-dup entries, parameterized by band
+    layout (must mirror ``operators/dedup.py::lsh_candidate_pairs``:
+    band value = md5 of the '|'-joined member hashes)."""
+    n_bands = n_hashes // band_size
+    band_case = " ".join(
+        "WHEN {b} THEN md5({parts})".format(
+            b=b,
+            parts=" || '|' || ".join(
+                f"mh_{b * band_size + j}" for j in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    band_values = ", ".join(f"({b})" for b in range(n_bands))
+    return f"""
     sig AS (
       SELECT doc_id,
            {_MINHASH_MINS}
@@ -737,8 +760,8 @@ _NEAR_DUP_TAIL = f"""
     ),
     bands AS (
       SELECT doc_id, bb.band,
-             CASE bb.band {_BAND_CASE} END AS band_val
-      FROM sig, (VALUES (0), (1), (2), (3)) bb(band)
+             CASE bb.band {band_case} END AS band_val
+      FROM sig, (VALUES {band_values}) bb(band)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -769,7 +792,7 @@ _NEAR_DUP_TAIL = f"""
     "near_dup_pairs",
     f"""
     WITH {_SHINGLE_CTE},
-    {_NEAR_DUP_TAIL}
+    {_near_dup_tail(band_size=2)}
     """,
 )
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -780,7 +803,7 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_duplicates)."""
     from ..operators.dedup import near_duplicates
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return near_duplicates(
         docs, "doc_id", "text", n_hashes=8, shingle_k=3, band_size=2
     ).orderBy("id_a", "id_b")
@@ -795,24 +818,28 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    unnest(generate_series(1, length(text) - 7)) AS i
             FROM documents)
     ),
-    {_NEAR_DUP_TAIL}
+    {_near_dup_tail(band_size=4)}
     """,
 )
 def near_dup_pairs_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-8-gram variant of the MinHash+LSH near-dup pipeline —
     tokenization-free, robust to spacing/punctuation noise. Same
     signature→band→verify chain as `near_dup_pairs`, swapping the
-    shingle frame (row-local substr windows, zero shuffle)."""
+    shingle frame (row-local substr windows, zero shuffle). Char
+    8-grams repeat heavily across a shared-vocabulary corpus, so
+    banding is stricter here (2 bands × 4 hashes: 4-hash agreement)
+    — with 2-hash bands the candidate set at sf0.1 is 71k pairs vs
+    330, a 200× verification-cost difference."""
     from ..operators.dedup import near_duplicates
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return near_duplicates(
         docs,
         "doc_id",
         "text",
         n_hashes=8,
         shingle_k=8,
-        band_size=2,
+        band_size=4,
         shingle_mode="char",
     ).orderBy("id_a", "id_b")
 
@@ -854,7 +881,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline for the bucketed ANN variant."""
     from ..operators.similarity import cosine_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     return cosine_topk(
         emb, "vec_id", "embedding", query_filter=F.col("vec_id") < 20, k=3
     ).orderBy("query_id", F.desc_nulls_last("cos_sim"), F.asc("neighbor_id"))
@@ -886,7 +913,7 @@ def embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path — bucket is the shuffle key)."""
     from ..operators.similarity import bucketed_similar_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     return bucketed_similar_pairs(
         emb, "vec_id", "embedding", n_bits=6, threshold=0.0
     ).orderBy("bucket", "id_a", "id_b")
@@ -906,7 +933,7 @@ def embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def label_centroid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid coordinates (leading dims) — array element
     access + grouped averages (the IVF centroid-build shape)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     return (
         emb.groupBy("label")
         .agg(
@@ -958,7 +985,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure SQL, so the whole binary path is value-checked."""
     from ..operators.multimodal import decode_media, synthesize_media_column
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     media = synthesize_media_column(docs, "doc_id", "text")
     return decode_media(media, "doc_id", "media").orderBy("id")
 
@@ -988,7 +1015,7 @@ def embedding_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe half reuses the same join within the assigned cluster."""
     from ..operators.similarity import ivf_assign
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     return ivf_assign(
         emb, "vec_id", "embedding", centroid_filter=F.col("vec_id") < 8
     ).orderBy("vec_id")
@@ -1017,7 +1044,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised at the top of the real distribution)."""
     from ..operators.similarity import bucketed_similar_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     return (
         bucketed_similar_pairs(emb, "vec_id", "embedding", n_bits=6, threshold=0.35)
         .select("id_a", "id_b", "cos_sim")
@@ -1157,16 +1184,15 @@ def customer_order_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cohort")
 
 
-_HAMMING_SQL = " + ".join(
-    f"CASE WHEN substr(sa, {p}, 1) <> substr(sb, {p}, 1) THEN 1 ELSE 0 END"
-    for p in range(1, 17)
-)
+def _hamming_sql(a: str, b: str, n_pos: int = 16) -> str:
+    return " + ".join(
+        f"CASE WHEN substr({a}, {p}, 1) <> substr({b}, {p}, 1) THEN 1 ELSE 0 END"
+        for p in range(1, n_pos + 1)
+    )
 
 
-@q(
-    "simhash_near_pairs",
-    f"""
-    WITH toks AS (
+_SIMHASH_CTE = f"""
+    toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
     ), agg AS (
       SELECT doc_id,
@@ -1174,54 +1200,91 @@ _HAMMING_SQL = " + ".join(
       FROM toks GROUP BY doc_id
     ), sim AS (
       SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM agg
-    ), cand AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.simhash AS sa, b.simhash AS sb
-      FROM sim a JOIN sim b
-        ON substr(a.simhash, 1, 8) = substr(b.simhash, 1, 8)
-       AND a.doc_id < b.doc_id
-      UNION
-      SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-      FROM sim a JOIN sim b
-        ON substr(a.simhash, 9, 8) = substr(b.simhash, 9, 8)
-       AND a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, CAST({_HAMMING_SQL} AS BIGINT) AS hamming
-    FROM cand
-    WHERE {_HAMMING_SQL} <= 3
-    ORDER BY id_a, id_b
+"""
+
+
+@q(
+    "simhash_dup_groups",
+    f"""
+    WITH {_SIMHASH_CTE}
+    SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM sim GROUP BY simhash HAVING count(*) > 1
+    ORDER BY simhash
     """,
 )
-def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairing: candidate pairs share an exact half of
-    the 16-bit fingerprint (two equi-joins — the pigeonhole guarantees
-    full recall at hamming <= 1 and high recall beyond), then exact
-    hamming distance filters to <= 3. The half-match equi-join is the
-    scale path: bucket keys shuffle, never an all-pairs or OR-predicate
-    nested-loop join."""
+def simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-bucket dedup, the scale-real SimHash usage: group by
+    the exact fingerprint (one shuffle on a 16-char key) and report
+    multi-doc buckets with the keep-first survivor. All-pairs hamming
+    comparison is deliberately NOT an entry — it is quadratic by
+    construction; bounded neighbor search lives in
+    `simhash_query_neighbors`."""
     from ..operators.text import simhash16, tokenize
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     sim = simhash16(tokenize(docs, "doc_id", "text"), "doc_id")
-    a = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
-    b = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
-
-    def half_join(start: int) -> DataFrame:
-        return a.join(
-            b,
-            (F.substring("sa", start, 8) == F.substring("sb", start, 8))
-            & (F.col("id_a") < F.col("id_b")),
+    return (
+        sim.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
         )
+        .where(F.col("n_docs") > 1)
+        .orderBy("simhash")
+    )
 
-    cand = half_join(1).unionByName(half_join(9)).distinct()
+
+@q(
+    "simhash_query_neighbors",
+    f"""
+    WITH {_SIMHASH_CTE},
+    q AS (SELECT doc_id AS query_id, simhash AS sq FROM sim WHERE doc_id < 10),
+    scored AS (
+      SELECT q.query_id, s.doc_id,
+             CAST({_hamming_sql("q.sq", "s.simhash")} AS BIGINT) AS hamming
+      FROM q JOIN sim s ON s.doc_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, doc_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, doc_id, hamming FROM ranked WHERE rn <= 5
+    ORDER BY query_id, hamming, doc_id
+    """,
+)
+def simhash_query_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded fingerprint-neighbor search: for each of 10 query docs,
+    the 5 nearest documents by simhash hamming distance. The query set
+    broadcasts, so scoring is map-only over the corpus and the window
+    top-k bounds the output — query×corpus work, never corpus², which
+    is the shape that survives 100 TB (all-pairs hamming does not)."""
+    from ..operators.text import simhash16, tokenize
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    sim = simhash16(tokenize(docs, "doc_id", "text"), "doc_id")
+    queries = sim.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), F.col("simhash").alias("sq")
+    )
+    scored = sim.join(
+        F.broadcast(queries), F.col("doc_id") != F.col("query_id")
+    )
     hamming = sum(
-        (F.substring("sa", p, 1) != F.substring("sb", p, 1)).cast("int")
+        (F.substring("sq", p, 1) != F.substring("simhash", p, 1)).cast("int")
         for p in range(1, 17)
     )
+    w = W.partitionBy("query_id").orderBy("hamming", "doc_id")
     return (
-        cand.select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
-        .where(F.col("hamming") <= 3)
-        .orderBy("id_a", "id_b")
+        scored.select(
+            "query_id", "doc_id", hamming.cast("bigint").alias("hamming")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("query_id", "hamming", "doc_id")
     )
 
 
@@ -1276,6 +1339,9 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     on separated blobs + determinism (tests/test_scale_patterns.py)."""
     from ..operators.similarity import kmeans_fit
 
+    # Natural scan layout, NOT _t_wide: each iteration is one numpy
+    # matmul per partition, so at this row count worker fan-out costs
+    # more than it buys; a real corpus arrives multi-partition anyway.
     emb = _t(spark, sf_dir, "embeddings")
     _, assigned = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iters=5)
     return (
