@@ -5,14 +5,21 @@ sign-LSH-bucketed variant as the scale path (candidates only within a
 bucket — the 100 TB shape: bucket is the shuffle key, each bucket's
 pair enumeration is local to a partition).
 
-All arithmetic is native column expressions (``zip_with`` +
-``aggregate`` fold in double precision, deterministic order) — no UDFs,
-no collect. An IVF variant would assign vectors to broadcast centroids
-with the same bucket-join shape.
+Dense vector math runs in Arrow-vectorized numpy (one BLAS matmul per
+record batch), not per-element column expressions: Spark's higher-order
+functions (``zip_with``/``aggregate`` lambdas) evaluate interpreted,
+outside whole-stage codegen, which is the wrong side of a 10-100× gap
+for d-dimensional kernels. The *structure* stays declarative — scans,
+bucket shuffles, top-k windows are all DataFrame ops; only the
+per-batch arithmetic drops into numpy. Small sides (query sets,
+centroid tables) ship in UDF closures: map-only stages, no join, the
+same plan shape a broadcast join would give with zero build overhead.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -48,22 +55,44 @@ def cosine_topk(
     round_to: int = 5,
 ) -> DataFrame:
     """Exact top-k neighbors for the rows matching ``query_filter``
-    against the whole table. Query side is broadcast (small by
-    construction); ranking uses the ROUNDED similarity with an id
-    tie-break so results are stable under fp reassociation."""
-    base = with_norm(emb, vec_col)
-    queries = base.where(query_filter).select(
-        F.col(id_col).alias("query_id"),
-        F.col("_v").alias("_qv"),
-        F.col("_norm").alias("_qnorm"),
-    )
-    pairs = base.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
-    cos = F.round(
-        (dot(F.col("_qv"), F.col("_v")) / (F.col("_qnorm") * F.col("_norm"))),
-        round_to,
-    )
-    scored = pairs.select(
-        "query_id", F.col(id_col).alias("neighbor_id"), cos.alias("cos_sim")
+    against the whole table. The query set is small by construction (it
+    is the thing a user asks about), so it collects to the driver and
+    rides in the scorer's closure: scoring is a map-only scan — corpus
+    batch × query matrix in one matmul — and only the narrow
+    (query_id, neighbor_id, cos) triples shuffle for the top-k window.
+    Ranking uses the ROUNDED similarity with an id tie-break so results
+    are stable under fp reassociation."""
+    base = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    qrows = base.where(query_filter).orderBy(id_col).collect()
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [],
+            base.select(
+                F.col(id_col).alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                F.lit(0.0).alias("cos_sim"),
+            ).schema,
+        )
+    qids = [r[id_col] for r in qrows]
+    Q = np.asarray([r["_v"] for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((Q * Q).sum(axis=1))
+
+    @F.pandas_udf("array<double>")
+    def sims(vs: pd.Series) -> pd.Series:
+        V = np.asarray(vs.tolist(), dtype=np.float64)
+        norm = np.sqrt((V * V).sum(axis=1))
+        S = np.round((V @ Q.T) / (norm[:, None] * qnorm[None, :]), round_to)
+        return pd.Series(list(S))
+
+    qid_lit = F.array(*[F.lit(q) for q in qids])
+    scored = (
+        base.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.posexplode(sims("_v")).alias("_qi", "cos_sim"),
+        )
+        .withColumn("query_id", F.element_at(qid_lit, F.col("_qi") + 1))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "cos_sim")
     )
     w = W.partitionBy("query_id").orderBy(
         F.desc_nulls_last("cos_sim"), F.asc("neighbor_id")
@@ -95,22 +124,42 @@ def bucketed_similar_pairs(
     threshold: float = 0.0,
     round_to: int = 5,
 ) -> DataFrame:
-    """ANN candidate pairs: self-join within sign-LSH buckets only.
-    Output: bucket, id_a, id_b, cos_sim (id_a < id_b)."""
-    base = with_norm(emb, vec_col).withColumn("bucket", sign_bucket(vec_col, n_bits))
-    a = base.select(
-        "bucket", F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
+    """ANN candidate pairs: enumerated within sign-LSH buckets only.
+    One shuffle partitions the corpus by bucket; each bucket's pairwise
+    scoring is then a single local gram matrix (``V @ V.T``) instead of
+    a self-join that re-evaluates a d-element fold per pair. Output:
+    bucket, id_a, id_b, cos_sim (id_a < id_b). At scale the bucket key
+    bounds pair count; a pathologically hot bucket (sign bits are
+    correlated for clustered corpora) gets split by raising ``n_bits``
+    or salting the bucket key — the per-group matrix is
+    O(bucket_size²), which is exactly the quantity LSH exists to cap."""
+    id_type = emb.schema[id_col].dataType.simpleString()
+    base = (
+        emb.select(F.col(id_col), F.col(vec_col), as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("bucket", sign_bucket(vec_col, n_bits))
+        .drop(vec_col)
     )
-    b = base.select(
-        "bucket", F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
-    )
-    pairs = a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b"))
-    cos = F.round(
-        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), round_to
-    )
-    return (
-        pairs.select("bucket", "id_a", "id_b", cos.alias("cos_sim"))
-        .where(F.col("cos_sim") >= threshold)
+
+    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+        norm = np.sqrt((V * V).sum(axis=1))
+        S = np.round((V @ V.T) / np.outer(norm, norm), round_to)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = S[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "bucket": np.repeat(pdf["bucket"].iloc[0], int(keep.sum())),
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cos_sim": S[ia[keep], ib[keep]],
+            }
+        )
+
+    return base.groupBy("bucket").applyInPandas(
+        gram,
+        f"bucket string, id_a {id_type}, id_b {id_type}, cos_sim double",
     )
 
 
@@ -211,21 +260,37 @@ def ivf_assign(
     seed set works (``centroid_filter``), since the operator under test
     is the assignment join, not the training.
     Output: (id, centroid_id, cos_sim)."""
-    base = with_norm(emb, vec_col)
-    cents = base.where(centroid_filter).select(
-        F.col(id_col).alias("centroid_id"),
-        F.col("_v").alias("_cv"),
-        F.col("_norm").alias("_cnorm"),
-    )
-    cos = F.round(
-        dot(F.col("_cv"), F.col("_v")) / (F.col("_cnorm") * F.col("_norm")), round_to
-    )
-    scored = base.join(F.broadcast(cents), F.lit(True)).select(
-        F.col(id_col), F.col("centroid_id"), cos.alias("cos_sim")
-    )
-    w = W.partitionBy(id_col).orderBy(F.desc_nulls_last("cos_sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    base = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    crows = base.where(centroid_filter).orderBy(id_col).collect()
+    if not crows:
+        raise ValueError("centroid_filter matched no rows")
+    cids = [r[id_col] for r in crows]
+    C = np.asarray([r["_v"] for r in crows], dtype=np.float64)
+    cnorm = np.sqrt((C * C).sum(axis=1))
+
+    # The centroid table is O(k·d) — it rides in the UDF closure, so
+    # assignment is a map-only scan (no cross join, no per-vector
+    # window): batch × centroid matmul, argmax over the ROUNDED cosine
+    # with the lowest-centroid-id tie-break (centroids are sorted by
+    # id, and numpy argmax takes the first maximum).
+    # Legacy PandasUDFType form: PySpark 4.1 type-hint inference
+    # rejects the Series -> DataFrame (struct result) shape.
+    @F.pandas_udf("struct<ci:int,cos_sim:double>", F.PandasUDFType.SCALAR)
+    def best(vs):
+        V = np.asarray(vs.tolist(), dtype=np.float64)
+        norm = np.sqrt((V * V).sum(axis=1))
+        S = np.round((V @ C.T) / (norm[:, None] * cnorm[None, :]), round_to)
+        ci = S.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "ci": ci.astype("int32"),
+                "cos_sim": S[np.arange(len(ci)), ci],
+            }
+        )
+
+    cid_lit = F.array(*[F.lit(c) for c in cids])
+    return base.withColumn("_b", best("_v")).select(
+        F.col(id_col),
+        F.element_at(cid_lit, F.col("_b.ci") + 1).alias("centroid_id"),
+        F.col("_b.cos_sim").alias("cos_sim"),
     )
