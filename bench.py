@@ -27,15 +27,29 @@ def main() -> None:
     spark = get_spark("bench")
 
     # Warm-up pass: JVM JIT + codegen + parquet footers, not measured.
+    # clearCache() after every execution keeps each measurement
+    # self-contained: a handful of operators persist() intermediates
+    # shared within their own plan, and letting those entries accumulate
+    # in the CacheManager makes later queries nondeterministically hit
+    # or miss warm caches (observed ±4x swings between bench runs).
     if os.environ.get("SPARK_GRAFT_BENCH_COLD") != "1":
         for fn in QUERIES.values():
             fn(spark, sf_dir).collect()
+            spark.catalog.clearCache()
 
+    # Per-query time = min over REPS runs (min, not mean: GC pauses and
+    # OS scheduling only ever add time, so the minimum is the cleanest
+    # estimate of the query's actual cost).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
