@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import char_shingles_from_text, shingles_from_text
+from .text import shingles_from_text
 
 
 def exact_dedup(
@@ -90,25 +90,33 @@ def near_duplicates(
     the shingle subplan (the widest intermediate — one row per (doc,
     shingle)) executes twice; the distinct set is also exactly what
     both consumers need, so the cache holds the narrowest sufficient
-    frame. ``shingle_mode``: 'token' (k-token) or 'char' (k-char
-    n-grams — tokenization-free, robust to spacing/punctuation)."""
-    make = {"token": shingles_from_text, "char": char_shingles_from_text}[
-        shingle_mode
-    ]
-    sets = (
-        make(df, id_col, text_col, k=shingle_k)
-        .select(id_col, "shingle")
-        .distinct()
-        .persist()
-    )
+    frame. The per-document set is deduplicated IN-ROW
+    (``array_distinct`` before the explode): a document's shingles all
+    live in its own row, so a global ``.distinct()`` — a full shuffle
+    of the widest frame in the pipeline — would move 100 TB to do what
+    a map-side array op does for free. ``shingle_mode``: 'token'
+    (k-token) or 'char' (k-char n-grams — tokenization-free, robust to
+    spacing/punctuation)."""
+    from .text import char_shingle_array, token_shingle_array
+
+    arr = {
+        "token": lambda c: token_shingle_array(c, k=shingle_k),
+        "char": lambda c: char_shingle_array(c, k=shingle_k),
+    }[shingle_mode](F.col(text_col))
+    sets = df.select(
+        F.col(id_col), F.explode(F.array_distinct(arr)).alias("shingle")
+    ).persist()
     # Materialize the cache eagerly: the downstream plan references
     # `sets` four times (signatures, both verify sides, sizes) and AQE
     # launches those stages concurrently — racing writers would each
     # recompute the full shingle subplan instead of hitting the cache.
     sets.count()
+    # Persist the (narrow: id + n_hashes digests) signature frame too:
+    # the LSH band self-join consumes it on BOTH sides, and without the
+    # cache each side re-runs the 8-way md5-min aggregation.
     sigs = minhash_signatures(
         df, id_col, text_col, n_hashes=n_hashes, shingle_sets=sets
-    )
+    ).persist()
     # Persist + materialize candidates as well: jaccard_verify references
     # them twice (intersection branch + final assembly), and without the
     # cache the whole signature/band-join subplan executes twice.

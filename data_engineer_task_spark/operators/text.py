@@ -48,6 +48,27 @@ def shingles(
     )
 
 
+def token_shingle_array(text_col: Column, *, k: int = 3, sep: str = " ") -> Column:
+    """Row-local array of k-token shingles (ordered by start position) —
+    the building block shared by the exploding shingle frames and the
+    in-row distinct sets used by near-dup."""
+    toks = F.split(text_col, sep)
+    n = F.size(toks)
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(starts, lambda i: F.array_join(F.slice(toks, i, k), " "))
+
+
+def char_shingle_array(text_col: Column, *, k: int = 8) -> Column:
+    """Row-local array of character k-grams (ordered by offset)."""
+    n = F.length(text_col)
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(starts, lambda i: text_col.substr(i, F.lit(k)))
+
+
 def shingles_from_text(
     df: DataFrame,
     id_col: str,
@@ -65,12 +86,7 @@ def shingles_from_text(
     Output (id, pos, shingle) is identical to
     ``shingles(tokenize(df, ...))`` — pos is the 1-based position of
     the shingle's first token."""
-    toks = F.split(F.col(text_col), sep)
-    n = F.size(toks)
-    starts = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    sh = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    sh = token_shingle_array(F.col(text_col), k=k, sep=sep)
     return df.select(id_col, F.posexplode(sh).alias("pos0", out_col)).select(
         id_col, (F.col("pos0") + 1).alias("pos"), out_col
     )
@@ -90,12 +106,7 @@ def char_shingles_from_text(
     noisy text (tokenization-free, robust to spacing/punctuation
     differences). Output (id, pos, shingle); pos = 1-based char
     offset."""
-    txt = F.col(text_col)
-    n = F.length(txt)
-    starts = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    sh = F.transform(starts, lambda i: txt.substr(i, F.lit(k)))
+    sh = char_shingle_array(F.col(text_col), k=k)
     return df.select(id_col, F.posexplode(sh).alias("pos0", out_col)).select(
         id_col, (F.col("pos0") + 1).alias("pos"), out_col
     )
