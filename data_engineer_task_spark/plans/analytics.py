@@ -516,6 +516,28 @@ def stream_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_dedup_event_stats",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_dedup_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup as a REAL Structured Streaming query: the
+    events stream unioned with itself (every row arrives twice), then
+    dropDuplicatesWithinWatermark(event_id) with watermark-bounded
+    state. The oracle aggregates the ORIGINAL table — union+dedup must
+    be an exact identity, proving the duplicate stream compacted back
+    to the source."""
+    from ..streaming.aggregate import run_stream_dedup_once
+
+    return run_stream_dedup_once(
+        spark, f"{sf_dir}/events.parquet", query_name="stream_dedup"
+    )
+
+
+@q(
     "user_sessions",
     """
     WITH g AS (

@@ -75,6 +75,71 @@ def sessionize(
     )
 
 
+def _event_stream(spark: SparkSession, glob_path: str) -> DataFrame:
+    """Parquet-backed events stream with ts converted to a real
+    timestamp (testdata stores TIMESTAMP(NANOS), readable only as
+    long)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob_path)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def run_stream_dedup_once(
+    spark: SparkSession,
+    events_path: str,
+    query_name: str = "stream_dedup_out",
+    watermark_delay: str = "45 days",
+) -> DataFrame:
+    """Streaming exact-dedup — the at-least-once-ingest compactor every
+    training-data pipeline needs in front of it. The events source is
+    unioned with a second read of itself (deterministic duplicate
+    injection: every row arrives twice), then
+    ``dropDuplicatesWithinWatermark`` keeps one arrival per event_id
+    with state bounded by the watermark instead of growing forever —
+    the API built for exactly this (a plain streaming dropDuplicates
+    only evicts state when the event-time column is part of the key).
+    The deduped stream lands in a memory sink (append mode); the
+    returned frame aggregates it per event_type, which the batch SQL
+    oracle reproduces from the ORIGINAL table — streaming union+dedup
+    must be an exact identity."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    glob_path = (
+        events_path
+        if events_path.endswith("*") or "." not in events_path.rsplit("/", 1)[-1]
+        else events_path.replace(".parquet", "*.parquet")
+    )
+    # The delay must exceed the stream's event-time DISORDER: rows older
+    # than (max ts seen - delay) are dropped as late, and duplicates
+    # separated by more than the delay would both survive. The test
+    # corpus spans ~30 days arriving in arbitrary file order, so 45 days
+    # covers it; a production ingest with minutes of disorder would run
+    # minutes of delay and hold proportionally tiny state.
+    doubled = _event_stream(spark, glob_path).unionByName(
+        _event_stream(spark, glob_path)
+    )
+    deduped = doubled.withWatermark(
+        "ts", watermark_delay
+    ).dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "  # noqa: S608
+        f"round(sum(value), 2) AS total_value "
+        f"FROM {query_name} GROUP BY event_type ORDER BY event_type"
+    )
+
+
 def run_stream_once(
     spark: SparkSession, events_path: str, query_name: str = "stream_out"
 ) -> DataFrame:
@@ -90,13 +155,7 @@ def run_stream_once(
         events_path if events_path.endswith("*") or "." not in events_path.rsplit("/", 1)[-1]
         else events_path.replace(".parquet", "*.parquet")
     )
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(glob_path)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
-    agg = hourly_event_counts(stream)
+    agg = hourly_event_counts(_event_stream(spark, glob_path))
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")

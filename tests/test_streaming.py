@@ -66,3 +66,25 @@ def test_stateful_running_totals_across_batches(spark, events_stream_dir):
         fn, fv = final[uid]
         assert fn == n, (uid, fn, n)
         assert abs(fv - v) < 0.05, (uid, fv, v)  # per-batch rounding drift
+
+
+def test_stream_dedup_compacts_doubled_stream(spark, events_stream_dir):
+    from data_engineer_task_spark.streaming.aggregate import run_stream_dedup_once
+
+    out = run_stream_dedup_once(
+        spark, events_stream_dir, query_name="t_stream_dedup"
+    ).collect()
+    expected = {
+        r["event_type"]: (r["n"], r["v"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("v"),
+        )
+        .collect()
+    }
+    got = {r["event_type"]: (r["n_events"], r["total_value"]) for r in out}
+    # Union-with-self doubles every row; dedup must give back EXACTLY
+    # the original per-type counts (2x would mean dedup did nothing).
+    assert got == expected
