@@ -1,0 +1,75 @@
+"""Deterministic sampling and corpus-packing operators.
+
+Training-data pipelines need splits and chunking that are (a) stable
+across runs and engines — reshuffling 100 TB must not reshuffle the
+val set — and (b) derivable per-row, so they stay map-only. Both
+operators here hash or window on existing columns; neither calls
+``rand()`` (nondeterministic across retries/speculative tasks, the
+classic silent-split-leak bug in Spark pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def _md5_byte0(col: Column) -> Column:
+    """First md5 byte (0-255) of the stringified column — a uniform,
+    engine-portable hash bucket (md5 hex is bit-identical everywhere;
+    ``xxhash64``/``hash`` are not portable to the SQL oracle)."""
+    h = F.md5(col.cast("string"))
+    hv = lambda p: F.instr(F.lit(_HEX), F.substring(h, p, 1)) - 1  # noqa: E731
+    return hv(1) * 16 + hv(2)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    cuts: tuple[tuple[str, int], ...] = (("train", 204), ("val", 230), ("test", 256)),
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = first md5 byte
+    of the id, split = first label whose cut exceeds the bucket
+    (204/256 ≈ 80%, 230/256 ≈ 90%). Map-only — no shuffle, no state;
+    any engine that can md5 reproduces the exact membership."""
+    b = _md5_byte0(F.col(id_col))
+    expr = F.lit(cuts[-1][0])
+    for label, cut in reversed(cuts[:-1]):
+        expr = F.when(b < cut, F.lit(label)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def pack_token_budget(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    part_col: str,
+    budget: int,
+) -> DataFrame:
+    """Context-window packing: within each ``part_col`` stream (docs
+    ordered by id), assign chunk = floor(exclusive-running-token-count
+    / budget) — every chunk holds ~budget tokens (the doc straddling a
+    boundary goes to the earlier chunk). One shuffle on ``part_col``;
+    the running sum is the standard single-window formulation, and at
+    scale ``part_col`` (language/source/shard) bounds each partition's
+    sort. Output: one row per (part, chunk) with doc/token totals."""
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    w = (
+        W.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        df.select(part_col, id_col, n_tokens.alias("n_tokens"))
+        .withColumn("chunk", F.floor(start / budget))
+        .groupBy(part_col, "chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )

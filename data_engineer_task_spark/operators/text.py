@@ -233,3 +233,38 @@ def winnow_fingerprints(
         local_min.groupBy(id_col)
         .agg(F.countDistinct("fp").alias("n_fingerprints"))
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (idf = ln((N+1)/(df+1)) + 1, the
+    smoothed sklearn form). Two aggregations — term frequency on
+    (doc, token), document frequency on token — then a BROADCAST join
+    of the vocabulary-sized df table back onto tf: vocabularies grow
+    ~log-linearly with corpus size, so even a 100 TB corpus's df table
+    fits an executor, and broadcasting avoids shuffling the (doc,
+    token) frame a second time on the skew-prone token key (stopwords
+    are exactly the hot keys a shuffle join would stumble on). N rides
+    as a literal (one count job). Scores use scale-then-divide rounding
+    (see jaccard_verify) so the SQL oracle agrees bit-for-bit; ranking
+    is on the ROUNDED score with a token tie-break."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.count()
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(F.broadcast(dfreq), "token").select(
+        F.col(id_col),
+        "token",
+        F.col("tf").cast("long").alias("tf"),
+        (F.round(F.col("tf") * idf * 10000) / 10000).alias("score"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

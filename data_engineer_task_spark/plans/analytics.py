@@ -612,6 +612,120 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_ish_token_count(docs, "doc_id", "text").orderBy("doc_id")
 
 
+_SPLIT_BYTE = (
+    "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
+    " * 16 + "
+    "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+)
+
+
+@q(
+    "doc_split_counts",
+    f"""
+    WITH b AS (
+      SELECT doc_id, {_SPLIT_BYTE} AS bucket FROM documents
+    ),
+    s AS (
+      SELECT doc_id, CASE WHEN bucket < 204 THEN 'train'
+                          WHEN bucket < 230 THEN 'val'
+                          ELSE 'test' END AS split
+      FROM b
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM s GROUP BY split ORDER BY split
+    """,
+)
+def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~80/10/10 by first md5 byte
+    of the doc id) — map-only, rand()-free, engine-portable membership.
+    The per-split id_sum is a membership checksum: the oracle recomputes
+    the same hash, so any row landing in a different split changes the
+    sum."""
+    from ..operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs.select("doc_id"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("split")
+    )
+
+
+@q(
+    "doc_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+             round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) * 10000)
+               / 10000 AS score
+      FROM tf, dfreq, n WHERE tf.token = dfreq.token
+    )
+    SELECT doc_id, token, tf, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    ORDER BY doc_id, score DESC, token
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — tf and df aggregations plus a
+    broadcast of the vocabulary-sized df table (stopwords are exactly
+    the hot keys a shuffled token join would skew on)."""
+    from ..operators.text import tfidf_top_terms
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3).orderBy(
+        "doc_id", F.desc("score"), F.asc("token")
+    )
+
+
+@q(
+    "doc_pack_chunks",
+    """
+    WITH nt AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, n_tokens,
+             CAST(floor(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) / 1000.0) AS BIGINT) AS chunk
+      FROM nt
+    )
+    SELECT lang, chunk, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM c GROUP BY lang, chunk ORDER BY lang, chunk
+    """,
+)
+def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: docs streamed per language in id order,
+    chunk boundary every ~1000 tokens (floor of the exclusive running
+    token count). The single-window running sum is the canonical Spark
+    formulation; lang bounds the sort at scale."""
+    from ..operators.sampling import pack_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_token_budget(
+        docs, "doc_id", "text", part_col="lang", budget=1000
+    ).orderBy("lang", "chunk")
+
+
 @q(
     "language_profile",
     """

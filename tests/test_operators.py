@@ -246,3 +246,53 @@ def test_sessionize_gap_logic(spark):
     out = {r["user_id"]: (r["n_events"], r["n_sessions"]) for r in
            sessionize(df, gap_seconds=3600).collect()}
     assert out == {1: (3, 2), 2: (1, 1)}
+
+
+# --- sampling / packing / tfidf -------------------------------------------
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    from data_engineer_task_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    assert a == b  # stable across runs
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    train_share = sum(1 for v in a.values() if v == "train") / n
+    assert 0.7 < train_share < 0.9  # ~80% by construction
+
+
+def test_pack_token_budget_boundaries(spark):
+    from data_engineer_task_spark.operators.sampling import pack_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, "en", "w " * 3 + "w") for i in range(6)],  # 4 tokens each
+        ["doc_id", "lang", "text"],
+    )
+    out = {
+        r["chunk"]: (r["n_docs"], r["total_tokens"])
+        for r in pack_token_budget(
+            docs, "doc_id", "text", part_col="lang", budget=10
+        ).collect()
+    }
+    # exclusive cumsum: 0,4,8,12,16,20 -> chunks 0,0,0,1,1,2
+    assert out == {0: (3, 12), 1: (2, 8), 2: (1, 4)}
+
+
+def test_tfidf_surfaces_distinctive_term(spark):
+    from data_engineer_task_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the log"),
+            (3, "the zebra zebra zebra runs"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(docs, "doc_id", "text", k=1).collect()
+    top = {r["doc_id"]: r["token"] for r in out}
+    assert top[3] == "zebra"  # unique + repeated -> highest tf-idf
+    assert all(r["tf"] >= 1 for r in out)
