@@ -70,3 +70,24 @@ def test_whole_stage_codegen_active(spark):
 
 def test_vectorized_parquet_scan(spark):
     assert "Batched: true" in _plan(spark, "pricing_summary")
+
+
+def test_tfidf_broadcasts_vocab_df_table(spark):
+    # The doc-frequency (vocabulary) table must broadcast back onto the
+    # (doc, token) frame: a shuffled token join would skew on stopwords.
+    plan = _plan(spark, "doc_tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hash_split_is_map_only(spark):
+    # Split assignment must stay joinless and rand()-free: one scan,
+    # one aggregation, nothing else.
+    plan = _plan(spark, "doc_split_counts")
+    assert "Join" not in plan
+    assert "rand" not in plan.lower()
+
+
+def test_curation_entries_free_of_row_udfs(spark):
+    for name in ("doc_split_counts", "doc_tfidf_top_terms", "doc_pack_chunks"):
+        assert "BatchEvalPython" not in _plan(spark, name), name
