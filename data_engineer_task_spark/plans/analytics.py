@@ -538,6 +538,72 @@ def stream_dedup_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "latest_event_per_user_type",
+    """
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+           value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: the newest event per (user, type) key —
+    the keep-latest upsert every incremental warehouse load runs. One
+    shuffle on the key + a window row_number; ts then event_id breaks
+    ties deterministically."""
+    from ..operators.upsert import keep_latest
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        keep_latest(ev, ["user_id", "event_type"], ["ts", "event_id"])
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@q(
+    "segment_balance_deciles",
+    """
+    SELECT c_mktsegment, decile, CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(c_acctbal) * 100) / 100 AS avg_balance
+    FROM (
+      SELECT c_mktsegment, c_acctbal,
+             ntile(10) OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer
+    ) GROUP BY c_mktsegment, decile ORDER BY c_mktsegment, decile
+    """,
+)
+def segment_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment account-balance deciles (ntile window + grouped
+    profile) — the distribution-profiling shape behind quantile-based
+    quality cuts."""
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.select("c_mktsegment", "c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.round(F.avg("c_acctbal") * 100) / 100).alias("avg_balance"),
+        )
+        .orderBy("c_mktsegment", "decile")
+    )
+
+
+@q(
     "user_sessions",
     """
     WITH g AS (

@@ -296,3 +296,19 @@ def test_tfidf_surfaces_distinctive_term(spark):
     top = {r["doc_id"]: r["token"] for r in out}
     assert top[3] == "zebra"  # unique + repeated -> highest tf-idf
     assert all(r["tf"] >= 1 for r in out)
+
+
+def test_keep_latest_compacts_to_newest_version(spark):
+    from data_engineer_task_spark.operators.upsert import keep_latest
+
+    rows = [
+        # (key, version, payload) — two update batches for key 'a'
+        ("a", 1, "old"),
+        ("a", 3, "newest"),
+        ("a", 2, "mid"),
+        ("b", 5, "only"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "v", "payload"])
+    out = {r["k"]: (r["v"], r["payload"])
+           for r in keep_latest(df, ["k"], ["v"]).collect()}
+    assert out == {"a": (3, "newest"), "b": (5, "only")}
