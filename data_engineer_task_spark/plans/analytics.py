@@ -604,6 +604,34 @@ def segment_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_purchase_click_join",
+    """
+    WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, epoch_ns(ts) // 1000 AS us
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           CAST(count(*) AS BIGINT) AS n_clicks_30m
+    FROM p JOIN c
+      ON c.user_id = p.user_id
+     AND c.us BETWEEN p.us - 1800000000 AND p.us
+    GROUP BY p.event_id, p.user_id
+    ORDER BY event_id
+    """,
+)
+def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join as a REAL Structured Streaming query
+    (both sides streams, watermark-bounded join state) — the streaming
+    twin of `purchase_click_window_counts`, verified against the same
+    batch range-join oracle (inner form)."""
+    from ..streaming.aggregate import run_stream_interval_join_once
+
+    return run_stream_interval_join_once(
+        spark, f"{sf_dir}/events.parquet", query_name="stream_pc_join"
+    )
+
+
+@q(
     "user_sessions",
     """
     WITH g AS (

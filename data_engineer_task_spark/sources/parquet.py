@@ -34,3 +34,40 @@ def write_parquet(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def _tree_size_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` via the Hadoop FileSystem API — works
+    for any scheme the session can read (file://, hdfs://, s3a://),
+    unlike an os.walk that only sees local disk."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs.getContentSummary(hpath).getLength()
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    *,
+    target_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite ``path`` as ceil(total_bytes /
+    target_bytes) files at ``out_path``. Streaming ingests and
+    per-trigger micro-batch writes leave thousands of KB-scale files;
+    at scan time every file costs a task + a footer read, so a 100 TB
+    table fragmented into 1e7 files spends more time scheduling than
+    reading. Runs as one job: scan -> round-robin repartition to the
+    target count -> write. Returns the file count written.
+
+    The rewrite goes to a NEW directory (atomic swap is the caller's
+    rename/catalog-repoint) — compacting in place would race readers.
+    """
+    import math
+
+    total = _tree_size_bytes(spark, path)
+    n_files = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

@@ -140,6 +140,63 @@ def run_stream_dedup_once(
     )
 
 
+def run_stream_interval_join_once(
+    spark: SparkSession,
+    events_path: str,
+    query_name: str = "stream_join_out",
+    watermark_delay: str = "45 days",
+) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same user's
+    clicks from the preceding 30 minutes, both sides REAL streams of
+    the events source. The watermark bounds both join-state buffers
+    (each side holds rows only until the other side's watermark passes
+    the interval); INNER join semantics emit each match the moment both
+    rows have arrived, so results don't wait on end-of-stream watermark
+    advancement the way outer-join unmatched rows do. The memory sink
+    collects the matches; the returned frame is the per-purchase click
+    count, which the batch oracle reproduces with a plain range join."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    glob_path = (
+        events_path
+        if events_path.endswith("*") or "." not in events_path.rsplit("/", 1)[-1]
+        else events_path.replace(".parquet", "*.parquet")
+    )
+    p = (
+        _event_stream(spark, glob_path)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark_delay)
+    )
+    c = (
+        _event_stream(spark, glob_path)
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", watermark_delay)
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            "user_id = c_user AND "
+            "c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts <= p_ts"
+        ),
+        "inner",
+    ).select("event_id", "user_id", "c_ts")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT event_id, user_id, CAST(count(*) AS BIGINT) AS n_clicks_30m "  # noqa: S608
+        f"FROM {query_name} GROUP BY event_id, user_id ORDER BY event_id"
+    )
+
+
 def run_stream_once(
     spark: SparkSession, events_path: str, query_name: str = "stream_out"
 ) -> DataFrame:

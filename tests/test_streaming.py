@@ -88,3 +88,33 @@ def test_stream_dedup_compacts_doubled_stream(spark, events_stream_dir):
     # Union-with-self doubles every row; dedup must give back EXACTLY
     # the original per-type counts (2x would mean dedup did nothing).
     assert got == expected
+
+
+def test_stream_interval_join_matches_batch_range_join(spark, events_stream_dir):
+    from data_engineer_task_spark.operators.rangejoin import bounded_range_join
+    from data_engineer_task_spark.streaming.aggregate import (
+        run_stream_interval_join_once,
+    )
+
+    got = {
+        (r["event_id"], r["user_id"]): r["n_clicks_30m"]
+        for r in run_stream_interval_join_once(
+            spark, events_stream_dir, query_name="t_stream_join"
+        ).collect()
+    }
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    expected = {
+        (r["event_id"], r["user_id"]): r["n"]
+        for r in bounded_range_join(
+            purchases, clicks, "user_id", lower_s=-1800, upper_s=0, how="inner"
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected and len(got) > 0
