@@ -1,0 +1,78 @@
+"""Connected components — the pairs→groups step of near-dup clustering.
+
+A verified near-dup pair list is a graph; the dedup SURVIVOR set is one
+representative per connected component (A~B, B~C ⇒ {A,B,C} even when
+A,C never paired). Min-label propagation: every node starts labeled
+with itself, then repeatedly takes the min of its own and its
+neighbors' labels. Each sweep is one join + one groupBy (shuffles on
+node id); convergence needs O(component diameter) sweeps, and near-dup
+components are shallow by construction (a dup cluster's members all
+link through near-identical text), so the loop exits in a handful of
+rounds — the driver only ever sees a changed-row COUNT per round,
+never the labels.
+
+This is the simple propagation variant; the large-star/small-star
+alternating algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond") cuts round count to O(log n) for deep graphs
+and drops in here unchanged if a corpus ever produces long chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iters: int = 15,
+) -> DataFrame:
+    """Label every node reachable through ``edges`` with the MIN node id
+    of its component (exact fixpoint — deterministic). Returns (node,
+    cluster). Nodes = every id appearing on either side; isolated docs
+    are the caller's no-op set and are not materialized here."""
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("cluster"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        nb_min = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("cluster").alias("nb_cluster"))
+        )
+        # Persist + materialize each sweep: truncates the growing
+        # iteration lineage (the kmeans pattern) and gives the
+        # convergence check and the next sweep one shared frame.
+        new_labels = (
+            labels.join(nb_min, labels["node"] == nb_min["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"), F.coalesce("nb_cluster", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

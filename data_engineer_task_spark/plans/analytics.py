@@ -967,10 +967,14 @@ def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _near_dup_tail(n_hashes: int = 8, band_size: int = 2) -> str:
+def _near_dup_tail(
+    n_hashes: int = 8, band_size: int = 2, as_cte: bool = False
+) -> str:
     """SQL tail shared by the near-dup entries, parameterized by band
     layout (must mirror ``operators/dedup.py::lsh_candidate_pairs``:
-    band value = md5 of the '|'-joined member hashes)."""
+    band value = md5 of the '|'-joined member hashes). ``as_cte`` wraps
+    the final select as ``pairs AS (...)`` (no ORDER BY) so downstream
+    CTEs — e.g. the recursive component closure — can compose on it."""
     n_bands = n_hashes // band_size
     band_case = " ".join(
         "WHEN {b} THEN md5({parts})".format(
@@ -982,6 +986,19 @@ def _near_dup_tail(n_hashes: int = 8, band_size: int = 2) -> str:
         for b in range(n_bands)
     )
     band_values = ", ".join(f"({b})" for b in range(n_bands))
+    final = """
+    SELECT c.id_a AS id_a, c.id_b AS id_b,
+           round(coalesce(i.n_inter, 0) * 10000.0
+                 / (za.n + zb.n - coalesce(i.n_inter, 0))) / 10000.0 AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes za ON za.doc_id = c.id_a
+    JOIN sizes zb ON zb.doc_id = c.id_b"""
+    tail = (
+        f",\n    pairs AS ({final}\n    )"
+        if as_cte
+        else f"{final}\n    ORDER BY c.id_a, c.id_b"
+    )
     return f"""
     sig AS (
       SELECT doc_id,
@@ -1006,15 +1023,7 @@ def _near_dup_tail(n_hashes: int = 8, band_size: int = 2) -> str:
       JOIN sets sa ON sa.doc_id = c.id_a
       JOIN sets sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
       GROUP BY c.id_a, c.id_b
-    )
-    SELECT c.id_a AS id_a, c.id_b AS id_b,
-           round(coalesce(i.n_inter, 0) * 10000.0
-                 / (za.n + zb.n - coalesce(i.n_inter, 0))) / 10000.0 AS jaccard
-    FROM cand c
-    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-    JOIN sizes za ON za.doc_id = c.id_a
-    JOIN sizes zb ON zb.doc_id = c.id_b
-    ORDER BY c.id_a, c.id_b
+    ){tail}
 """
 
 
@@ -1072,6 +1081,55 @@ def near_dup_pairs_char(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_size=4,
         shingle_mode="char",
     ).orderBy("id_a", "id_b")
+
+
+@q(
+    "near_dup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    {_near_dup_tail(band_size=2, as_cte=True)},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs WHERE jaccard >= 0.5
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    lab AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(node) AS BIGINT) AS id_sum
+    FROM lab GROUP BY cluster ORDER BY cluster
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → dedup GROUPS: connected components over the verified
+    near-dup graph (jaccard >= 0.5), labeling every member with the
+    min doc id of its component — the survivor-selection step (keep
+    one per cluster) that actual corpus dedup runs after pairing.
+    Spark side is min-label propagation (O(diameter) sweeps, scalar
+    convergence checks); the oracle closes the same graph with a
+    recursive CTE. id_sum is the membership checksum."""
+    from ..operators.dedup import near_duplicates
+    from ..operators.graph import connected_components
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    pairs = near_duplicates(
+        docs, "doc_id", "text", n_hashes=8, shingle_k=3, band_size=2,
+        threshold=0.5,
+    )
+    labels = connected_components(pairs.select("id_a", "id_b"))
+    return (
+        labels.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("node").cast("long").alias("id_sum"),
+        )
+        .orderBy("cluster")
+    )
 
 
 # ---------------------------------------------------------------------------

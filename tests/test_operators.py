@@ -312,3 +312,16 @@ def test_keep_latest_compacts_to_newest_version(spark):
     out = {r["k"]: (r["v"], r["payload"])
            for r in keep_latest(df, ["k"], ["v"]).collect()}
     assert out == {"a": (3, "newest"), "b": (5, "only")}
+
+
+def test_connected_components_chain_and_islands(spark):
+    from data_engineer_task_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4 (diameter 3), island pair 10-11, triangle 20-21-22
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    out = {r["node"]: r["cluster"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
