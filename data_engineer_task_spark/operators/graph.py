@@ -29,12 +29,29 @@ def connected_components(
     dst: str = "id_b",
     *,
     max_iters: int = 15,
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """Label every node reachable through ``edges`` with the MIN node id
     of its component (exact fixpoint — deterministic). Returns (node,
     cluster). Nodes = every id appearing on either side; isolated docs
-    are the caller's no-op set and are not materialized here."""
-    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    are the caller's no-op set and are not materialized here.
+
+    Adaptive: the edge list is METADATA-scale (near-dup pairs ≪ corpus
+    rows), so when it fits the driver comfortably (≤ ``driver_threshold``
+    edges, a few tens of MB) the exact union-find runs locally after one
+    collect — a 100 TB corpus with a normal dup rate never needs more
+    than that. The distributed propagation loop is the fallback for
+    pathological graphs, not the common path; both produce the identical
+    min-label fixpoint."""
+    # Persist the edge list before sizing it: the pair-generation plan
+    # upstream (LSH verify) is the expensive part, and the size probe,
+    # the union-find collect / propagation loop would each re-run it.
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    if und.count() <= driver_threshold:
+        try:
+            return _driver_union_find(und)
+        finally:
+            und.unpersist()
     sym = und.unionByName(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).persist()
@@ -75,4 +92,41 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    und.unpersist()
     return labels
+
+
+def _driver_union_find(und: DataFrame) -> DataFrame:
+    """Exact union-find over a collected edge list; roots are kept as
+    the component minimum so labels match the distributed fixpoint
+    bit-for-bit. Output schema mirrors the input id type."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in und.collect():
+        u, v = row["u"], row["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo  # min id stays root
+
+    id_type = und.schema["u"].dataType
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("node", id_type, False),
+            T.StructField("cluster", id_type, False),
+        ]
+    )
+    rows = [(n, find(n)) for n in parent]
+    return und.sparkSession.createDataFrame(rows, schema)

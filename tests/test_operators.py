@@ -322,6 +322,14 @@ def test_connected_components_chain_and_islands(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
         ["id_a", "id_b"],
     )
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                20: 20, 21: 20, 22: 20}
+    # driver union-find path (edge list under the threshold)
     out = {r["node"]: r["cluster"] for r in connected_components(edges).collect()}
-    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
-                   20: 20, 21: 20, 22: 20}
+    assert out == expected
+    # distributed propagation path must produce the identical fixpoint
+    out_dist = {
+        r["node"]: r["cluster"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert out_dist == expected
