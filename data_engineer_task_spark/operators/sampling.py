@@ -73,3 +73,17 @@ def pack_token_budget(
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame, id_col: str, *, fraction: float
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose first md5
+    byte falls under fraction*256. Same rows survive on every run,
+    every engine, every partitioning — the property `df.sample()`
+    (seeded per-partition RNG) loses the moment data moves. Stratify
+    by grouping the RESULT on the stratum column: membership is
+    per-row, so every stratum is sampled at the same rate without
+    per-stratum passes."""
+    cut = int(round(fraction * 256))
+    return df.where(_md5_byte0(F.col(id_col)) < cut)

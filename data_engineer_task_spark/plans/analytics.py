@@ -58,6 +58,13 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
+_SPLIT_BYTE = (
+    "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
+    " * 16 + "
+    "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+)
+
+
 # ---------------------------------------------------------------------------
 # Relational core (reference parity patterns, SURVEY §2.1-§2.3)
 # ---------------------------------------------------------------------------
@@ -632,6 +639,87 @@ def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "rolling_weekly_revenue",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             date_diff('day', DATE '1970-01-01', o_orderdate) AS day_num,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_orderdate
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_orders,
+           round(rev * 100) / 100 AS day_revenue,
+           round(sum(rev) OVER (ORDER BY day_num
+                                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 * 100) / 100 AS revenue_7d
+    FROM daily ORDER BY day
+    """,
+)
+def rolling_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue per order day: a RANGE-frame window over
+    the daily aggregate (value-based frame, not row-based — days with
+    no orders shorten the window, exactly the gap semantics ROWS
+    frames get wrong). One shuffle for the daily groupBy; the window
+    runs on the already-tiny per-day frame."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("rev"),
+    )
+    w = (
+        W.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_orders",
+            (F.round(F.col("rev") * 100) / 100).alias("day_revenue"),
+            (F.round(F.sum("rev").over(w) * 100) / 100).alias("revenue_7d"),
+        )
+        .orderBy("day")
+    )
+
+
+@q(
+    "doc_stratified_sample",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang FROM documents WHERE {_SPLIT_BYTE} < 51
+    ),
+    t AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang)
+    SELECT t.lang AS lang, CAST(t.n_total AS BIGINT) AS n_total,
+           CAST(count(s.doc_id) AS BIGINT) AS n_sampled,
+           CAST(coalesce(sum(s.doc_id), 0) AS BIGINT) AS id_sum
+    FROM t LEFT JOIN s ON s.lang = t.lang
+    GROUP BY t.lang, t.n_total ORDER BY lang
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample (md5-byte cut < 51/256) profiled per
+    language stratum — membership is per-row and engine-portable, so
+    every stratum samples at the same rate with zero per-stratum
+    passes; id_sum is the membership checksum."""
+    from ..operators.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    sampled = stratified_hash_sample(docs, "doc_id", fraction=51 / 256).select(
+        F.col("doc_id").alias("s_doc_id"), F.col("lang").alias("s_lang")
+    )
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        totals.join(sampled, totals["lang"] == sampled["s_lang"], "left")
+        .groupBy("lang", "n_total")
+        .agg(
+            F.count("s_doc_id").alias("n_sampled"),
+            F.coalesce(F.sum("s_doc_id"), F.lit(0)).cast("long").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
     "user_sessions",
     """
     WITH g AS (
@@ -704,13 +792,6 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t_wide(spark, sf_dir, "documents")
     return bpe_ish_token_count(docs, "doc_id", "text").orderBy("doc_id")
-
-
-_SPLIT_BYTE = (
-    "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
-    " * 16 + "
-    "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
-)
 
 
 @q(
