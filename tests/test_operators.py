@@ -333,3 +333,33 @@ def test_connected_components_chain_and_islands(spark):
         for r in connected_components(edges, driver_threshold=0).collect()
     }
     assert out_dist == expected
+
+
+# --- degenerate inputs -----------------------------------------------------
+
+
+def test_operators_handle_empty_and_null_text(spark):
+    from pyspark.sql import types as T
+
+    from data_engineer_task_spark.operators.dedup import near_duplicates
+    from data_engineer_task_spark.operators.sampling import hash_split
+    from data_engineer_task_spark.operators.text import token_stats
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert token_stats(empty, "doc_id", "text").count() == 0
+    assert near_duplicates(empty, "doc_id", "text").count() == 0
+    assert hash_split(empty, "doc_id").count() == 0
+
+    with_null = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None), (3, "a b c d e")], schema
+    )
+    # null text must not crash the shingle pipeline; the two real docs
+    # still pair up
+    pairs = near_duplicates(with_null, "doc_id", "text").collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 3)}
