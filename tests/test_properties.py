@@ -1,0 +1,113 @@
+"""Property-based invariants (hypothesis) for the curation operators.
+
+Example counts are kept small: each example pays Spark job latency, and
+the point is invariant coverage over hand-picked-example blindspots,
+not fuzzing volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+ids = st.integers(min_value=0, max_value=10**9)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(ids, st.integers(0, 50), st.text("ab ", max_size=12)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_keep_latest_survivor_is_max_version(spark, rows):
+    from data_engineer_task_spark.operators.upsert import keep_latest
+
+    df = spark.createDataFrame(rows, ["k", "v", "payload"])
+    out = keep_latest(df, ["k"], ["v"]).collect()
+    # one survivor per key, and it carries that key's max version
+    by_key = {}
+    for k, v, _ in rows:
+        by_key[k] = max(by_key.get(k, -1), v)
+    assert {r["k"]: r["v"] for r in out} == by_key
+    assert len(out) == len(by_key)
+
+
+@given(rows=st.lists(ids, min_size=1, max_size=40, unique=True))
+@settings(**SETTINGS)
+def test_hash_split_total_and_determinism(spark, rows):
+    from data_engineer_task_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in rows], ["doc_id"])
+    out = hash_split(df, "doc_id").collect()
+    assert len(out) == len(rows)  # every row labeled exactly once
+    assert set(r["split"] for r in out) <= {"train", "val", "test"}
+    again = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    assert {r["doc_id"]: r["split"] for r in out} == again
+
+
+@given(
+    rows=st.lists(
+        st.tuples(ids, st.sampled_from(["en", "de"]), st.integers(1, 40)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.integers(5, 60),
+)
+@settings(**SETTINGS)
+def test_pack_token_budget_conserves_docs_and_tokens(spark, rows, budget):
+    from data_engineer_task_spark.operators.sampling import pack_token_budget
+
+    data = [(i, lang, "w " * (n - 1) + "w") for i, lang, n in rows]
+    df = spark.createDataFrame(data, ["doc_id", "lang", "text"])
+    out = pack_token_budget(
+        df, "doc_id", "text", part_col="lang", budget=budget
+    ).collect()
+    assert sum(r["n_docs"] for r in out) == len(rows)
+    assert sum(r["total_tokens"] for r in out) == sum(n for _, _, n in rows)
+    # no chunk overfills by more than one straddling document's tokens
+    for r in out:
+        if r["n_docs"] > 1:
+            assert r["total_tokens"] >= budget or r["chunk"] == max(
+                x["chunk"] for x in out if x["lang"] == r["lang"]
+            )
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=25,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+@settings(**SETTINGS)
+def test_connected_components_matches_reference_closure(spark, edges):
+    from data_engineer_task_spark.operators.graph import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["cluster"] for r in connected_components(df).collect()
+    }
+    # reference closure: naive repeated min-propagation over a dict
+    nodes = {n for e in edges for n in e}
+    label = {n: n for n in nodes}
+    for _ in range(len(nodes)):
+        changed = False
+        for a, b in edges:
+            m = min(label[a], label[b])
+            if label[a] != m or label[b] != m:
+                label[a] = label[b] = m
+                changed = True
+        if not changed:
+            break
+    assert got == label
