@@ -198,13 +198,20 @@ def run_stream_interval_join_once(
 
 
 def run_stream_once(
-    spark: SparkSession, events_path: str, query_name: str = "stream_out"
+    spark: SparkSession,
+    events_path: str,
+    query_name: str = "stream_out",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Drive the hourly aggregation as a REAL streaming query over the
     parquet source, synchronously to completion, and return the result.
 
     maxFilesPerTrigger forces multiple micro-batches so incremental
     state handling is actually exercised (not one batch = batch mode).
+    With ``checkpoint_dir``, offsets + aggregation state persist across
+    restarts: a relaunched query reads ONLY files it hasn't seen and
+    resumes from the restored state — the exactly-once resume contract
+    (tests restart it against a grown source directory).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file source needs a directory/glob, not a bare file path.
@@ -213,12 +220,12 @@ def run_stream_once(
         else events_path.replace(".parquet", "*.parquet")
     )
     agg = hourly_event_counts(_event_stream(spark, glob_path))
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    writer = agg.writeStream.outputMode("complete").format("memory").queryName(
+        query_name
     )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     try:
         q.processAllAvailable()
     finally:

@@ -118,3 +118,42 @@ def test_stream_interval_join_matches_batch_range_join(spark, events_stream_dir)
         .collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_checkpoint_recovery_reads_only_new_files(spark, tmp_path):
+    from data_engineer_task_spark.streaming.aggregate import run_stream_once
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")  # ts as long
+    first, second = raw.where("event_id % 2 = 0"), raw.where("event_id % 2 = 1")
+
+    first.repartition(2).write.mode("append").parquet(src)
+    r1 = run_stream_once(spark, src, query_name="ck_run1", checkpoint_dir=ckpt)
+    n1 = r1.selectExpr("sum(n_events)").collect()[0][0]
+
+    second.repartition(2).write.mode("append").parquet(src)
+    r2 = run_stream_once(spark, src, query_name="ck_run2", checkpoint_dir=ckpt)
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in r2.collect()
+    }
+
+    # The restarted query saw only the new files but must report the
+    # FULL aggregate — i.e. state was restored, rows neither lost nor
+    # double-counted.
+    expected = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy(
+            F.date_format(F.window("ts", "1 hour").getField("start"),
+                          "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .collect()
+    }
+    assert n1 < sum(v[0] for v in expected.values())  # run1 was partial
+    assert got == expected
