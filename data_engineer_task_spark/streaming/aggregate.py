@@ -13,9 +13,30 @@ swap for Kafka + a transactional table format.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+@contextmanager
+def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Run a streaming query with a reduced shuffle-partition count.
+
+    Each stateful operator materializes one state-store instance PER
+    shuffle partition PER micro-batch; at local test scale 32
+    partitions is pure overhead (32 HDFS-backed store inits + commits
+    per stage for a few thousand state rows). A real deployment sizes
+    this to state volume, and the value is pinned into the checkpoint
+    by Structured Streaming itself (restarts keep the original count),
+    so lowering it here never diverges a resumed query."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 # ts is long (epoch nanos): the testdata parquet stores TIMESTAMP(NANOS)
 # which Spark reads only as long (legacy nanosAsLong); the stream source
@@ -123,16 +144,17 @@ def run_stream_dedup_once(
     deduped = doubled.withWatermark(
         "ts", watermark_delay
     ).dropDuplicatesWithinWatermark(["event_id"])
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_shuffle_partitions(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(
         f"SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "  # noqa: S608
         f"round(sum(value), 2) AS total_value "
@@ -181,16 +203,17 @@ def run_stream_interval_join_once(
         ),
         "inner",
     ).select("event_id", "user_id", "c_ts")
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_shuffle_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(
         f"SELECT event_id, user_id, CAST(count(*) AS BIGINT) AS n_clicks_30m "  # noqa: S608
         f"FROM {query_name} GROUP BY event_id, user_id ORDER BY event_id"
@@ -225,11 +248,12 @@ def run_stream_once(
     )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_shuffle_partitions(spark):
+        q = writer.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(
         f"SELECT * FROM {query_name} ORDER BY hour, event_type"  # noqa: S608
     )
