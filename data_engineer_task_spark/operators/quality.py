@@ -42,6 +42,38 @@ def assert_referential(child: DataFrame, parent: DataFrame, on: str | Sequence[s
         raise AssertionError(f"dangling FK {on}: {bad[0]}")
 
 
+def quality_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_tokens: int = 30,
+    max_tokens: int = 80,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+    max_stopword_ratio: float = 0.12,
+    max_punct_ratio: float = 0.2,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Pretraining-corpus document gate: the cheap rule-based filters
+    (length band, average token length band, stopword density cap,
+    punctuation density cap — the Gopher/C4-style first pass) computed
+    from ``token_stats`` in one projection, no shuffle. Returns the
+    stats plus a ``passed`` flag; filtering or routing on the flag is
+    the caller's choice (curation pipelines keep the rejects for
+    auditing rather than dropping them inline)."""
+    from .text import token_stats
+
+    stats = token_stats(df, id_col, text_col, keep_cols=keep_cols)
+    passed = (
+        F.col("token_count").between(min_tokens, max_tokens)
+        & F.col("avg_token_len").between(min_avg_token_len, max_avg_token_len)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+    )
+    return stats.withColumn("passed", passed)
+
+
 def null_counts(df: DataFrame) -> dict[str, int]:
     """Per-column null counts in one pass (for nullability audits)."""
     row = df.select(

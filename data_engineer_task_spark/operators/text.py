@@ -119,15 +119,19 @@ def token_stats(
     *,
     stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
     punct_class: str = r"[.,!?;:]",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document quality features: token count, char count, average
     token length, stopword ratio, punctuation ratio. These are the
     standard cheap quality filters (length / stopword density / symbol
-    density) for pretraining-corpus curation."""
+    density) for pretraining-corpus curation. ``keep_cols`` ride along
+    in the projection (zero-shuffle alternative to re-joining metadata
+    back on afterwards)."""
     # Split once in a projection; downstream expressions reuse the array
     # column instead of re-splitting per stat.
     with_toks = df.select(
         id_col,
+        *keep_cols,
         F.col(text_col).alias("_txt"),
         F.split(F.col(text_col), " ").alias("_toks"),
     )
@@ -138,6 +142,7 @@ def token_stats(
     avg_len = (n_chars - (n_tok - 1)) / n_tok  # chars minus separators
     return with_toks.select(
         id_col,
+        *keep_cols,
         n_tok.cast("long").alias("token_count"),
         n_chars.cast("long").alias("char_count"),
         F.round(avg_len.cast("double"), 4).alias("avg_token_len"),

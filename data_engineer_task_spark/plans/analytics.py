@@ -1696,6 +1696,257 @@ def purchase_click_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "doc_quality_gate",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS tc,
+             round((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+                   / len(string_split(text, ' ')), 4) AS avg_len,
+             round(len(list_filter(string_split(text, ' '),
+                                   t -> t IN {_STOP_SQL}))::DOUBLE
+                   / len(string_split(text, ' ')), 4) AS stop_r,
+             round(len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+                   / length(text), 4) AS punct_r
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang,
+             CASE WHEN tc BETWEEN 30 AND 80
+                   AND avg_len BETWEEN 2.0 AND 12.0
+                   AND stop_r <= 0.12 AND punct_r <= 0.2
+                  THEN 1 ELSE 0 END AS passed
+      FROM s
+    )
+    SELECT lang, passed, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM g GROUP BY lang, passed ORDER BY lang, passed
+    """,
+)
+def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based corpus quality gate (length band / avg-token-length
+    band / stopword + punct density caps — the Gopher/C4-style first
+    filter pass), profiled per (lang, verdict) with an id_sum
+    membership checksum. The gate itself is one shuffle-free
+    projection; only this profile aggregates."""
+    from ..operators.quality import quality_gate
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    gated = quality_gate(docs, "doc_id", "text", keep_cols=("lang",))
+    return (
+        gated.groupBy("lang", F.col("passed").cast("int").alias("passed"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("lang", "passed")
+    )
+
+
+_LANG_KEYWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "it", "a", "an"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "nicht"),
+}
+_KW_SQL = {
+    lang: "(" + ", ".join(f"'{w}'" for w in kws) + ")"
+    for lang, kws in _LANG_KEYWORDS.items()
+}
+
+
+@q(
+    "doc_language_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             round(len(list_filter(string_split(text, ' '),
+                                   t -> t IN {_KW_SQL["de"]}))::DOUBLE
+                   / len(string_split(text, ' ')), 4) AS score_de,
+             round(len(list_filter(string_split(text, ' '),
+                                   t -> t IN {_KW_SQL["en"]}))::DOUBLE
+                   / len(string_split(text, ' ')), 4) AS score_en
+      FROM documents
+    )
+    SELECT doc_id, score_de, score_en,
+           CASE WHEN score_de >= score_en THEN 'de' ELSE 'en' END
+             AS predicted_lang
+    FROM s ORDER BY doc_id
+    """,
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-hit-ratio language ID (argmax over per-language keyword
+    densities, alphabetical tie-break) — shuffle-free per-row scoring;
+    the production version swaps keyword sets for per-language n-gram
+    tables through the same broadcast shape."""
+    from ..operators.text import language_scores
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return language_scores(docs, "doc_id", "text", _LANG_KEYWORDS).orderBy(
+        "doc_id"
+    )
+
+
+@q(
+    "sliding_event_counts",
+    """
+    WITH s AS (
+      SELECT event_type, value,
+             to_timestamp((epoch_ns(ts) // 1000000000 // 1800) * 1800) AS w0
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, value,
+             unnest([w0, w0 - INTERVAL 30 MINUTE]) AS ws
+      FROM s
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM w GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1-hour windows every 30 minutes —
+    each event lands in exactly two windows). Spark's ``F.window``
+    expands the slide natively; the oracle unnests the two aligned
+    window starts per event. Same plan runs under Structured Streaming
+    with a watermark, like the tumbling twin ``hourly_event_stats``."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@q(
+    "user_session_spans",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_ns(ts) // 1000
+                       - lag(epoch_ns(ts) // 1000)
+                           OVER (PARTITION BY user_id ORDER BY ts)
+                       > 3600000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+    FROM s GROUP BY user_id, sess ORDER BY user_id, start_us
+    """,
+)
+def user_session_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session spans via Spark's NATIVE ``session_window``
+    (dynamic-gap merge inside the aggregation — the same expression is
+    the streaming sessionizer). The merge interval is CLOSED: an event
+    exactly gap seconds after the last one still merges (verified by
+    ``test_session_window_gap_boundary``), so the oracle breaks on
+    `> gap`, not `>=`. Start/end are the min/max EVENT times (the
+    window's own end = last event + gap, not oracle-portable)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+        )
+        .select("user_id", "n_events", "start_us", "end_us")
+        .orderBy("user_id", "start_us")
+    )
+
+
+@q(
+    "customer_scd2_segments",
+    """
+    WITH dim AS (
+      SELECT c_custkey AS k, c_mktsegment AS segment FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 7 = 1 THEN c_mktsegment
+                  ELSE 'SEG_' || CAST(c_custkey % 3 AS VARCHAR) END AS segment
+      FROM customer WHERE c_custkey % 7 < 2
+    ),
+    changed AS (
+      SELECT u.k, u.segment FROM upd u JOIN dim d ON d.k = u.k
+      WHERE u.segment <> d.segment
+    ),
+    final AS (
+      SELECT d.k, d.segment,
+             CASE WHEN d.k IN (SELECT k FROM changed) THEN 0 ELSE 1 END
+               AS is_current
+      FROM dim d
+      UNION ALL
+      SELECT k, segment, 1 AS is_current FROM changed
+    )
+    SELECT is_current, segment, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS id_sum
+    FROM final GROUP BY is_current, segment ORDER BY is_current, segment
+    """,
+)
+def customer_scd2_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension merge exercised end-to-end: the customer table as
+    a versioned dimension, an update batch that changes segments for
+    keys ≡0 (mod 7), no-ops keys ≡1 (mod 7), and leaves the rest
+    alone. Changed keys close their old version and open a new one;
+    no-op updates produce NO spurious versions. Output: row counts +
+    key checksums per (is_current, segment)."""
+    from ..operators.upsert import scd2_merge
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1994-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = cust.where(F.col("c_custkey") % 7 < 2).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 1, F.col("c_mktsegment"))
+        .otherwise(
+            F.concat(F.lit("SEG_"), (F.col("c_custkey") % 3).cast("string"))
+        )
+        .alias("segment"),
+        F.lit("1995-06-01").cast("date").alias("eff"),
+    )
+    merged = scd2_merge(
+        dim, updates, ["c_custkey"], ["segment"], effective_col="eff"
+    )
+    return (
+        merged.groupBy(
+            F.col("is_current").cast("int").alias("is_current"), "segment"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").cast("long").alias("id_sum"),
+        )
+        .orderBy("is_current", "segment")
+    )
+
+
 @q("embedding_kmeans_clusters")  # iterative (Lloyd's) — not SQL-expressible
 def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained k-means IVF: 5 Lloyd iterations over the embeddings

@@ -363,3 +363,89 @@ def test_operators_handle_empty_and_null_text(spark):
     # still pair up
     pairs = near_duplicates(with_null, "doc_id", "text").collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 3)}
+
+
+def test_scd2_merge_all_four_paths(spark):
+    """Change / no-op / new-key / history-passthrough in one batch."""
+    from datetime import date
+
+    from data_engineer_task_spark.operators.upsert import scd2_merge
+
+    dim = spark.createDataFrame(
+        [
+            # k=1: already-closed history row + its current successor
+            (1, "A", date(2020, 1, 1), date(2021, 1, 1), False),
+            (1, "B", date(2021, 1, 1), None, True),
+            # k=2: current row an update will change
+            (2, "C", date(2020, 1, 1), None, True),
+            # k=3: current row an update no-ops on
+            (3, "D", date(2020, 1, 1), None, True),
+            # k=4: current row with no update at all
+            (4, "E", date(2020, 1, 1), None, True),
+        ],
+        "k int, attr string, valid_from date, valid_to date, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, "C2", date(2022, 6, 1)),  # change
+            (3, "D", date(2022, 6, 1)),  # no-op (same attr)
+            (9, "NEW", date(2022, 6, 1)),  # brand-new key
+        ],
+        "k int, attr string, eff date",
+    )
+    out = scd2_merge(dim, updates, ["k"], ["attr"], effective_col="eff")
+    rows = {
+        (r["k"], r["attr"]): (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in out.collect()
+    }
+    assert len(rows) == 7  # 5 original + 1 new version + 1 new key
+    # history row untouched
+    assert rows[(1, "A")] == (date(2020, 1, 1), date(2021, 1, 1), False)
+    # changed key: old row closed at the effective date, new row opened
+    assert rows[(2, "C")] == (date(2020, 1, 1), date(2022, 6, 1), False)
+    assert rows[(2, "C2")] == (date(2022, 6, 1), None, True)
+    # no-op update: single row, still current, no spurious version
+    assert rows[(3, "D")] == (date(2020, 1, 1), None, True)
+    # untouched key
+    assert rows[(4, "E")] == (date(2020, 1, 1), None, True)
+    # new key inserted as current
+    assert rows[(9, "NEW")] == (date(2022, 6, 1), None, True)
+
+
+def test_session_window_gap_boundary(spark):
+    """Spark session windows merge on a CLOSED interval: an event
+    exactly gap seconds after the last one still joins the session;
+    only a strictly-larger gap breaks it. The user_session_spans
+    oracle mirrors this with a `> gap` break flag."""
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 01:00:00"),  # exactly 1h after → still merges
+            (1, "2024-01-01 02:00:01"),  # 1h + 1s after → NEW session
+        ],
+        "user_id int, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(r["n"] for r in out) == [1, 2]
+
+
+def test_quality_gate_flags_and_keep_cols(spark):
+    from data_engineer_task_spark.operators.quality import quality_gate
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", " ".join(["word"] * 40)),  # passes every rule
+            (2, "de", "too short"),  # fails the length band
+            (3, "fr", " ".join(["the"] * 40)),  # fails stopword density
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["lang"], r["passed"])
+        for r in quality_gate(df, "doc_id", "text", keep_cols=("lang",)).collect()
+    }
+    assert out == {1: ("en", True), 2: ("de", False), 3: ("fr", False)}

@@ -33,3 +33,38 @@ def test_create_append_drop_roundtrip(spark):
     drop_table(spark, "wh_test")
     assert not table_exists(spark, "wh_test")
     drop_table(spark, "wh_test")  # IF EXISTS: idempotent
+
+
+def test_jsonl_roundtrip_with_explicit_schema(spark, tmp_path):
+    """JSONL write → schema-declared read is lossless (incl. nulls and
+    a timestamp column), partitioned layout prunes on read."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_task_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("kind", T.StringType(), True),
+            T.StructField("val", T.DoubleType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.5, "2024-01-01 10:00:00"),
+            (2, "b", None, "2024-01-02 11:30:00"),
+            (3, "a", -0.25, None),
+        ],
+        "id long, kind string, val double, ts_s string",
+    ).select("id", "kind", "val", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    path = str(tmp_path / "jl")
+    write_jsonl(df, path, partition_by=["kind"])
+    back = read_jsonl(spark, path, schema)
+    assert sorted(map(tuple, back.select("id", "kind", "val", "ts").collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    # partition column became a directory key → pruned scan reads one dir
+    only_a = read_jsonl(spark, path, schema).where(F.col("kind") == "a")
+    assert only_a.count() == 2
