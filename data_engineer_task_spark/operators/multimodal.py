@@ -83,3 +83,122 @@ def synthesize_media_column(df: DataFrame, id_col: str, text_col: str) -> DataFr
     return df.select(
         F.col(id_col), F.unhex(F.md5(F.col(text_col))).alias("media")
     )
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: cycle the payload to
+    exactly width*height//64 bytes (so output size tracks the target
+    box). A real implementation decodes, resamples, re-encodes."""
+    n = max(1, width * height // 64)
+    if not payload:
+        return b"\x00" * n
+    reps = -(-n // len(payload))
+    return (payload * reps)[:n]
+
+
+def resize_media(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    *,
+    width: int,
+    height: int,
+    resize_fn: Callable[[bytes, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """Batch image resize: binary in → binary out, one row per row.
+    Same Arrow-batched ``mapInPandas`` shape as ``decode_media`` —
+    payloads never leave the executor, and the output column is again
+    opaque binary so resizes chain with decode/feature steps."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "media": [
+                        resize_fn(bytes(b) if b is not None else b"", width, height)
+                        for b in pdf[binary_col]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        _resize, "id long, media binary, width long, height long"
+    )
+
+
+def fake_frame_extract(payload: bytes, frame_idx: int) -> bytes:
+    """Deterministic stand-in for video frame extraction: an 8-byte
+    rotation of the payload keyed by the frame index."""
+    if not payload:
+        return b""
+    k = frame_idx % len(payload)
+    return (payload[k:] + payload[:k])[:8]
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    *,
+    every_n: int = 2,
+    frame_fn: Callable[[bytes, int], bytes] = fake_frame_extract,
+    n_frames_fn: Callable[[bytes], int] | None = None,
+) -> DataFrame:
+    """Frame sampling: ONE media row fans out to one row per sampled
+    frame (indices 0, every_n, 2*every_n, … below the clip's frame
+    count) — the row-multiplying UDTF shape ``mapInPandas`` expresses
+    naturally, since a batch may yield more rows than it received.
+    Frame count defaults to the fake decoder's ``n_frames``."""
+    count_of = n_frames_fn or (lambda b: fake_decode(b)["n_frames"])
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, b in zip(pdf[id_col], pdf[binary_col]):
+                payload = bytes(b) if b is not None else b""
+                for fi in range(0, count_of(payload), every_n):
+                    ids.append(int(i))
+                    idxs.append(fi)
+                    frames.append(frame_fn(payload, fi))
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        _sample, "id long, frame_idx long, frame binary"
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    *,
+    dim: int = 8,
+) -> DataFrame:
+    """Media → fixed-dim float vector (the embedding-extraction step
+    that feeds the similarity/ANN operators). The placeholder featurizer
+    is a byte-bucket histogram normalized to unit L1 — deterministic
+    and shape-identical to a real vision/audio encoder's output column
+    (``array<double>``)."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for b in pdf[binary_col]:
+                payload = bytes(b) if b is not None else b""
+                hist = [0.0] * dim
+                for byte in payload:
+                    hist[byte % dim] += 1.0
+                total = sum(hist) or 1.0
+                vecs.append([v / total for v in hist])
+            yield pd.DataFrame(
+                {"id": pdf[id_col].astype("int64"), "features": vecs}
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        _feat, "id long, features array<double>"
+    )

@@ -449,3 +449,68 @@ def test_quality_gate_flags_and_keep_cols(spark):
         for r in quality_gate(df, "doc_id", "text", keep_cols=("lang",)).collect()
     }
     assert out == {1: ("en", True), 2: ("de", False), 3: ("fr", False)}
+
+
+def test_resize_media_deterministic_and_sized(spark):
+    from data_engineer_task_spark.operators.multimodal import (
+        resize_media,
+        synthesize_media_column,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    media = synthesize_media_column(df, "doc_id", "text")
+    out = {
+        r["id"]: r
+        for r in resize_media(media, "doc_id", "media", width=64, height=32).collect()
+    }
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert (r["width"], r["height"]) == (64, 32)
+        assert len(bytes(r["media"])) == 64 * 32 // 64
+    again = {
+        r["id"]: bytes(r["media"])
+        for r in resize_media(media, "doc_id", "media", width=64, height=32).collect()
+    }
+    assert {k: bytes(v["media"]) for k, v in out.items()} == again
+
+
+def test_sample_frames_fans_out_rows(spark):
+    from data_engineer_task_spark.operators.multimodal import (
+        fake_decode,
+        sample_frames,
+        synthesize_media_column,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(6)], "doc_id long, text string"
+    )
+    media = synthesize_media_column(df, "doc_id", "text")
+    rows = sample_frames(media, "doc_id", "media", every_n=2).collect()
+    # expected fan-out: indices 0,2,4,... below each clip's frame count
+    payloads = {r["doc_id"]: bytes(r["media"]) for r in media.collect()}
+    want = {
+        (i, fi)
+        for i, p in payloads.items()
+        for fi in range(0, fake_decode(p)["n_frames"], 2)
+    }
+    assert {(r["id"], r["frame_idx"]) for r in rows} == want
+    assert all(len(bytes(r["frame"])) == 8 for r in rows)
+
+
+def test_extract_features_unit_l1_vectors(spark):
+    from data_engineer_task_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media_column,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "some text"), (2, "other text")], "doc_id long, text string"
+    )
+    media = synthesize_media_column(df, "doc_id", "text")
+    out = extract_features(media, "doc_id", "media", dim=8).collect()
+    assert len(out) == 2
+    for r in out:
+        assert len(r["features"]) == 8
+        assert abs(sum(r["features"]) - 1.0) < 1e-9

@@ -68,3 +68,19 @@ def test_jsonl_roundtrip_with_explicit_schema(spark, tmp_path):
     # partition column became a directory key → pruned scan reads one dir
     only_a = read_jsonl(spark, path, schema).where(F.col("kind") == "a")
     assert only_a.count() == 2
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_engineer_task_spark.sources.orc import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", -1.0)],
+        "id long, kind string, val double",
+    )
+    path = str(tmp_path / "orc")
+    write_orc(df, path, partition_by=["kind"])
+    back = read_orc(spark, path).select("id", "kind", "val")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    assert read_orc(spark, path).where(F.col("kind") == "a").count() == 2
