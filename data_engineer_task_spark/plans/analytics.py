@@ -434,6 +434,46 @@ def order_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "order_status_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    ORDER BY g_status, g_priority,
+             o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def order_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not just the ROLLUP chain) with
+    ``grouping()`` markers distinguishing real NULL keys from
+    aggregation placeholders — one Expand + one aggregate, no
+    multi-pass unions."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+        .orderBy(
+            "g_status",
+            "g_priority",
+            F.asc_nulls_first("o_orderstatus"),
+            F.asc_nulls_first("o_orderpriority"),
+        )
+    )
+
+
+@q(
     "returnflag_status_pivot",
     """
     SELECT l_returnflag,

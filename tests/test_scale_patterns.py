@@ -179,3 +179,23 @@ def test_kmeans_separates_blobs_deterministically(spark):
         cluster_by_blob.setdefault(blob_of[vid], set()).add(cl)
     assert all(len(s) == 1 for s in cluster_by_blob.values())
     assert len({s.pop() for s in cluster_by_blob.values()}) == 3
+
+
+def test_approx_sketches_track_exact_within_tolerance(spark):
+    """The 100 TB substitutes for exact distinct/quantiles: HLL
+    (approx_count_distinct) and KLL-ish percentile_approx must land
+    within their documented error bands of the exact answers they
+    replace (the exact forms are the oracle-gated entries; the approx
+    forms are what actually runs at scale)."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+
+    row = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_d"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_d"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile_approx(o_totalprice, 0.5, 10000)").alias("approx_p50"),
+    ).collect()[0]
+
+    assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] < 0.05
+    # percentile_approx with accuracy=10000 is near-exact at this scale
+    assert abs(row["approx_p50"] - row["exact_p50"]) / row["exact_p50"] < 0.01

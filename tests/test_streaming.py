@@ -157,3 +157,50 @@ def test_checkpoint_recovery_reads_only_new_files(spark, tmp_path):
     }
     assert n1 < sum(v[0] for v in expected.values())  # run1 was partial
     assert got == expected
+
+
+def test_foreachbatch_merge_sink_upserts_across_batches(spark, events_stream_dir, tmp_path):
+    """Streaming keep-latest merge into a versioned parquet warehouse:
+    after 4 micro-batches the committed snapshot equals the batch
+    keep_latest over the whole table, and intermediate snapshots were
+    committed via pointer swap (readers never see partial state)."""
+    import os
+
+    from data_engineer_task_spark.operators.upsert import keep_latest
+    from data_engineer_task_spark.streaming.sink import (
+        read_snapshot,
+        stream_merge_to_warehouse,
+    )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    out = str(tmp_path / "wh")
+    q = stream_merge_to_warehouse(
+        stream, out, ["user_id", "event_type"], ["ts", "event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    snapshots = [d for d in os.listdir(out) if d.startswith("v")]
+    assert len(snapshots) >= 4  # one committed snapshot per micro-batch
+
+    got = {
+        (r["user_id"], r["event_type"]): r["event_id"]
+        for r in read_snapshot(spark, out).collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"]): r["event_id"]
+        for r in keep_latest(
+            load_table(spark, SF_SMOKE, "events"),
+            ["user_id", "event_type"],
+            ["ts", "event_id"],
+        ).collect()
+    }
+    assert got == want
