@@ -111,3 +111,39 @@ def test_crew_referential_integrity(star):
     assert_referential(star.movie_crew, star.personnel.select(F.col("id").alias("personnel_id")), "personnel_id")
     assert_referential(star.movie_crew, star.shows, "show_id")
     assert_referential(star.listings, star.shows, "show_id")
+
+
+def test_sql_forms_match_dataframe_forms(spark, star):
+    """Every query exists in both surfaces (SURVEY §3.2); the SQL text
+    and the DataFrame expression must return identical rows."""
+    from data_engineer_task_spark.plans.netflix_sql import register_star, run_sql
+
+    register_star(star)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(run_sql(spark, "shows_without_crew")) == rows(
+        q.shows_without_crew(star.shows, star.movie_crew)
+    )
+    assert rows(run_sql(spark, "shows_without_listings")) == rows(
+        q.shows_without_listings(star.shows, star.listings)
+    )
+    for gender in ("female", "male", "unknown"):
+        assert rows(run_sql(spark, "most_common_first_name", gender=gender)) == rows(
+            q.most_common_first_name(star.personnel, star.movie_crew, gender)
+        )
+    assert rows(run_sql(spark, "longest_addition_gap")) == rows(
+        q.longest_addition_gap(star.shows)
+    )
+    assert rows(run_sql(spark, "busiest_month")) == rows(q.busiest_month(star.shows))
+    assert rows(run_sql(spark, "best_tv_show_growth_year")) == rows(
+        q.best_tv_show_growth_year(star.shows)
+    )
+    woody = "Woody Harrelson"
+    assert rows(run_sql(spark, "shows_featuring", name=woody)) == rows(
+        q.shows_featuring(star.personnel, star.movie_crew, woody)
+    )
+    assert rows(run_sql(spark, "frequent_costars", name=woody)) == rows(
+        q.frequent_costars(star.personnel, star.movie_crew, woody)
+    )
