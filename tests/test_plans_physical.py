@@ -91,3 +91,41 @@ def test_hash_split_is_map_only(spark):
 def test_curation_entries_free_of_row_udfs(spark):
     for name in ("doc_split_counts", "doc_tfidf_top_terms", "doc_pack_chunks"):
         assert "BatchEvalPython" not in _plan(spark, name), name
+
+
+def _tree(plan: str) -> str:
+    """The plan-tree section only (detail sections repeat node names)."""
+    return plan.split("(1) Scan")[0]
+
+
+def test_grouping_sets_single_expand(spark):
+    # GROUPING SETS must compile to one Expand + aggregate, not a
+    # union of per-set aggregations re-scanning the table.
+    tree = _tree(_plan(spark, "order_status_grouping_sets"))
+    assert "Expand" in tree
+    assert "Union" not in tree
+    assert tree.count("Scan parquet") == 1
+
+
+def test_sliding_window_native_expand_no_python(spark):
+    # The 2x window fan-out happens JVM-side (Expand), never in Python.
+    plan = _plan(spark, "sliding_event_counts")
+    assert "Expand" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_scd2_single_join_single_pass(spark):
+    # The merge must be ONE key join + a Generate (branch explode) —
+    # not Catalyst's rewrite of a branch union into three separate
+    # joins that re-scan and re-shuffle both inputs per branch.
+    tree = _tree(_plan(spark, "customer_scd2_segments"))
+    assert tree.count("Join") == 1
+    assert "Generate" in tree
+    assert tree.count("Scan parquet") == 2  # dim + update batch
+
+
+def test_quality_gate_is_map_only(spark):
+    # The gate itself adds no shuffle: scan -> project -> aggregate.
+    plan = _plan(spark, "doc_quality_gate")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
