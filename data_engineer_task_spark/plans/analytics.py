@@ -2012,3 +2012,8 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# Second-batch entries register themselves into QUERIES/ORACLE on import
+# (kept in a sibling module so this file stays navigable).
+from . import analytics_ext  # noqa: E402,F401  isort:skip

@@ -1,0 +1,334 @@
+"""Second batch of declared inventory entries — operator families the
+first batch (``analytics.py``) did not yet cover, each paired with a
+DuckDB oracle:
+
+ - unpivot / melt (the complement of `returnflag_status_pivot`)
+ - null-aware NOT IN anti join (distinct physical op from left_anti)
+ - correlated scalar subquery (oracle) ≡ window aggregate (Spark plan)
+ - rank family: dense_rank / percent_rank / cume_dist
+ - higher-order array functions (transform / filter / aggregate /
+   zip_with) over the embedding column
+ - posexplode with element position
+ - calendar profiling (year / quarter / day-name date kernels)
+ - FULL OUTER join reconciliation with COALESCE defaults
+
+Registered into the same ``QUERIES`` / ``ORACLE`` dicts via the ``q``
+decorator so `__spark_entry__` and the parity tests pick them up
+unchanged. Authoring rules are the ones at the top of ``analytics.py``
+(identical aliases both sides, rounded floats, BIGINT casts, explicit
+null ordering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .analytics import _t, q
+
+
+@q(
+    "brand_metric_unpivot",
+    """
+    WITH wide AS (
+      SELECT p_brand,
+             round(avg(p_size), 4)        AS avg_size,
+             round(avg(p_retailprice), 2) AS avg_retail
+      FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, 'avg_size' AS metric, avg_size AS value FROM wide
+    UNION ALL
+    SELECT p_brand, 'avg_retail' AS metric, avg_retail AS value FROM wide
+    ORDER BY p_brand, metric
+    """,
+)
+def brand_metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt — the inverse of `returnflag_status_pivot`: fold a
+    wide per-brand metric row into (brand, metric, value) long form.
+    Spark's native `unpivot` is a map-only Expand over the aggregated
+    frame, so the only shuffle is the groupBy that built the wide
+    table."""
+    part = _t(spark, sf_dir, "part")
+    wide = part.groupBy("p_brand").agg(
+        F.round(F.avg("p_size"), 4).alias("avg_size"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_retail"),
+    )
+    return wide.unpivot(
+        ["p_brand"], ["avg_size", "avg_retail"], "metric", "value"
+    ).orderBy("p_brand", "metric")
+
+
+@q(
+    "customers_no_urgent_notin",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    ORDER BY c_custkey
+    """,
+)
+def customers_no_urgent_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware NOT IN anti join — a different operator from
+    `left_anti` (Q1's pattern): NOT IN must yield an empty result if the
+    subquery produces any NULL, so Spark plans a null-aware
+    BroadcastHashJoin rather than a plain anti join. Declared in SQL
+    text form because that null-aware semantics has no DataFrame-API
+    spelling."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("notin_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("notin_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM notin_customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM notin_orders WHERE o_orderpriority = '1-URGENT'
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
+@q(
+    "bulky_orders_vs_customer_avg",
+    """
+    WITH per_order AS (
+      SELECT o.o_orderkey, o.o_custkey, CAST(count(*) AS BIGINT) AS n_items
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_custkey
+    )
+    SELECT o_orderkey, o_custkey, n_items FROM per_order p
+    WHERE n_items > 1.5 * (
+      SELECT avg(n_items) FROM per_order p2 WHERE p2.o_custkey = p.o_custkey
+    )
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def bulky_orders_vs_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (oracle form) ≡ window aggregate
+    (Spark form): orders with >1.5× their own customer's average item
+    count. The window rewrite computes the per-customer average in the
+    same shuffle that groups the orders — one pass, no self-join, which
+    is the plan that survives 100 TB (the naive correlated form
+    re-aggregates per probe row). Integer item counts keep the
+    comparison exact across engines."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    w = W.partitionBy("o_custkey")
+    return (
+        per_order.withColumn("cust_avg", F.avg("n_items").over(w))
+        .where(F.col("n_items") > 1.5 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "n_items")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@q(
+    "segment_acctbal_ranks",
+    """
+    WITH ranked AS (
+      SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
+             dense_rank()   OVER w AS rnk,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist()    OVER w, 6) AS cume,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+    )
+    SELECT c_mktsegment, c_custkey, acctbal, rnk, pct_rank, cume, rn
+    FROM ranked WHERE rn <= 5
+    ORDER BY c_mktsegment, rn
+    """,
+)
+def segment_acctbal_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-function family (dense_rank / percent_rank / cume_dist) —
+    the reference has no window functions at all (SURVEY §2.5). Top-5
+    balances per market segment; the row_number tie-break keeps output
+    deterministic while the analytic ranks keep their pure ORDER BY
+    c_acctbal semantics. percent_rank/cume_dist are exact rationals, so
+    they compare bit-stably across engines."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"))
+    w_det = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.dense_rank().over(w).alias("rnk"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.row_number().over(w_det).alias("rn"),
+        )
+        .where(F.col("rn") <= 5)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@q(
+    "embedding_norm_profile",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])), 5) AS l2_norm,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           round(list_max(list_transform(embedding::DOUBLE[],
+                                         x -> abs(x))), 5) AS max_abs
+    FROM embeddings WHERE vec_id < 50 ORDER BY vec_id
+    """,
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as first-class operators: transform
+    / filter / aggregate / zip_with folds over the embedding column,
+    entirely JVM-side (no UDF, no Python worker). This is the kernel
+    vocabulary the similarity operators are built from, declared
+    standalone so the oracle pins each fold's semantics."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    sq_sum = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        emb.where(F.col("vec_id") < 50)
+        .select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(F.sqrt(sq_sum), 5).alias("l2_norm"),
+            F.size(F.filter("embedding", lambda x: x > F.lit(0.0))).alias("n_pos"),
+            F.round(F.array_max(F.transform(v, F.abs)), 5).alias("max_abs"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@q(
+    "doc_leading_tokens",
+    """
+    SELECT doc_id, pos, token FROM (
+      SELECT doc_id,
+             unnest(list_transform(toks[1:5],
+                    (x, i) -> struct_pack(pos := i - 1, token := x)),
+                    recursive := true)
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id < 100) t
+    )
+    ORDER BY doc_id, pos
+    """,
+)
+def doc_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — un-nesting WITH element position (the reference's
+    explode, T8, loses ordinality). First five tokens of each document
+    with their 0-based offset; `slice` bounds the fan-out before the
+    generate, so the explode never materializes the full token list."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.posexplode(F.slice(F.split("text", " "), 1, 5)).alias(
+                "pos", "token"
+            ),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+@q(
+    "ship_calendar_profile",
+    """
+    SELECT CAST(year(l_shipdate) AS INT)    AS yr,
+           CAST(quarter(l_shipdate) AS INT) AS qtr,
+           dayname(l_shipdate)              AS dow,
+           CAST(count(*) AS BIGINT)         AS n_items,
+           round(sum(l_quantity), 2)        AS sum_qty
+    FROM lineitem
+    GROUP BY yr, qtr, dow
+    ORDER BY yr, qtr, dow
+    """,
+)
+def ship_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-kernel profiling: year / quarter / day-name extraction
+    feeding one grouped aggregate. All three date kernels run inside
+    whole-stage codegen on the scan; the group key is low-cardinality
+    (year × 4 × 7) so the shuffle is a few hundred rows regardless of
+    input scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.quarter("l_shipdate").cast("int").alias("qtr"),
+            F.date_format("l_shipdate", "EEEE").alias("dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("yr", "qtr", "dow")
+    )
+
+
+@q(
+    "purchase_click_user_recon",
+    """
+    WITH p AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+             round(sum(value), 2) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    k AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    )
+    SELECT COALESCE(p.user_id, k.user_id) AS user_id,
+           COALESCE(p.n_purchases, 0) AS n_purchases,
+           COALESCE(p.purchase_value, 0.0) AS purchase_value,
+           COALESCE(k.n_clicks, 0) AS n_clicks,
+           CASE WHEN p.user_id IS NULL THEN 'click_only'
+                WHEN k.user_id IS NULL THEN 'purchase_only'
+                ELSE 'both' END AS presence
+    FROM p FULL OUTER JOIN k ON p.user_id = k.user_id
+    ORDER BY user_id
+    """,
+)
+def purchase_click_user_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join reconciliation — the one join family no other
+    entry exercises: per-user purchase vs click activity with COALESCE
+    defaults and a presence label. Both sides aggregate before the
+    join, so the outer join runs on the (small) per-user frames and
+    AQE picks the strategy; the same shape reconciles table snapshots
+    at warehouse scale."""
+    ev = _t(spark, sf_dir, "events")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("purchase_value"),
+        )
+    )
+    k = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    joined = p.alias("p").join(
+        k.alias("k"), F.col("p.user_id") == F.col("k.user_id"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("p.user_id"), F.col("k.user_id")).alias("user_id"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.when(F.col("p.user_id").isNull(), "click_only")
+        .when(F.col("k.user_id").isNull(), "purchase_only")
+        .otherwise("both")
+        .alias("presence"),
+    ).orderBy("user_id")

@@ -129,3 +129,52 @@ def test_quality_gate_is_map_only(spark):
     plan = _plan(spark, "doc_quality_gate")
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_notin_compiles_to_broadcast_anti_join(spark):
+    # NOT IN rewrites to an anti join. The testdata parquet declares the
+    # keys required (non-nullable), so Catalyst drops the null-aware OR
+    # isnull(...) branch and degenerates to a plain broadcast LeftAnti —
+    # the optimal plan. Regression guard: it must stay a broadcast anti
+    # join with no null-aware fallback to a per-row subquery.
+    plan = _plan(spark, "customers_no_urgent_notin")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_correlated_avg_rewritten_to_single_window_pass(spark):
+    # The customer-average comparison must run as a window over the
+    # per-order aggregate — one shuffle — never as a re-aggregating
+    # self-join of the subquery per probe side.
+    tree = _tree(_plan(spark, "bulky_orders_vs_customer_avg"))
+    assert "Window" in tree
+    assert tree.count("Scan parquet") == 2  # orders + lineitem, once each
+
+
+def test_unpivot_is_map_only_expand(spark):
+    # unpivot = Expand over the aggregated frame; no extra shuffle or
+    # union-of-projections re-reading the input.
+    tree = _tree(_plan(spark, "brand_metric_unpivot"))
+    assert "Expand" in tree
+    assert "Union" not in tree
+    assert tree.count("Scan parquet") == 1
+
+
+def test_rank_family_single_sort_per_window_spec(spark):
+    # dense_rank/percent_rank/cume_dist share one window spec, the
+    # row_number tie-break adds a second — exactly two Window nodes
+    # (plus Spark 4's WindowGroupLimit pre-filter, which pushes the
+    # rn<=5 limit below the sort), one partitioning shuffle.
+    import re
+
+    tree = _tree(_plan(spark, "segment_acctbal_ranks"))
+    assert len(re.findall(r"\bWindow \(", tree)) == 2
+    assert "WindowGroupLimit" in tree  # top-k pushdown engaged
+    assert tree.count("Exchange") <= 2  # partitionBy + final orderBy
+
+
+def test_higher_order_folds_stay_jvm_side(spark):
+    plan = _plan(spark, "embedding_norm_profile")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
