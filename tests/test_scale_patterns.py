@@ -181,6 +181,75 @@ def test_kmeans_separates_blobs_deterministically(spark):
     assert len({s.pop() for s in cluster_by_blob.values()}) == 3
 
 
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A fact table partitioned on the join key must be pruned at
+    RUNTIME by the dim-side filter (DPP): the scan's partition filter
+    carries a dynamicpruning subquery, so a 100 TB fact reads only the
+    partitions the filtered dimension selects."""
+    fact_dir = str(tmp_path / "orders_by_priority")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(fact_dir)
+
+    dim = spark.createDataFrame(
+        [("1-URGENT", "hot"), ("5-LOW", "slow")], ["o_orderpriority", "tier"]
+    )
+    fact = spark.read.parquet(fact_dir)
+    joined = fact.join(dim.where(F.col("tier") == "hot"), "o_orderpriority")
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    want = orders.where(F.col("o_orderpriority") == "1-URGENT").count()
+    assert joined.count() == want
+
+
+def test_bloom_filter_runtime_join_filter(spark):
+    """With broadcast off (the shape of a big-big join), the selective
+    side must inject a Bloom-filter runtime filter into the probe-side
+    scan (might_contain), cutting shuffle input before the join — the
+    at-scale substitute for broadcast pruning."""
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower() or "might_contain" in plan.lower(), plan[:2000]
+        # answers unchanged by the runtime filter
+        want = (
+            load_table(spark, SF_SMOKE, "lineitem")
+            .join(
+                load_table(spark, SF_SMOKE, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .count()
+        )
+        assert joined.count() == want
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_approx_sketches_track_exact_within_tolerance(spark):
     """The 100 TB substitutes for exact distinct/quantiles: HLL
     (approx_count_distinct) and KLL-ish percentile_approx must land
