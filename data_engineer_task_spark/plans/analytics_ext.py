@@ -332,3 +332,173 @@ def purchase_click_user_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("presence"),
     ).orderBy("user_id")
+
+
+@q(
+    "doc_frequent_long_tokens",
+    """
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(regexp_extract_all(text, '[a-z]{5,}')) AS token
+          FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def doc_frequent_long_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-kernel text mining: regexp_extract_all pulls every ≥5-letter
+    token, explode + count gives the corpus frequency table. The regex
+    runs inside whole-stage codegen on the scan; only (token, partial
+    count) pairs shuffle, so the wide document bodies never move."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit("[a-z]{5,}"), F.lit(0))
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@q(
+    "part_name_fuzzy_neighbors",
+    """
+    WITH queries AS (
+      SELECT p_partkey AS query_key, p_name AS query_name
+      FROM part WHERE p_partkey < 5
+    ),
+    scored AS (
+      SELECT q.query_key, q.query_name, p.p_partkey AS neighbor_key,
+             p.p_name AS neighbor_name,
+             CAST(levenshtein(q.query_name, p.p_name) AS INT) AS edit_dist
+      FROM queries q JOIN part p ON p.p_partkey <> q.query_key
+    )
+    SELECT query_key, neighbor_key, neighbor_name, edit_dist FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_key
+                                   ORDER BY edit_dist, neighbor_key) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    ORDER BY query_key, edit_dist, neighbor_key
+    """,
+)
+def part_name_fuzzy_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (the string-similarity counterpart
+    of the embedding/simhash neighbor entries): 3 nearest part names by
+    Levenshtein for each query key. The query set broadcasts, so
+    scoring is map-only query×corpus — the only shape a pairwise string
+    metric survives at scale — and the window top-k bounds output."""
+    part = _t(spark, sf_dir, "part")
+    queries = part.where(F.col("p_partkey") < 5).select(
+        F.col("p_partkey").alias("query_key"), F.col("p_name").alias("query_name")
+    )
+    scored = part.join(
+        F.broadcast(queries), F.col("p_partkey") != F.col("query_key")
+    ).select(
+        "query_key",
+        F.col("p_partkey").alias("neighbor_key"),
+        F.col("p_name").alias("neighbor_name"),
+        F.levenshtein("query_name", "p_name").cast("int").alias("edit_dist"),
+    )
+    w = W.partitionBy("query_key").orderBy("edit_dist", "neighbor_key")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("query_key", "edit_dist", "neighbor_key")
+    )
+
+
+@q(
+    "source_lang_nullsafe_recon",
+    """
+    WITH a AS (
+      SELECT nullif(lang, 'en') AS lang_grp, CAST(count(*) AS BIGINT) AS n_even
+      FROM documents WHERE CAST(substr(source, 4) AS INT) % 2 = 0
+      GROUP BY lang_grp
+    ),
+    b AS (
+      SELECT nullif(lang, 'en') AS lang_grp, CAST(count(*) AS BIGINT) AS n_odd
+      FROM documents WHERE CAST(substr(source, 4) AS INT) % 2 = 1
+      GROUP BY lang_grp
+    )
+    SELECT COALESCE(a.lang_grp, b.lang_grp) AS lang_grp_out,
+           a.lang_grp IS NULL AND b.lang_grp IS NULL AS is_default_grp,
+           COALESCE(a.n_even, 0) AS n_even, COALESCE(b.n_odd, 0) AS n_odd
+    FROM a FULL OUTER JOIN b ON a.lang_grp IS NOT DISTINCT FROM b.lang_grp
+    ORDER BY lang_grp_out NULLS FIRST
+    """,
+)
+def source_lang_nullsafe_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL group
+    keys must MATCH each other, which a plain equi-join silently drops —
+    the classic reconciliation bug when a grouping column is nullable.
+    Even- vs odd-numbered sources aggregated per nullable language
+    group (NULLIF folds 'en' to NULL to exercise the path), then
+    null-safely reconciled."""
+    docs = _t(spark, sf_dir, "documents")
+    grp = F.expr("nullif(lang, 'en')")
+    src_num = F.substring("source", 4, 10).cast("int")
+    a = (
+        docs.where(src_num % 2 == 0)
+        .groupBy(grp.alias("lang_grp"))
+        .agg(F.count(F.lit(1)).alias("n_even"))
+    )
+    b = (
+        docs.where(src_num % 2 == 1)
+        .groupBy(grp.alias("lang_grp"))
+        .agg(F.count(F.lit(1)).alias("n_odd"))
+    )
+    joined = a.alias("a").join(
+        b.alias("b"),
+        F.col("a.lang_grp").eqNullSafe(F.col("b.lang_grp")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("a.lang_grp"), F.col("b.lang_grp")).alias("lang_grp_out"),
+        (F.col("a.lang_grp").isNull() & F.col("b.lang_grp").isNull()).alias(
+            "is_default_grp"
+        ),
+        F.coalesce("n_even", F.lit(0)).alias("n_even"),
+        F.coalesce("n_odd", F.lit(0)).alias("n_odd"),
+    ).orderBy(F.asc_nulls_first("lang_grp_out"))
+
+
+@q(
+    "order_due_calendar",
+    """
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY,
+                    '%Y-%m-%d') AS due_date,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH,
+                    '%Y-%m-%d') AS review_date,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          last_day(CAST(o_orderdate AS DATE))) AS INT)
+             AS days_to_month_end
+    FROM orders WHERE o_orderkey < 100
+    ORDER BY o_orderkey
+    """,
+)
+def order_due_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval / calendar arithmetic kernels (date_add, add_months,
+    last_day, datediff) — all map-only projections in codegen. Dates
+    ship as formatted strings so the oracle compare is type-exact.
+    add_months pins month-end clamping semantics (Jan 31 + 1 month =
+    Feb 28 in both engines)."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        orders.where(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+            F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("review_date"),
+            F.datediff(F.last_day(d), d).cast("int").alias("days_to_month_end"),
+        )
+        .orderBy("o_orderkey")
+    )
