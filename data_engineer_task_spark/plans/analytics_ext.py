@@ -468,6 +468,75 @@ def source_lang_nullsafe_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "order_priority_status_cube",
+    """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL')   AS status,
+           grouping(o_orderpriority) + grouping(o_orderstatus) AS agg_level,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY agg_level, priority, status
+    """,
+)
+def order_priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2^n grouping combinations in ONE Expand + aggregate
+    (completes the ROLLUP / GROUPING SETS family): per-(priority,
+    status), per-priority, per-status, and grand-total rows, tagged
+    with their grouping level. One scan, one shuffle, regardless of
+    how many grouping sets the cube expands to."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            # grouping() markers must resolve inside the Aggregate node
+            (
+                F.grouping("o_orderpriority") + F.grouping("o_orderstatus")
+            ).alias("agg_level"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "agg_level",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("agg_level", "priority", "status")
+    )
+
+
+@q(
+    "source_lang_map_roundtrip",
+    """
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+)
+def source_lang_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column construction and un-nesting: per-source counts
+    collected into a `map<lang, n>` (collect_list(struct) →
+    map_from_entries), then exploded back to rows. The map is the kind
+    of per-entity typed summary a feature store keeps; the roundtrip
+    proves both directions against a plain-GROUP-BY oracle. The
+    collect_list is bounded: ≤ |langs| entries per source."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    mapped = per.groupBy("source").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("lang", "n_docs")))
+        ).alias("lang_counts")
+    )
+    return (
+        mapped.select("source", F.explode("lang_counts").alias("lang", "n_docs"))
+        .orderBy("source", "lang")
+    )
+
+
+@q(
     "order_due_calendar",
     """
     SELECT o_orderkey,

@@ -250,6 +250,29 @@ def test_bloom_filter_runtime_join_filter(spark):
             spark.conf.set(k, v)
 
 
+def test_hll_sketch_partial_merge_matches_direct(spark):
+    """Mergeable-sketch pattern — the only distinct-count shape that
+    scales: per-group HLL sketches (hll_sketch_agg) union-merged
+    (hll_union_agg) must estimate the SAME value as sketching the
+    whole column directly, and track the exact count within HLL error.
+    This is how 100 TB distinct-counts compose across partitions,
+    days, or tables without re-scanning raw data."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+
+    direct = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est")
+    ).collect()[0]["est"]
+    merged = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    exact = orders.select("o_custkey").distinct().count()
+    assert merged == direct  # merge of partials ≡ one-shot sketch
+    assert abs(merged - exact) / exact < 0.05
+
+
 def test_approx_sketches_track_exact_within_tolerance(spark):
     """The 100 TB substitutes for exact distinct/quantiles: HLL
     (approx_count_distinct) and KLL-ish percentile_approx must land
