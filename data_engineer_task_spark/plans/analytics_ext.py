@@ -537,6 +537,61 @@ def source_lang_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "hourly_event_spine_filled",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+      FROM bounds
+    ),
+    actual AS (
+      SELECT date_trunc('hour', ts) AS hour_ts, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY hour_ts
+    )
+    SELECT strftime(s.hour_ts, '%Y-%m-%d %H:00') AS hour_label,
+           COALESCE(a.n_events, 0) AS n_events,
+           a.hour_ts IS NULL AS is_gap
+    FROM spine s LEFT JOIN actual a ON a.hour_ts = s.hour_ts
+    ORDER BY hour_label
+    """,
+)
+def hourly_event_spine_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap filling: generate the complete hourly spine
+    between the corpus min/max (`sequence` + explode — data generation
+    as an operator), left-join the actual per-hour counts onto it, and
+    mark empty hours. The spine is derived from a 2-row aggregate and
+    explodes JVM-side, so the pattern costs one scan + one small join
+    at any scale — the standard fix for 'missing buckets' in windowed
+    reports and training-data time series."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts")
+    )
+    actual = ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        spine.alias("s")
+        .join(actual.alias("a"), F.col("s.hour_ts") == F.col("a.hour_ts"), "left")
+        .select(
+            F.date_format("s.hour_ts", "yyyy-MM-dd HH:00").alias("hour_label"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.col("a.hour_ts").isNull().alias("is_gap"),
+        )
+        .orderBy("hour_label")
+    )
+
+
+@q(
     "order_due_calendar",
     """
     SELECT o_orderkey,
