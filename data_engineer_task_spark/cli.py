@@ -9,6 +9,13 @@ HAVING folded in — SURVEY §2.4 D5).
 Usage:
     python -m data_engineer_task_spark.cli -i /path/netflix_titles.csv \
         [--warehouse /tmp/warehouse] [--debug] [--force]
+
+Beyond reference parity, the declared analytics inventory is runnable
+directly:
+
+    python -m data_engineer_task_spark.cli list-queries
+    python -m data_engineer_task_spark.cli query pricing_summary \
+        [--sf-dir /root/testdata/sf0.01] [--limit 20] [--explain]
 """
 
 from __future__ import annotations
@@ -16,6 +23,7 @@ from __future__ import annotations
 import argparse
 import logging
 import shutil
+import sys
 
 from pyspark.sql import functions as F
 
@@ -62,7 +70,41 @@ def run_analytics(pipe: NetflixPipeline, person: str = "Woody Harrelson") -> Non
         log.info("frequent costar: %s (%s shows)", r["name"], r["n"])
 
 
+def _query_main(argv: list[str]) -> int:
+    """Run (or list) the declared testdata analytics inventory."""
+    from .plans.analytics import ORACLE, QUERIES
+
+    if argv[0] == "list-queries":
+        for name in sorted(QUERIES):
+            marker = "" if name in ORACLE else "  (rows-only: no SQL oracle)"
+            print(f"{name}{marker}")
+        return 0
+
+    parser = argparse.ArgumentParser(prog="cli query",
+                                     description="run one declared query")
+    parser.add_argument("name", help="query name (see list-queries)")
+    parser.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    parser.add_argument("--limit", type=int, default=20,
+                        help="max rows to print (full result still computed)")
+    parser.add_argument("--explain", action="store_true",
+                        help="print the formatted physical plan instead of rows")
+    args = parser.parse_args(argv[1:])
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r}; try list-queries", file=sys.stderr)
+        return 2
+    spark = get_spark("query-cli")
+    df = QUERIES[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    df.show(args.limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] in ("query", "list-queries"):
+        return _query_main(argv)
     parser = argparse.ArgumentParser(description="Netflix catalog ETL + analytics")
     parser.add_argument("-i", "--input", required=True, help="path to the catalog CSV")
     parser.add_argument("--warehouse", default="/tmp/netflix_warehouse")
