@@ -80,3 +80,26 @@ def null_counts(df: DataFrame) -> dict[str, int]:
         [F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in df.columns]
     ).collect()[0]
     return row.asDict()
+
+
+def observe_profile(
+    df: DataFrame, name: str, *metric_cols: tuple[str, F.Column]
+):
+    """Attach zero-cost in-flight quality metrics to a frame via
+    Spark's Observation API: the aggregates piggyback on whatever
+    action executes the frame — no second scan, unlike a separate
+    profiling query (which at 100 TB doubles the read). Returns
+    (observed_df, observation); read ``observation.get`` AFTER an
+    action ran. Default metrics: row count plus per-column null counts
+    when no explicit metrics are passed."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    if metric_cols:
+        exprs = [col.alias(alias) for alias, col in metric_cols]
+    else:
+        exprs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+            for c in df.columns
+        ]
+    return df.observe(obs, *exprs), obs

@@ -273,3 +273,31 @@ def tfidf_top_terms(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+try:  # pyspark >= 3.5
+    from pyspark.sql.functions import udtf as _udtf
+except ImportError:  # pragma: no cover - older runtimes
+    _udtf = None
+
+
+if _udtf is not None:
+
+    @_udtf(returnType="chunk_id: int, chunk: string")
+    class FixedChunker:
+        """Python UDTF: fixed-width character chunking as a LATERAL
+        table function — the extensibility surface for row fan-out
+        logic no built-in generator expresses (real uses: structure-
+        aware splitters, tokenizer-boundary chunkers). Row-at-a-time
+        Python, so it is NOT the hot path for plain fixed windows —
+        `substring`/regex (see `doc_fixed_chunks_udtf`'s oracle) or
+        `pack_token_budget` cover those natively at scale."""
+
+        def eval(self, text: str, width: int):  # noqa: D102
+            if not text or width is None or width <= 0:
+                return
+            for i in range(0, len(text), width):
+                yield i // width, text[i : i + width]
+
+else:  # pragma: no cover
+    FixedChunker = None

@@ -537,6 +537,74 @@ def source_lang_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "event_props_variant_hist",
+    """
+    SELECT CAST(json_extract(props, '$.k')::INT // 10 AS INT) AS k_decade,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(json_extract(props, '$.k')::INT) AS INT) AS min_k,
+           CAST(max(json_extract(props, '$.k')::INT) AS INT) AS max_k
+    FROM events WHERE props IS NOT NULL
+    GROUP BY k_decade ORDER BY k_decade
+    """,
+)
+def event_props_variant_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-typed semi-structured access (Spark 4's open-format
+    binary JSON): `parse_json` ingests the payload once into a Variant
+    column, `variant_get` does typed path extraction — the schema-on-
+    read path that replaces repeated string re-parsing when a payload
+    is touched by many expressions. Histogram of the k field by decade;
+    oracle reads the same path with SQL json_extract."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.where(F.col("props").isNotNull())
+        .select(k.alias("k"))
+        .groupBy(F.expr("k div 10").cast("int").alias("k_decade"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+        .orderBy("k_decade")
+    )
+
+
+@q(
+    "doc_fixed_chunks_udtf",
+    """
+    SELECT doc_id, chunk_id, chunk FROM (
+      SELECT doc_id,
+             unnest(list_transform(regexp_extract_all(text, '.{1,40}'),
+                    (x, i) -> struct_pack(chunk_id := i - 1, chunk := x)),
+                    recursive := true)
+      FROM documents WHERE doc_id < 50
+    )
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def doc_fixed_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface: fixed-width document
+    chunking as a LATERAL row generator. The UDTF is the
+    EXTENSIBILITY demo — arbitrary Python fan-out logic where no
+    built-in generator fits; for this particular chunking the native
+    regexp/slice path (see `pack_token_budget`) is the scale path, so
+    the UDTF is bounded to a 50-doc slice. Oracle reproduces the exact
+    windows with greedy regex chunks."""
+    from ..operators.text import FixedChunker
+
+    docs = _t(spark, sf_dir, "documents")
+    spark.udtf.register("fixed_chunker", FixedChunker)
+    docs.where(F.col("doc_id") < 50).createOrReplaceTempView("chunk_src")
+    return spark.sql(
+        """
+        SELECT s.doc_id, c.chunk_id, c.chunk
+        FROM chunk_src s, LATERAL fixed_chunker(s.text, 40) c
+        ORDER BY s.doc_id, c.chunk_id
+        """
+    )
+
+
+@q(
     "hourly_event_spine_filled",
     """
     WITH bounds AS (

@@ -514,3 +514,24 @@ def test_extract_features_unit_l1_vectors(spark):
     for r in out:
         assert len(r["features"]) == 8
         assert abs(sum(r["features"]) - 1.0) < 1e-9
+
+
+def test_observe_profile_piggybacks_on_action(spark):
+    """Observation metrics must match a direct aggregation while adding
+    no extra scan (they ride on the consuming action)."""
+    from data_engineer_task_spark.operators.quality import observe_profile
+    from data_engineer_task_spark.sources.catalog import load_table
+    from conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    observed, obs = observe_profile(orders, "orders_profile")
+    n_consumed = observed.where(F.col("o_totalprice") > 0).count()
+
+    got = obs.get
+    assert got["n_rows"] == orders.count()          # full input profiled...
+    assert n_consumed <= got["n_rows"]              # ...even though the action filtered
+    assert got["nulls_o_orderkey"] == 0
+    direct = orders.agg(
+        F.sum(F.col("o_custkey").isNull().cast("long"))
+    ).collect()[0][0]
+    assert got["nulls_o_custkey"] == direct
