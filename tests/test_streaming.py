@@ -204,3 +204,55 @@ def test_foreachbatch_merge_sink_upserts_across_batches(spark, events_stream_dir
         ).collect()
     }
     assert got == want
+
+
+def test_tws_running_totals_matches_legacy_stateful(spark, events_stream_dir):
+    """transformWithStateInPandas (the next-gen stateful API) must
+    produce the same final running totals as the batch aggregate.
+    Needs the RocksDB state store (TWS is not supported on the default
+    HDFS-backed provider) and protobuf (TWS's state-server wire
+    format — absent in this container, so the test self-skips there;
+    the legacy applyInPandasWithState path above runs everywhere)."""
+    pytest.importorskip("google.protobuf.descriptor",
+                        reason="TWS state server requires protobuf")
+    from data_engineer_task_spark.streaming.stateful import running_user_totals_tws
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_stream_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        out = running_user_totals_tws(stream)
+        final: dict[int, tuple] = {}
+
+        def sink(df, epoch_id):
+            for r in df.collect():
+                final[r["user_id"]] = (r["n_events"], r["total_value"])
+
+        q = out.writeStream.outputMode("update").foreachBatch(sink).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set(key, old)
+
+    expected = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("v"),
+        )
+        .collect()
+    }
+    assert final == expected
