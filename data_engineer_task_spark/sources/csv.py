@@ -19,13 +19,30 @@ def read_csv(
     *,
     header: bool = True,
     multi_line: bool = True,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
+    """``mode``: PERMISSIVE (malformed fields → null), DROPMALFORMED
+    (skip bad rows), or FAILFAST (raise on first bad row — the ingest
+    gate for feeds that must be clean). With ``corrupt_col`` (requires
+    an explicit ``schema``), PERMISSIVE additionally captures each bad
+    row's RAW text in that column for quarantine-table routing, so a
+    100 TB ingest keeps its rejects auditable instead of silently
+    nulled."""
     reader = (
         spark.read.option("header", header)
         .option("quote", '"')
         .option("escape", '"')  # RFC 4180 "" escaping, what pandas/excel emit
         .option("multiLine", multi_line)
+        .option("mode", mode)
     )
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col capture requires an explicit schema")
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+        )
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
     else:

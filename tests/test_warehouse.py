@@ -84,3 +84,39 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     back = read_orc(spark, path).select("id", "kind", "val")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
     assert read_orc(spark, path).where(F.col("kind") == "a").count() == 2
+
+
+def test_csv_malformed_row_handling_modes(spark, tmp_path):
+    """PERMISSIVE must null bad fields and capture the raw reject text;
+    DROPMALFORMED must skip bad rows; FAILFAST must raise."""
+    import pytest
+    from pyspark.sql import types as T
+    from pyspark.sql.utils import AnalysisException
+
+    from data_engineer_task_spark.sources.csv import read_csv
+
+    p = tmp_path / "feed.csv"
+    p.write_text("id,qty\n1,10\n2,not_a_number\n3,30\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("qty", T.LongType(), True),
+        ]
+    )
+
+    kept = read_csv(
+        spark, str(p), schema, multi_line=False, corrupt_col="_reject"
+    )
+    rows = {r["id"]: (r["qty"], r["_reject"]) for r in kept.collect()}
+    assert rows[1] == (10, None) and rows[3] == (30, None)
+    assert rows[2][0] is None and "not_a_number" in rows[2][1]
+
+    dropped = read_csv(spark, str(p), schema, multi_line=False, mode="DROPMALFORMED")
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
+
+    with pytest.raises(Exception) as ei:
+        read_csv(spark, str(p), schema, multi_line=False, mode="FAILFAST").collect()
+    assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)
+
+    with pytest.raises(ValueError):
+        read_csv(spark, str(p), None, corrupt_col="_reject")
