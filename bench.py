@@ -32,10 +32,28 @@ def main() -> None:
     # shared within their own plan, and letting those entries accumulate
     # in the CacheManager makes later queries nondeterministically hit
     # or miss warm caches (observed ±4x swings between bench runs).
+    def _settle() -> None:
+        # Post-query housekeeping. clearCache keeps measurements
+        # self-contained (operators persist() shared subplans within
+        # their own DAG). Temp views are dropped because the streaming
+        # entries' memory sinks PIN their full result sets in the heap
+        # via their registered views — across 70+ queries × warmup+reps
+        # those accumulate into GC ballast (every entry re-registers
+        # the views it needs, so dropping is always safe). The explicit
+        # JVM GC then drains each query's garbage — without it,
+        # collection debt lands as multi-second pauses on whichever
+        # (usually Arrow/numpy-heavy) queries run late, inflating them
+        # 2-6x over their solo time (measured).
+        spark.catalog.clearCache()
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+        spark._jvm.System.gc()
+
     if os.environ.get("SPARK_GRAFT_BENCH_COLD") != "1":
         for fn in QUERIES.values():
             fn(spark, sf_dir).collect()
-            spark.catalog.clearCache()
+            _settle()
 
     # Per-query time = min over REPS runs (min, not mean: GC pauses and
     # OS scheduling only ever add time, so the minimum is the cleanest
@@ -48,7 +66,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
-            spark.catalog.clearCache()
+            _settle()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
