@@ -660,6 +660,52 @@ def hourly_event_spine_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "user_event_locf_fill",
+    """
+    SELECT user_id, event_id,
+           round(last_value(purchase_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS last_purchase_value,
+           event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+      FROM events WHERE user_id < 3
+    )
+    ORDER BY user_id, event_id
+    """,
+)
+def user_event_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF imputation (last observation carried forward): every event
+    annotated with its user's most recent purchase value —
+    `last(ignorenulls)` over an ordered running frame, the standard
+    forward-fill for sparse signals in training-data assembly. One
+    shuffle on the partition key; the running frame needs no second
+    pass. Sorting includes event_id so concurrent-timestamp rows fill
+    deterministically."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return (
+        ev.where(F.col("user_id") < 3)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.last(pv, ignorenulls=True).over(w), 2).alias(
+                "last_purchase_value"
+            ),
+            "event_type",
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@q(
     "order_due_calendar",
     """
     SELECT o_orderkey,
