@@ -178,3 +178,27 @@ def test_higher_order_folds_stay_jvm_side(spark):
     plan = _plan(spark, "embedding_norm_profile")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_locf_single_window_single_shuffle(spark):
+    # Forward fill = one Window over one partitioning Exchange; no
+    # self-join or second pass.
+    tree = _tree(_plan(spark, "user_event_locf_fill"))
+    assert "Join" not in tree
+    import re
+
+    assert len(re.findall(r"\bWindow \(", tree)) == 1
+
+
+def test_variant_extraction_stays_jvm_side(spark):
+    plan = _plan(spark, "event_props_variant_hist")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_spine_fill_is_one_scan_plus_small_join(spark):
+    # The spine derives from a 2-row aggregate of the same scan; the
+    # gap-fill join must not multiply fact scans beyond bounds/actual.
+    tree = _tree(_plan(spark, "hourly_event_spine_filled"))
+    assert tree.count("Scan parquet") == 2  # bounds agg + hourly agg
+    assert "CartesianProduct" not in tree
