@@ -23,14 +23,64 @@ from ..operators.upsert import keep_latest
 _POINTER = "_LATEST"
 
 
-def read_snapshot(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    """Current committed snapshot, or None before the first commit."""
+def read_snapshot(
+    spark: SparkSession, out_dir: str, version: str | int | None = None
+) -> DataFrame | None:
+    """Committed snapshot: the current one (pointer) by default, or a
+    specific retained ``version`` ("v3" or 3) — time travel across the
+    epochs ``vacuum`` hasn't reclaimed. None before the first commit;
+    ValueError for a named version that doesn't exist."""
+    if version is not None:
+        v = version if isinstance(version, str) else f"v{version}"
+        path = os.path.join(out_dir, v)
+        if not os.path.isdir(path):
+            raise ValueError(f"snapshot {v!r} not present in {out_dir}")
+        return spark.read.parquet(path)
     ptr = os.path.join(out_dir, _POINTER)
     if not os.path.exists(ptr):
         return None
     with open(ptr) as fh:
         version = fh.read().strip()
     return spark.read.parquet(os.path.join(out_dir, version))
+
+
+def list_versions(out_dir: str) -> list[str]:
+    """Retained snapshot versions, oldest → newest (epoch order)."""
+    if not os.path.isdir(out_dir):
+        return []
+    vs = [
+        d
+        for d in os.listdir(out_dir)
+        if d.startswith("v") and d[1:].isdigit()
+        and os.path.isdir(os.path.join(out_dir, d))
+    ]
+    return sorted(vs, key=lambda v: int(v[1:]))
+
+
+def vacuum(out_dir: str, *, keep_last: int = 1) -> list[str]:
+    """Reclaim old snapshots, keeping the newest ``keep_last`` plus
+    (always) the pointer's target — the retention op every
+    snapshot-versioned table needs, or storage grows with every epoch.
+    Returns the versions removed."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    ptr = os.path.join(out_dir, _POINTER)
+    current = None
+    if os.path.exists(ptr):
+        with open(ptr) as fh:
+            current = fh.read().strip()
+    versions = list_versions(out_dir)
+    keep = set(versions[-keep_last:])
+    if current:
+        keep.add(current)
+    removed = []
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(os.path.join(out_dir, v))
+            removed.append(v)
+    return removed
 
 
 def _commit(out_dir: str, version: str) -> None:

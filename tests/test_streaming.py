@@ -256,3 +256,50 @@ def test_tws_running_totals_matches_legacy_stateful(spark, events_stream_dir):
         .collect()
     }
     assert final == expected
+
+
+def test_snapshot_time_travel_and_vacuum(spark, events_stream_dir, tmp_path):
+    """Older snapshots stay readable (time travel) until vacuum
+    reclaims them; vacuum always keeps the pointer's target, and the
+    current read is unaffected."""
+    import os
+    import pytest
+
+    from data_engineer_task_spark.streaming.sink import (
+        list_versions,
+        read_snapshot,
+        stream_merge_to_warehouse,
+        vacuum,
+    )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    out = str(tmp_path / "wh")
+    q = stream_merge_to_warehouse(
+        stream, out, ["user_id", "event_type"], ["ts", "event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    versions = list_versions(out)
+    assert len(versions) >= 4
+    # time travel: epoch snapshots are monotone non-decreasing in rows
+    # (keep-latest merge only ever adds keys)
+    counts = [read_snapshot(spark, out, v).count() for v in versions]
+    assert counts == sorted(counts)
+    final = read_snapshot(spark, out).count()
+    assert counts[-1] == final
+
+    removed = vacuum(out, keep_last=1)
+    assert set(removed) == set(versions[:-1])
+    assert list_versions(out) == [versions[-1]]
+    assert read_snapshot(spark, out).count() == final  # current unaffected
+    with pytest.raises(ValueError):
+        read_snapshot(spark, out, versions[0])
