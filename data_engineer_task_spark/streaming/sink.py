@@ -93,6 +93,19 @@ def _commit(out_dir: str, version: str) -> None:
     os.replace(tmp, ptr)
 
 
+def snapshot_diff(
+    spark: SparkSession, out_dir: str, v_from: str | int, v_to: str | int
+) -> DataFrame:
+    """Change feed between two retained snapshots: the rows of
+    ``v_to`` that are new or changed since ``v_from`` (row-level
+    EXCEPT — under keep-latest merge semantics that is exactly the
+    upsert set applied in between). Lets downstream consumers process
+    incrementally instead of re-reading full snapshots."""
+    newer = read_snapshot(spark, out_dir, v_to)
+    older = read_snapshot(spark, out_dir, v_from)
+    return newer.exceptAll(older)
+
+
 def stream_merge_to_warehouse(
     stream_df: DataFrame,
     out_dir: str,

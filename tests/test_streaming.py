@@ -303,3 +303,44 @@ def test_snapshot_time_travel_and_vacuum(spark, events_stream_dir, tmp_path):
     assert read_snapshot(spark, out).count() == final  # current unaffected
     with pytest.raises(ValueError):
         read_snapshot(spark, out, versions[0])
+
+
+def test_snapshot_diff_is_exact_upsert_set(spark, events_stream_dir, tmp_path):
+    """The change feed between consecutive snapshots must reconstruct
+    the newer snapshot when applied (keep-latest) to the older one."""
+    from data_engineer_task_spark.operators.upsert import keep_latest
+    from data_engineer_task_spark.streaming.sink import (
+        list_versions,
+        read_snapshot,
+        snapshot_diff,
+        stream_merge_to_warehouse,
+    )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    out = str(tmp_path / "wh")
+    q = stream_merge_to_warehouse(
+        stream, out, ["user_id", "event_type"], ["ts", "event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    v_prev, v_last = list_versions(out)[-2:]
+    feed = snapshot_diff(spark, out, v_prev, v_last)
+    rebuilt = keep_latest(
+        read_snapshot(spark, out, v_prev).unionByName(feed),
+        ["user_id", "event_type"],
+        ["ts", "event_id"],
+    )
+    want = sorted(map(tuple, read_snapshot(spark, out, v_last).collect()))
+    got = sorted(map(tuple, rebuilt.collect()))
+    assert got == want
+    # and the feed is minimal: nothing in it already existed verbatim
+    assert feed.intersect(read_snapshot(spark, out, v_prev)).count() == 0
