@@ -250,6 +250,47 @@ def test_bloom_filter_runtime_join_filter(spark):
             spark.conf.set(k, v)
 
 
+def test_join_strategy_hints_honored(spark):
+    """Hints are the manual override when AQE's estimates are wrong at
+    scale: merge → SortMergeJoin, shuffle_hash → ShuffledHashJoin, even
+    where broadcast would be the default choice."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    nation = load_table(spark, SF_SMOKE, "customer")
+
+    merged = orders.join(nation.hint("merge"), orders.o_custkey == nation.c_custkey)
+    assert "SortMergeJoin" in merged._jdf.queryExecution().executedPlan().toString()
+
+    hashed = orders.join(
+        nation.hint("shuffle_hash"), orders.o_custkey == nation.c_custkey
+    )
+    assert "ShuffledHashJoin" in hashed._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_partitioned_write_gives_disjoint_sorted_files(spark, tmp_path):
+    """repartitionByRange + sortWithinPartitions produces the clustered
+    layout parquet min/max skipping needs: every output file covers a
+    disjoint, internally-sorted key range."""
+    import glob
+
+    out = str(tmp_path / "orders_ranged")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    (
+        orders.repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        keys = [r["o_orderkey"] for r in spark.read.parquet(f).collect()]
+        assert keys == sorted(keys), f"file {f} not sorted"
+        ranges.append((min(keys), max(keys)))
+    ranges.sort()
+    assert len(ranges) >= 3  # range partitioner actually split
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file key ranges overlap — no skipping possible"
+
+
 def test_hll_sketch_partial_merge_matches_direct(spark):
     """Mergeable-sketch pattern — the only distinct-count shape that
     scales: per-group HLL sketches (hll_sketch_agg) union-merged
