@@ -16,3 +16,22 @@ def test_cli_list_queries_prints_inventory(capsys):
 def test_cli_unknown_query_exits_2(capsys):
     assert main(["query", "no_such_query"]) == 2
     assert "list-queries" in capsys.readouterr().err
+
+
+def test_cli_etl_end_to_end_with_ledger_skip(spark, netflix_csv, tmp_path, caplog):
+    """The reference's entry-point flow through OUR argparse surface:
+    ingest → analytics log lines → second run skips ETL via the ledger
+    (reference ``check_history``, task.py:231-240)."""
+    import logging
+
+    wh = str(tmp_path / "wh")
+    with caplog.at_level(logging.INFO, logger="data_engineer_task_spark"):
+        assert main(["-i", netflix_csv, "--warehouse", wh]) == 0
+    text = caplog.text
+    assert "shows with no crew: 299" in text
+    assert "busiest month: December (833 titles)" in text
+
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="data_engineer_task_spark"):
+        assert main(["-i", netflix_csv, "--warehouse", wh]) == 0
+    assert "ledger hit" in caplog.text
