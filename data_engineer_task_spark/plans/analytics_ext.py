@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .analytics import _t, q
+from .analytics import _SPLIT_BYTE, _t, q
 
 
 @q(
@@ -656,6 +656,55 @@ def hourly_event_spine_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.hour_ts").isNull().alias("is_gap"),
         )
         .orderBy("hour_label")
+    )
+
+
+@q(
+    "training_sample_assembly",
+    f"""
+    WITH j AS (
+      SELECT d.doc_id, d.lang, d.source,
+             CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+             round(sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                         e.embedding::DOUBLE[])), 5) AS l2_norm,
+             {_SPLIT_BYTE} AS bucket
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    )
+    SELECT doc_id, lang, source, n_tokens, l2_norm FROM j
+    WHERE bucket < 204 AND n_tokens BETWEEN 5 AND 2000
+    ORDER BY doc_id
+    """,
+)
+def training_sample_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone sample-prep query — the shape a training-data pipeline
+    actually ships: text table ⋈ embedding table on document id, token
+    count and vector norm as features, a length quality filter, and the
+    deterministic md5 train-split membership — one pass, all JVM-side.
+    The doc⋈embedding equi-join is THE recurring shuffle of sample
+    assembly; at warehouse scale both tables bucket on the id
+    (test_bucketed_join_avoids_shuffle proves the zero-Exchange
+    layout), making this map-only end to end."""
+    from ..operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    sq_sum = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        docs.doc_id,
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.round(F.sqrt(sq_sum), 5).alias("l2_norm"),
+    )
+    return (
+        hash_split(joined, "doc_id")
+        .where(F.col("split") == "train")
+        .where(F.col("n_tokens").between(5, 2000))
+        .drop("split")
+        .orderBy("doc_id")
     )
 
 
