@@ -17,15 +17,36 @@ from ..schemas import TESTDATA_TABLES
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
-        # rejects. Read nanos as long and floor-convert to micros —
-        # identical to DuckDB's ns→us truncation, so oracle-safe.
+        # Older driver testdata stored events.ts as TIMESTAMP(NANOS),
+        # which Spark's reader rejects. Read nanos as long and
+        # floor-convert to micros — identical to DuckDB's ns→us
+        # truncation, so oracle-safe.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(raw.dtypes).get("ts") == "bigint":
-            return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return raw
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _normalize_ntz(spark, raw)
+
+
+def _normalize_ntz(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Cast any timestamp_ntz column to timestamp (LTZ).
+
+    The driver parquet stores naive micros (isAdjustedToUTC=false);
+    Spark 4 infers those as TIMESTAMP_NTZ, which `unix_micros`,
+    `window`, and friends reject. The DuckDB oracle treats the same
+    values as UTC instants, so the correct reading is "wall clock IS
+    UTC": pin the session timezone to UTC (idempotent, runtime-safe)
+    and cast — the stored micros are then preserved bit-for-bit.
+    """
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz_cols:
+        return df
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return df.withColumns(
+        {c: F.col(c).cast("timestamp") for c in ntz_cols}
+    )
 
 
 def register_testdata(

@@ -38,19 +38,22 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
-# ts is long (epoch nanos): the testdata parquet stores TIMESTAMP(NANOS)
-# which Spark reads only as long (legacy nanosAsLong); the stream source
-# converts to micros explicitly, matching the batch catalog loader.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), False),
-        T.StructField("ts", T.LongType(), False),
-        T.StructField("user_id", T.LongType(), False),
-        T.StructField("event_type", T.StringType(), False),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _schema_with_ts(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", ts_type, False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+# Normalized events schema: ts is a real (LTZ) timestamp. Source files
+# may store ts differently — `_event_stream` probes and converts.
+EVENTS_SCHEMA = _schema_with_ts(T.TimestampType())
 
 
 def hourly_event_counts(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
@@ -97,15 +100,32 @@ def sessionize(
 
 
 def _event_stream(spark: SparkSession, glob_path: str) -> DataFrame:
-    """Parquet-backed events stream with ts converted to a real
-    timestamp (testdata stores TIMESTAMP(NANOS), readable only as
-    long)."""
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(glob_path)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    """Parquet-backed events stream normalized to ``ts: timestamp``.
+
+    Driver testdata has shipped events.ts three ways across rounds:
+    TIMESTAMP(NANOS) (readable only as long via legacy nanosAsLong),
+    naive micros (reads as TIMESTAMP_NTZ), and adjusted micros
+    (TIMESTAMP). A streaming source needs a declared schema up front,
+    so probe the files with a one-off batch read (metadata only — no
+    data scan) and declare + convert accordingly. All three store UTC
+    instants, so the normalized stream is identical in every case."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = dict(spark.read.parquet(glob_path).dtypes).get("ts")
+    src = spark.readStream.option("maxFilesPerTrigger", 1)
+    if probe == "bigint":  # legacy nanos-as-long
+        return (
+            src.schema(_schema_with_ts(T.LongType()))
+            .parquet(glob_path)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+    if probe == "timestamp_ntz":  # naive micros: wall clock IS UTC
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return (
+            src.schema(_schema_with_ts(T.TimestampNTZType()))
+            .parquet(glob_path)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+    return src.schema(EVENTS_SCHEMA).parquet(glob_path)
 
 
 def run_stream_dedup_once(

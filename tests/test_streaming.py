@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_engineer_task_spark.sources.catalog import load_table
-from data_engineer_task_spark.streaming.aggregate import EVENTS_SCHEMA
+from data_engineer_task_spark.streaming.aggregate import _event_stream
 from data_engineer_task_spark.streaming.stateful import running_user_totals
 
 from conftest import SF_SMOKE
@@ -15,23 +15,17 @@ from conftest import SF_SMOKE
 
 @pytest.fixture(scope="module")
 def events_stream_dir(spark, tmp_path_factory):
-    """Re-write the events table as 4 files so maxFilesPerTrigger=1
-    yields 4 micro-batches — state must survive across batches."""
+    """Re-write the events table (ts normalized by load_table) as 4
+    files so maxFilesPerTrigger=1 yields 4 micro-batches — state must
+    survive across batches."""
     out = str(tmp_path_factory.mktemp("events_stream"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")  # ts as long nanos
+    raw = load_table(spark, SF_SMOKE, "events")
     raw.repartition(4).write.mode("overwrite").parquet(out)
     return out
 
 
 def test_stateful_running_totals_across_batches(spark, events_stream_dir):
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(events_stream_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
-    out = running_user_totals(stream)
+    out = running_user_totals(_event_stream(spark, events_stream_dir))
 
     # capture the LAST update per user across all micro-batches
     final: dict[int, tuple] = {}
@@ -125,8 +119,7 @@ def test_checkpoint_recovery_reads_only_new_files(spark, tmp_path):
 
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")  # ts as long
+    raw = load_table(spark, SF_SMOKE, "events")
     first, second = raw.where("event_id % 2 = 0"), raw.where("event_id % 2 = 1")
 
     first.repartition(2).write.mode("append").parquet(src)
@@ -172,12 +165,7 @@ def test_foreachbatch_merge_sink_upserts_across_batches(spark, events_stream_dir
         stream_merge_to_warehouse,
     )
 
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(events_stream_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = _event_stream(spark, events_stream_dir)
     out = str(tmp_path / "wh")
     q = stream_merge_to_warehouse(
         stream, out, ["user_id", "event_type"], ["ts", "event_id"],
@@ -224,13 +212,7 @@ def test_tws_running_totals_matches_legacy_stateful(spark, events_stream_dir):
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        stream = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(events_stream_dir)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        )
-        out = running_user_totals_tws(stream)
+        out = running_user_totals_tws(_event_stream(spark, events_stream_dir))
         final: dict[int, tuple] = {}
 
         def sink(df, epoch_id):
@@ -272,12 +254,7 @@ def test_snapshot_time_travel_and_vacuum(spark, events_stream_dir, tmp_path):
         vacuum,
     )
 
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(events_stream_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = _event_stream(spark, events_stream_dir)
     out = str(tmp_path / "wh")
     q = stream_merge_to_warehouse(
         stream, out, ["user_id", "event_type"], ["ts", "event_id"],
@@ -316,12 +293,7 @@ def test_snapshot_diff_is_exact_upsert_set(spark, events_stream_dir, tmp_path):
         stream_merge_to_warehouse,
     )
 
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(events_stream_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = _event_stream(spark, events_stream_dir)
     out = str(tmp_path / "wh")
     q = stream_merge_to_warehouse(
         stream, out, ["user_id", "event_type"], ["ts", "event_id"],
