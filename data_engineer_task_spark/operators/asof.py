@@ -21,6 +21,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def as_of_join(
@@ -75,4 +76,71 @@ def as_of_join(
         F.col("_ts").alias(left_ts),
         *left_payload,
         *[F.col(f"{c}{suffix}") for c in carried],
+    )
+
+
+def as_of_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value_cols: Sequence[str] = (),
+    suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: str | None = None,
+) -> DataFrame:
+    """As-of join on the cogrouped-Arrow path: same contract as
+    ``as_of_join`` plus ``direction`` ('backward' | 'forward' |
+    'nearest') and ``tolerance`` (a pandas offset string, e.g.
+    '1 hour') — semantics the union-marker window form can't express
+    (nearest needs both temporal directions at once; tolerance bounds
+    the match window).
+
+    Shape at scale: one shuffle of each side on the key (the cogroup),
+    then ``pd.merge_asof`` per key group over Arrow batches. Use the
+    window-based ``as_of_join`` for plain backward joins (stays in
+    codegen); reach for this one when direction/tolerance matter or
+    per-group logic grows beyond SQL. Requires both ts columns to be
+    real timestamps (see ``sources/catalog.py`` normalization).
+    """
+    import pandas as pd
+
+    on = [on] if isinstance(on, str) else list(on)
+    carried = [right_ts, *right_value_cols]
+    left_payload = [c for c in left.columns if c not in on and c != left_ts]
+
+    lsch = {f.name: f for f in left.schema.fields}
+    rsch = {f.name: f for f in right.schema.fields}
+    out_schema = T.StructType(
+        [lsch[c] for c in [*on, left_ts, *left_payload]]
+        + [
+            T.StructField(f"{c}{suffix}", rsch[c].dataType, True)
+            for c in carried
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    right_proj = right.select(
+        *on, *[F.col(c).alias(f"{c}{suffix}") for c in carried]
+    )
+    tol = pd.Timedelta(tolerance) if tolerance is not None else None
+
+    def align(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=out_cols)
+        merged = pd.merge_asof(
+            lpdf.sort_values(left_ts),
+            rpdf.drop(columns=on).sort_values(f"{right_ts}{suffix}"),
+            left_on=left_ts,
+            right_on=f"{right_ts}{suffix}",
+            direction=direction,
+            tolerance=tol,
+        )
+        return merged[out_cols]
+
+    return (
+        left.groupBy(*on)
+        .cogroup(right_proj.groupBy(*on))
+        .applyInPandas(align, schema=out_schema)
     )

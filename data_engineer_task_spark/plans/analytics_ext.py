@@ -789,3 +789,120 @@ def order_due_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@q(
+    "doc_token_cms_topk",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    cells AS (
+      SELECT j, (instr('0123456789abcdef',
+                       substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 1)) - 1) * 16
+               + (instr('0123456789abcdef',
+                        substr(md5(CAST(j AS VARCHAR) || ':' || token), 2, 1)) - 1)
+               AS bucket,
+             cnt
+      FROM vocab CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+    ),
+    sketch AS (
+      SELECT j, bucket, CAST(sum(cnt) AS BIGINT) AS c
+      FROM cells GROUP BY j, bucket
+    ),
+    top10 AS (
+      SELECT token, CAST(cnt AS BIGINT) AS true_cnt
+      FROM vocab ORDER BY cnt DESC, token ASC LIMIT 10
+    ),
+    probe AS (
+      SELECT t.token, t.true_cnt, min(s.c) AS cms_est
+      FROM top10 t
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) d
+      JOIN sketch s
+        ON s.j = d.j
+       AND s.bucket = (instr('0123456789abcdef',
+                             substr(md5(CAST(d.j AS VARCHAR) || ':' || t.token), 1, 1)) - 1) * 16
+                     + (instr('0123456789abcdef',
+                              substr(md5(CAST(d.j AS VARCHAR) || ':' || t.token), 2, 1)) - 1)
+      GROUP BY t.token, t.true_cnt
+    )
+    SELECT token, true_cnt, CAST(cms_est AS BIGINT) AS cms_est
+    FROM probe ORDER BY true_cnt DESC, token ASC
+    """,
+)
+def doc_token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the corpus's top-10
+    tokens, next to the exact counts. The sketch (4 × 256 mergeable
+    counters, md5-bucket hashing) is the fixed-size substitute for the
+    exact vocabulary at 100 TB — the oracle rebuilds the identical grid
+    in SQL, and the one-sided CMS guarantee (est >= truth) is pinned by
+    a property test. See operators/sketch.py for shuffle shape."""
+    from .analytics import _t_wide
+    from ..operators.sketch import cms_build, cms_estimate
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    sketch = cms_build(tokens, "token", depth=4)
+    top10 = (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("token"))
+        .limit(10)
+    )
+    return cms_estimate(sketch, top10, "token", depth=4).orderBy(
+        F.desc("true_cnt"), F.asc("token")
+    )
+
+
+@q(
+    "purchase_click_cogroup_stats",
+    """
+    WITH p AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         gaps AS (
+           SELECT p.user_id,
+                  date_diff('second', c.ts, p.ts) AS gap_s
+           FROM p ASOF LEFT JOIN c
+             ON p.user_id = c.user_id AND p.ts >= c.ts
+         )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)     AS n_purchases,
+           CAST(count(gap_s) AS BIGINT) AS n_matched,
+           round(quantile_cont(gap_s, 0.5), 1) AS median_gap_s,
+           CAST(max(gap_s) AS BIGINT)   AS max_gap_s
+    FROM gaps GROUP BY user_id ORDER BY user_id
+    """,
+)
+def purchase_click_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user purchase→preceding-click gap profile via the cogrouped
+    Arrow path (``as_of_join_cogroup``): both event slices shuffle once
+    on user_id, then ``pd.merge_asof`` aligns them per group. Same
+    backward-asof semantics as `purchase_asof_click` (so DuckDB's
+    native ASOF JOIN remains the oracle) but a distinct physical
+    shape — the cogroup variant also supports nearest/tolerance
+    matching, pinned by unit tests. Gap stats computed natively after
+    alignment; median interpolates like quantile_cont(0.5)."""
+    from ..operators.asof import as_of_join_cogroup
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    aligned = as_of_join_cogroup(purchases, clicks, "user_id")
+    gap = F.col("ts").cast("long") - F.col("ts_asof").cast("long")
+    return (
+        aligned.select("user_id", gap.alias("gap_s"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count("gap_s").alias("n_matched"),
+            F.round(F.percentile("gap_s", F.lit(0.5)), 1).alias("median_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )

@@ -332,3 +332,94 @@ def test_approx_sketches_track_exact_within_tolerance(spark):
     assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] < 0.05
     # percentile_approx with accuracy=10000 is near-exact at this scale
     assert abs(row["approx_p50"] - row["exact_p50"]) / row["exact_p50"] < 0.01
+
+
+def test_as_of_join_cogroup_matches_window_form(spark):
+    """The Arrow-cogroup as-of implementation must agree exactly with
+    the window-based one on real data (backward, inclusive)."""
+    from data_engineer_task_spark.operators.asof import as_of_join_cogroup
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+
+    key = lambda r: (r["user_id"], r["event_id"])  # noqa: E731
+    win = {key(r): r["ts_asof"] for r in as_of_join(left, right, "user_id").collect()}
+    cg = {key(r): r["ts_asof"] for r in
+          as_of_join_cogroup(left, right, "user_id").collect()}
+    assert win == cg and len(win) > 0
+
+
+def test_as_of_join_cogroup_nearest_and_tolerance(spark):
+    """direction='nearest' picks the temporally closer side; tolerance
+    bounds the match window — the semantics the window form can't do."""
+    from data_engineer_task_spark.operators.asof import as_of_join_cogroup
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "p1"),   # nearest is +30s after
+         (1, "2024-01-01 12:00:00", "p2"),   # nearest is -10min before
+         (2, "2024-01-01 09:00:00", "p3")],  # only match is 2h away
+        ["uid", "ts_s", "tag"],
+    ).select("uid", F.to_timestamp("ts_s").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:58:00"),
+         (1, "2024-01-01 10:00:30"),
+         (1, "2024-01-01 11:50:00"),
+         (2, "2024-01-01 11:00:00")],
+        ["uid", "ts_s"],
+    ).select("uid", F.to_timestamp("ts_s").alias("ts"))
+
+    near = {r["tag"]: r["ts_asof"] for r in
+            as_of_join_cogroup(left, right, "uid", direction="nearest").collect()}
+    assert str(near["p1"]) == "2024-01-01 10:00:30"
+    assert str(near["p2"]) == "2024-01-01 11:50:00"
+    assert str(near["p3"]) == "2024-01-01 11:00:00"
+
+    bounded = {r["tag"]: r["ts_asof"] for r in
+               as_of_join_cogroup(left, right, "uid", direction="nearest",
+                                  tolerance="30 minutes").collect()}
+    assert str(bounded["p1"]) == "2024-01-01 10:00:30"
+    assert bounded["p3"] is None  # 2h gap exceeds tolerance
+
+
+def test_cms_estimate_never_underestimates(spark):
+    """The CMS one-sided guarantee: every estimate >= the true count,
+    and row-wise counter totals all equal the stream length."""
+    from data_engineer_task_spark.operators.sketch import cms_build, cms_estimate
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    truth = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("true_cnt"))
+
+    sketch = cms_build(tokens, "token", depth=4).cache()
+    est = cms_estimate(sketch, truth, "token", depth=4).collect()
+    assert len(est) > 20  # sf0.001 docs carry a ~30-token vocabulary
+    assert all(r["cms_est"] >= r["true_cnt"] for r in est)
+
+    n_stream = tokens.count()
+    row_totals = [r["t"] for r in
+                  sketch.groupBy("j").agg(F.sum("c").alias("t")).collect()]
+    assert row_totals == [n_stream] * 4
+    sketch.unpersist()
+
+
+def test_cms_partial_merge_matches_oneshot(spark):
+    """Sketches built from disjoint partial counts merged cell-wise must
+    equal the one-shot sketch — the distributable-rollup contract."""
+    from data_engineer_task_spark.operators.sketch import (
+        cms_build,
+        cms_merge,
+        cms_estimate,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    whole = cms_build(tokens, "token")
+    halves = cms_merge(
+        cms_build(tokens.where("doc_id % 2 = 0"), "token"),
+        cms_build(tokens.where("doc_id % 2 = 1"), "token"),
+    )
+    cells = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert cells(whole) == cells(halves)
