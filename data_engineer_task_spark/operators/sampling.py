@@ -87,3 +87,42 @@ def stratified_hash_sample(
     per-stratum passes."""
     cut = int(round(fraction * 256))
     return df.where(_md5_byte0(F.col(id_col)) < cut)
+
+
+def _md5_uint16(col: Column) -> Column:
+    """First two md5 bytes (0-65535) of the stringified column —
+    finer-grained portable uniform than ``_md5_byte0`` for
+    probability-proportional acceptance tests."""
+    h = F.md5(col.cast("string"))
+    hv = lambda p: F.instr(F.lit(_HEX), F.substring(h, p, 1)) - 1  # noqa: E731
+    return ((hv(1) * 16 + hv(2)) * 16 + hv(3)) * 16 + hv(4)
+
+
+def weighted_hash_sample(
+    df: DataFrame, id_col: str, weight_col: str, *, rate: float
+) -> DataFrame:
+    """Deterministic weight-proportional sample: row i survives with
+    p_i = rate · N · w_i / W (capped at 1 implicitly), so the expected
+    sample size is ``rate · N`` but heavy rows (long / high-quality
+    documents) are preferentially kept — the standard
+    importance-weighted corpus downsample.
+
+    Acceptance is ``u_i · W < rate · N · w_i · 65536`` with
+    ``u_i`` = first two md5 bytes of the id: one tiny count/sum
+    aggregate broadcast back (no second pass over rows), then a
+    map-only filter of IEEE-double products — bit-identical in any
+    engine that can md5, so the membership is reproducible across
+    runs, partitionings, and the SQL oracle."""
+    tot = df.agg(
+        F.sum(F.col(weight_col).cast("double")).alias("_W"),
+        F.count(F.lit(1)).cast("double").alias("_N"),
+    )
+    u = _md5_uint16(F.col(id_col)).cast("double")
+    return (
+        df.crossJoin(F.broadcast(tot))
+        .where(
+            u * F.col("_W")
+            < F.lit(float(rate)) * F.col("_N") * F.col(weight_col).cast("double") * F.lit(65536.0)
+        )
+        .drop("_W", "_N")
+    )

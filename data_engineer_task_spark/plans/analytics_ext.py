@@ -906,3 +906,44 @@ def purchase_click_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def _md5_uint16_sql(expr: str) -> str:
+    hv = lambda p: (  # noqa: E731
+        f"(instr('0123456789abcdef', substr(md5({expr}), {p}, 1)) - 1)"
+    )
+    return f"((({hv(1)} * 16 + {hv(2)}) * 16 + {hv(3)}) * 16 + {hv(4)})"
+
+
+@q(
+    "doc_weighted_sample",
+    f"""
+    WITH w AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS wt FROM documents),
+    tot AS (SELECT CAST(sum(wt) AS DOUBLE) AS W, CAST(count(*) AS DOUBLE) AS N
+            FROM w),
+    s AS (SELECT doc_id, wt FROM w, tot
+          WHERE CAST({_md5_uint16_sql("CAST(doc_id AS VARCHAR)")} AS DOUBLE) * W
+                < 0.2 * N * wt * 65536.0)
+    SELECT CAST(count(*) AS BIGINT)    AS n_sampled,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(wt) AS BIGINT)     AS chars_kept
+    FROM s
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus downsample (~20% expected, p_i ∝ n_chars):
+    longer documents preferentially survive — the importance-weighted
+    sampling step of corpus curation, but rand()-free: acceptance is a
+    pure function of md5(doc_id) and the corpus totals, so membership
+    is identical across runs, partitionings, and the SQL oracle. One
+    tiny agg broadcast back + a map-only filter; integer weights keep
+    every sum fp-exact on both engines. Output is the membership
+    checksum triple."""
+    from ..operators.sampling import weighted_hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_hash_sample(docs, "doc_id", "n_chars", rate=0.2).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum(F.col("n_chars").cast("double")).cast("long").alias("chars_kept"),
+    )

@@ -71,3 +71,64 @@ def compact_parquet(
     df = spark.read.parquet(path)
     df.repartition(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    n_files: int = 16,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered write: files cover compact regions of the
+    MULTI-dimensional key space, so parquet min/max footer stats skip
+    files for predicates on ANY of ``cols`` — where a single-column
+    sort layout only ever skips on its sort key (every other dimension
+    straddles all files).
+
+    Mechanics: min/max-normalize each column to ``bits`` bits (one tiny
+    agg collected to the driver — same O(k) driver-state pattern as the
+    k-means centroids), bit-interleave into a z-key with pure
+    shift/and/or expressions (JVM codegen, no UDF), then
+    ``repartitionByRange`` + ``sortWithinPartitions`` on it — exactly
+    the clustered-write shape of the 1-D layout, one range shuffle.
+
+    The space-filling-curve trade: each dimension keeps ~``bits`` of
+    resolution, so point/range predicates on any single dimension touch
+    ~``n_files^((d-1)/d)`` of the files instead of all of them."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+
+    norm = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        norm.append(
+            F.least(
+                F.lit(top),
+                ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top)
+                .cast("long"),
+            )
+        )
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, nc in enumerate(norm):
+            z = z + F.shiftleft(
+                F.shiftright(nc, b).bitwiseAND(F.lit(1)), b * len(cols) + i
+            ).cast("long")
+
+    (
+        df.withColumn("_zkey", z)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

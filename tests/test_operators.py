@@ -535,3 +535,38 @@ def test_observe_profile_piggybacks_on_action(spark):
         F.sum(F.col("o_custkey").isNull().cast("long"))
     ).collect()[0][0]
     assert got["nulls_o_custkey"] == direct
+
+
+def test_weighted_hash_sample_properties(spark):
+    """Deterministic membership; zero-weight rows never survive; a row
+    whose acceptance probability caps at 1 always survives; sample size
+    tracks rate·N."""
+    from data_engineer_task_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        # one giant row (p >> 1), a zero-weight stripe, uniform rest
+        F.when(F.col("id") == 7, 10_000_000)
+        .when(F.col("id") % 10 == 0, 0)
+        .otherwise(100)
+        .alias("wt"),
+    )
+    picked = lambda: {  # noqa: E731
+        r["doc_id"]
+        for r in weighted_hash_sample(df, "doc_id", "wt", rate=0.2).collect()
+    }
+    a, b = picked(), picked()
+    assert a == b                       # rand()-free, stable
+    assert 7 in a                       # capped-probability row always kept
+    assert not any(i in a for i in range(0, 1000, 10) if i != 7)  # zero weight
+
+    # probability mass is proportional: the giant row soaks up nearly all
+    # of W, so plain rows get p ≈ 0.2·1000·100/10.09e6 ≈ 0.002 → a handful
+    assert len(a) < 20
+
+    # uniform weights: expected size is rate·N
+    uni = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.lit(100).alias("wt")
+    )
+    kept = weighted_hash_sample(uni, "doc_id", "wt", rate=0.2).count()
+    assert 140 < kept < 260             # ~200 in expectation

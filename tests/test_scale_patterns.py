@@ -423,3 +423,53 @@ def test_cms_partial_merge_matches_oneshot(spark):
     )
     cells = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert cells(whole) == cells(halves)
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """Z-order layout must give file-level min/max locality on BOTH
+    clustering columns — the property that makes footer-stats skipping
+    work for predicates on either dimension, where a 1-D sort layout
+    only clusters its sort key (every file straddles the other dim)."""
+    import glob
+
+    from data_engineer_task_spark.sources.parquet import zorder_write
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zdir, ldir = str(tmp_path / "zord"), str(tmp_path / "linear")
+    zorder_write(orders, zdir, ["o_custkey", "o_totalprice"], n_files=16)
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def overlap_fraction(dirname: str, col: str) -> float:
+        """Mean fraction of files a 10%-wide slice predicate touches."""
+        spans = []
+        for f in glob.glob(f"{dirname}/part-*.parquet"):
+            r = (
+                spark.read.parquet(f)
+                .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+                .collect()[0]
+            )
+            spans.append((float(r["mn"]), float(r["mx"])))
+        lo = min(s[0] for s in spans)
+        hi = max(s[1] for s in spans)
+        hits = []
+        for k in range(10):
+            a = lo + (hi - lo) * k / 10
+            b = lo + (hi - lo) * (k + 1) / 10
+            hits.append(sum(1 for mn, mx in spans if mn <= b and mx >= a))
+        return sum(hits) / (10 * len(spans))
+
+    # z-order: BOTH dims localized — a thin slice touches well under
+    # the whole fileset on each axis
+    assert overlap_fraction(zdir, "o_custkey") < 0.6
+    assert overlap_fraction(zdir, "o_totalprice") < 0.6
+    # the 1-D layout clusters its sort key tightly…
+    assert overlap_fraction(ldir, "o_custkey") < 0.3
+    # …but the second dimension straddles essentially every file
+    assert overlap_fraction(ldir, "o_totalprice") > 0.9
