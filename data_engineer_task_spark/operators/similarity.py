@@ -294,3 +294,64 @@ def ivf_assign(
         F.element_at(cid_lit, F.col("_b.ci") + 1).alias("centroid_id"),
         F.col("_b.cos_sim").alias("cos_sim"),
     )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: list[tuple],
+    id_col: str,
+    *,
+    k: int = 5,
+    nprobe: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF top-k search: answer cosine nearest-neighbor queries by
+    scanning only the ``nprobe`` inverted lists whose centroids are
+    closest to each query — the recall/cost dial that makes ANN search
+    linear-in-probed-cells instead of linear-in-corpus.
+
+    ``assigned`` is ``kmeans_fit``'s output (``_v`` + ``cluster``);
+    ``queries`` is a small driver-side list of (query_id, vector).
+    Query→cell routing happens on the driver (q×k cosine over the tiny
+    centroid matrix), producing a (query_id, cluster, qvec) probe
+    frame that broadcast-joins the corpus ON THE CLUSTER KEY — so the
+    scan prunes to the probed cells before any vector math, the same
+    way partition pruning drops files. Per-candidate cosine is one
+    numpy kernel per Arrow batch; ranking is a per-query window with
+    rounded-similarity + id tie-breaks, so results are deterministic.
+
+    Returns (query_id, neighbor id, cos_sim, rank<=k)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.sqrt((C * C).sum(axis=1))
+    probe_rows = []
+    for qid, qv in queries:
+        q = np.asarray(list(qv), dtype=np.float64)
+        sims = (C @ q) / (cnorm * float(np.sqrt(q @ q)))
+        cells = np.argsort(-np.round(sims, round_to), kind="stable")[:nprobe]
+        probe_rows.extend(
+            (qid, int(c), [float(x) for x in q]) for c in cells
+        )
+    spark = assigned.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, ["query_id", "cluster", "_q"]
+    )
+
+    @F.pandas_udf("double")
+    def rowcos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.asarray(a.tolist(), dtype=np.float64)
+        B = np.asarray(b.tolist(), dtype=np.float64)
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        return pd.Series(np.round(num / den, round_to))
+
+    cand = assigned.join(F.broadcast(probes), "cluster")
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        cand.withColumn("cos_sim", rowcos("_v", "_q"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cos_sim", "rank")
+    )

@@ -947,3 +947,23 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("id_checksum"),
         F.sum(F.col("n_chars").cast("double")).cast("long").alias("chars_kept"),
     )
+
+
+@q("embedding_ivf_topk")  # iterative index build — not SQL-expressible
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search path over the trained IVF index: route each query to
+    its nprobe=2 nearest k-means cells, scan only those inverted lists,
+    rank by rounded cosine with id tie-breaks. Like
+    `embedding_kmeans_clusters` this is rows-only for the driver gate
+    (the index build is a fixed-point iteration, not one ANSI query);
+    exact-recall-vs-brute-force on separated blobs is pinned in
+    tests/test_scale_patterns.py."""
+    from ..operators.similarity import ivf_topk, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids, assigned = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iters=3)
+    qrows = emb.orderBy("vec_id").limit(3).collect()
+    queries = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+    return ivf_topk(assigned, centroids, queries, "vec_id", k=5, nprobe=2).orderBy(
+        "query_id", "rank"
+    )

@@ -18,6 +18,7 @@ from conftest import SF_SMOKE
 # name -> why no ANSI-SQL oracle exists
 NO_ORACLE = {
     "embedding_kmeans_clusters": "fixed-point Lloyd iteration",
+    "embedding_ivf_topk": "search over the iteratively-built IVF index",
 }
 
 

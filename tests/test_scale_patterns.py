@@ -473,3 +473,48 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
     assert overlap_fraction(ldir, "o_custkey") < 0.3
     # …but the second dimension straddles essentially every file
     assert overlap_fraction(ldir, "o_totalprice") > 0.9
+
+
+def test_ivf_topk_exact_recall_on_blobs(spark):
+    """On well-separated blobs, IVF search probing 2 cells must return
+    exactly the brute-force cosine top-k, deterministically — the
+    recall contract of the inverted-list pruning."""
+    import random
+
+    from data_engineer_task_spark.operators.similarity import ivf_topk, kmeans_fit
+
+    rng = random.Random(11)
+    # axis-aligned blobs away from the origin: L2 cells == cosine
+    # neighborhoods (a blob AT the origin has no cosine direction)
+    centers = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0], [0.0, 0.0, 10.0, 10.0]]
+    rows = [
+        (i, [x + rng.uniform(-0.5, 0.5) for x in centers[i % 3]])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    centroids, assigned = kmeans_fit(df, "vec_id", "embedding", k=3, n_iters=5)
+
+    queries = [(qid, rows[qid][1]) for qid in (0, 1, 2)]
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk(assigned, centroids, queries, "vec_id",
+                          k=5, nprobe=2).collect()
+    }
+    again = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk(assigned, centroids, queries, "vec_id",
+                          k=5, nprobe=2).collect()
+    }
+    assert got == again  # deterministic ranking
+
+    # brute force oracle in numpy
+    import numpy as np
+
+    M = np.asarray([v for _, v in rows], dtype=np.float64)
+    nrm = np.sqrt((M * M).sum(axis=1))
+    for qid, qv in queries:
+        q = np.asarray(qv)
+        sims = np.round((M @ q) / (nrm * np.sqrt(q @ q)), 6)
+        order = sorted(range(60), key=lambda i: (-sims[i], i))[:5]
+        ivf_ids = [got[(qid, r)] for r in range(1, 6)]
+        assert ivf_ids == order, (qid, ivf_ids, order)
