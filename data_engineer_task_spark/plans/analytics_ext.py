@@ -967,3 +967,101 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, centroids, queries, "vec_id", k=5, nprobe=2).orderBy(
         "query_id", "rank"
     )
+
+
+@q(
+    "lateral_top_suppliers",
+    """
+    SELECT n.n_name, s.s_name, s.acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT s_name, round(s_acctbal, 2) AS acctbal
+      FROM supplier WHERE s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_name ASC LIMIT 2
+    ) s
+    ORDER BY n.n_name ASC, s.acctbal DESC, s.s_name ASC
+    """,
+)
+def lateral_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — per-nation top-2 suppliers phrased
+    as a dependent subquery rather than a window. Declared in SQL text
+    (LATERAL has no DataFrame-API spelling); Spark decorrelates it into
+    a join + per-group limit, so the plan converges with the
+    `top_orders_per_priority` window shape instead of re-executing the
+    subquery per outer row — the property that keeps LATERAL usable on
+    a large outer side."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("lat_supplier")
+    return spark.sql(
+        """
+        SELECT n.n_name, s.s_name, s.acctbal
+        FROM lat_nation n,
+        LATERAL (
+          SELECT s_name, round(s_acctbal, 2) AS acctbal
+          FROM lat_supplier WHERE s_nationkey = n.n_nationkey
+          ORDER BY s_acctbal DESC, s_name ASC LIMIT 2
+        ) s
+        ORDER BY n.n_name ASC, s.acctbal DESC, s.s_name ASC
+        """
+    )
+
+
+@q(
+    "event_value_anomalies",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, abs(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      WHERE e.value IS NOT NULL
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_anomalies,
+           round(min(d.value), 3)   AS min_anom,
+           round(max(d.value), 3)   AS max_anom
+    FROM dev d JOIN mad ON d.event_type = mad.event_type
+    WHERE d.adev > 3 * mad.mad
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: events whose value deviates from their
+    type's median by more than 3× the median absolute deviation.
+    Median/MAD (not mean/stddev) so the detector itself is immune to
+    the outliers it hunts. Two grouped exact percentiles with the tiny
+    per-type stats broadcast back between them — the fact table scans
+    twice but never self-joins; at 100 TB swap `percentile` for
+    `percentile_approx` (tolerance-tested in test_scale_patterns)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("adev") > 3 * F.col("mad"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_anomalies"),
+            F.round(F.min("value"), 3).alias("min_anom"),
+            F.round(F.max("value"), 3).alias("max_anom"),
+        )
+        .orderBy("event_type")
+    )

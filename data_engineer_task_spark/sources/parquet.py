@@ -16,8 +16,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_parquet(
+    spark: SparkSession, path: str, *, merge_schema: bool = False
+) -> DataFrame:
+    """``merge_schema=True`` unions the schemas of every file footer —
+    the schema-evolution read: a table appended over months gains
+    columns, and old files simply surface NULLs for them. Off by
+    default because at 100 TB footer-merging every file costs a
+    distributed pre-pass; evolved tables should pin the unified schema
+    in the catalog (see ``sources/warehouse.py``) so reads stay
+    one-footer cheap."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 def write_parquet(

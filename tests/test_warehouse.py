@@ -120,3 +120,25 @@ def test_csv_malformed_row_handling_modes(spark, tmp_path):
 
     with pytest.raises(ValueError):
         read_csv(spark, str(p), None, corrupt_col="_reject")
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A table appended with an extra column must read back with the
+    unioned schema under merge_schema=True: old files surface NULLs for
+    the new column, values and row count intact."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_task_spark.sources.parquet import read_parquet
+
+    out = str(tmp_path / "evolving")
+    spark.range(0, 10).select(F.col("id").alias("k")).write.parquet(out)
+    spark.range(10, 15).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("extra")
+    ).write.mode("append").parquet(out)
+
+    merged = read_parquet(spark, out, merge_schema=True)
+    assert set(merged.columns) == {"k", "extra"}
+    rows = {r["k"]: r["extra"] for r in merged.collect()}
+    assert len(rows) == 15
+    assert all(rows[k] is None for k in range(10))       # old files: NULL
+    assert all(rows[k] == 2 * k for k in range(10, 15))  # new files: data
