@@ -1065,3 +1065,76 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "user_funnel_counts",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p
+    ) ORDER BY stage
+    """,
+)
+def user_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: users who viewed, then clicked strictly
+    after their first view, then purchased strictly after that click.
+    Each stage is a conditional min over the previous stage's per-user
+    anchor — filter-then-join-then-agg, so every stage shuffles only
+    the per-user anchor table, never events². Strict `>` between stages
+    keeps the definition engine-identical without relying on event-id
+    tie-break order."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    spark_counts = [
+        v.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit("1_view").alias("stage"), "n_users"
+        ),
+        c.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit("2_click_after_view").alias("stage"), "n_users"
+        ),
+        p.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit("3_purchase_after_click").alias("stage"), "n_users"
+        ),
+    ]
+    out = spark_counts[0]
+    for s in spark_counts[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("stage")
