@@ -118,3 +118,40 @@ def test_connected_components_matches_reference_closure(spark, edges):
         if not changed:
             break
     assert got == label
+
+
+@given(
+    lrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=1,
+        max_size=25,
+    ),
+    rrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_window_and_cogroup_forms_agree(spark, lrows, rrows):
+    """The codegen (union-marker window) and Arrow (bucketed cogroup +
+    merge_asof) as-of implementations are two physical plans for ONE
+    operator contract: on any input, backward-inclusive matches must be
+    identical — including duplicate timestamps, keys with no right
+    rows, and empty right sides."""
+    from data_engineer_task_spark.operators.asof import (
+        as_of_join,
+        as_of_join_cogroup,
+    )
+
+    left = spark.createDataFrame(
+        [(u, t, i) for i, (u, t) in enumerate(lrows)], ["uid", "ts_i", "tag"]
+    ).select("uid", F.timestamp_seconds("ts_i").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [(u, t) for u, t in rrows] or [(99, 0)], ["uid", "ts_i"]
+    ).select("uid", F.timestamp_seconds("ts_i").alias("ts"))
+
+    win = {r["tag"]: r["ts_asof"] for r in as_of_join(left, right, "uid").collect()}
+    cg = {r["tag"]: r["ts_asof"] for r in
+          as_of_join_cogroup(left, right, "uid").collect()}
+    assert win == cg
