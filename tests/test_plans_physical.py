@@ -202,3 +202,50 @@ def test_spine_fill_is_one_scan_plus_small_join(spark):
     tree = _tree(_plan(spark, "hourly_event_spine_filled"))
     assert tree.count("Scan parquet") == 2  # bounds agg + hourly agg
     assert "CartesianProduct" not in tree
+
+
+def test_lateral_decorrelates_to_join_not_per_row_subquery(spark):
+    """Spark must decorrelate the LATERAL subquery: the plan is a join
+    against ONE windowed/limited supplier subplan, never a re-executed
+    per-outer-row subquery (no CartesianProduct, exactly one supplier
+    scan)."""
+    plan = _plan(spark, "lateral_top_suppliers")
+    assert "CartesianProduct" not in plan
+    # decorrelated: the per-nation LIMIT becomes one windowed row_number
+    # pass over a SINGLE supplier scan, joined (broadcast) to nation —
+    # formatted explain lists each scan twice (tree + details)
+    assert "row_number()" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet ") <= 4  # 2 scans × 2 listings
+
+
+def test_anomaly_entry_broadcasts_stats_and_stays_jvm(spark):
+    """The per-type median/MAD tables are tiny — they must broadcast
+    back onto the fact scan, and the whole plan stays codegen (no
+    Python workers)."""
+    plan = _plan(spark, "event_value_anomalies")
+    assert plan.count("BroadcastHashJoin") >= 2  # med and mad joins
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_cms_probe_join_broadcasts_sketch(spark):
+    """cms_estimate joins the fixed-size counter grid — it must arrive
+    broadcast, never shuffle the probe fan-out."""
+    plan = _plan(spark, "doc_token_cms_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_funnel_stages_are_aggregate_joins_no_cartesian(spark):
+    plan = _plan(spark, "user_funnel_counts")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_is_map_only_after_totals(spark):
+    """One tiny agg broadcast back + a filter: no Python, no extra
+    shuffle of the row side."""
+    plan = _plan(spark, "doc_weighted_sample")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
