@@ -101,10 +101,59 @@ def _query_main(argv: list[str]) -> int:
     return 0
 
 
+def _maintain_main(argv: list[str]) -> int:
+    """Table-maintenance ops: small-file compaction, Z-order
+    re-clustering, snapshot vacuum — the jobs a 100 TB warehouse runs
+    on a schedule, wired thin over the library operators."""
+    parser = argparse.ArgumentParser(prog="cli maintain",
+                                     description="warehouse maintenance")
+    sub = parser.add_subparsers(dest="op", required=True)
+
+    p_compact = sub.add_parser("compact", help="rewrite to target file sizes")
+    p_compact.add_argument("src")
+    p_compact.add_argument("out")
+    p_compact.add_argument("--target-mb", type=int, default=256)
+
+    p_z = sub.add_parser("zorder", help="re-cluster on a space-filling curve")
+    p_z.add_argument("src")
+    p_z.add_argument("out")
+    p_z.add_argument("--cols", required=True, help="comma-separated columns")
+    p_z.add_argument("--files", type=int, default=16)
+
+    p_vac = sub.add_parser("vacuum", help="drop old table snapshots")
+    p_vac.add_argument("snapshot_dir")
+    p_vac.add_argument("--keep", type=int, default=2)
+
+    args = parser.parse_args(argv[1:])
+    if args.op == "vacuum":
+        from .streaming.sink import vacuum
+
+        removed = vacuum(args.snapshot_dir, keep_last=args.keep)
+        print(f"removed {len(removed)} snapshot(s): {removed}")
+        return 0
+
+    spark = get_spark("maintain-cli")
+    if args.op == "compact":
+        from .sources.parquet import compact_parquet
+
+        n = compact_parquet(spark, args.src, args.out,
+                            target_bytes=args.target_mb * 1024 * 1024)
+        print(f"compacted to {n} file(s) at {args.out}")
+        return 0
+    from .sources.parquet import zorder_write
+
+    zorder_write(spark.read.parquet(args.src), args.out,
+                 [c.strip() for c in args.cols.split(",")], n_files=args.files)
+    print(f"z-ordered {args.src} -> {args.out} on {args.cols}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] in ("query", "list-queries"):
         return _query_main(argv)
+    if argv and argv[0] == "maintain":
+        return _maintain_main(argv)
     parser = argparse.ArgumentParser(description="Netflix catalog ETL + analytics")
     parser.add_argument("-i", "--input", required=True, help="path to the catalog CSV")
     parser.add_argument("--warehouse", default="/tmp/netflix_warehouse")

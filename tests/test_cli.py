@@ -35,3 +35,24 @@ def test_cli_etl_end_to_end_with_ledger_skip(spark, netflix_csv, tmp_path, caplo
     with caplog.at_level(logging.INFO, logger="data_engineer_task_spark"):
         assert main(["-i", netflix_csv, "--warehouse", wh]) == 0
     assert "ledger hit" in caplog.text
+
+
+def test_cli_maintain_compact_and_zorder(spark, tmp_path, capsys):
+    import glob
+
+    src = str(tmp_path / "frag")
+    # fragmented source: 8 tiny files
+    spark.range(0, 2000).selectExpr(
+        "id AS k", "CAST(id % 97 AS DOUBLE) AS v"
+    ).repartition(8).write.parquet(src)
+
+    out_c = str(tmp_path / "compacted")
+    assert main(["maintain", "compact", src, out_c, "--target-mb", "256"]) == 0
+    assert len(glob.glob(f"{out_c}/part-*.parquet")) == 1  # tiny table → 1 file
+    assert spark.read.parquet(out_c).count() == 2000
+
+    out_z = str(tmp_path / "zordered")
+    assert main(["maintain", "zorder", src, out_z, "--cols", "k,v",
+                 "--files", "4"]) == 0
+    assert spark.read.parquet(out_z).count() == 2000
+    assert "z-ordered" in capsys.readouterr().out
