@@ -570,3 +570,22 @@ def test_weighted_hash_sample_properties(spark):
     )
     kept = weighted_hash_sample(uni, "doc_id", "wt", rate=0.2).count()
     assert 140 < kept < 260             # ~200 in expectation
+
+
+def test_decode_media_arrow_matches_pandas_path(spark):
+    """mapInArrow and mapInPandas decode paths must produce identical
+    metadata — one operator contract, two interchange formats."""
+    from data_engineer_task_spark.operators.multimodal import (
+        decode_media,
+        decode_media_arrow,
+        synthesize_media_column,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta gamma"), (3, "")], ["doc_id", "text"]
+    )
+    media = synthesize_media_column(docs, "doc_id", "text")
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    a = rows(decode_media(media, "doc_id", "media"))
+    b = rows(decode_media_arrow(media, "doc_id", "media"))
+    assert a == b and len(a) == 3
