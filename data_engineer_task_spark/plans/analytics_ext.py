@@ -1138,3 +1138,58 @@ def user_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in spark_counts[1:]:
         out = out.unionByName(s)
     return out.orderBy("stage")
+
+
+@q(
+    "user_weekly_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id,
+             CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+             CAST(date_diff('day',
+                            CAST(date_trunc('week', f.first_ts) AS DATE),
+                            CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                  AS INT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the week of their
+    first event, counted in every later week they were active — the
+    (cohort × week-offset) retention matrix. One shuffle builds the
+    per-user anchor, which joins back and distinct-collapses to
+    (user, cohort, offset) before the final count; the fact table never
+    self-joins. Monday-start `date_trunc('week')` agrees across
+    engines."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cw = F.date_trunc("week", F.col("first_ts")).cast("date")
+    aw = F.date_trunc("week", F.col("ts")).cast("date")
+    act = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            cw.alias("cohort_week"),
+            (F.datediff(aw, cw) / 7).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
