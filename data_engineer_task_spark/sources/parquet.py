@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def read_parquet(
-    spark: SparkSession, path: str, *, merge_schema: bool = False
+    spark: SparkSession,
+    path: str,
+    *,
+    merge_schema: bool = False,
+    ignore_corrupt: bool = False,
 ) -> DataFrame:
     """``merge_schema=True`` unions the schemas of every file footer —
     the schema-evolution read: a table appended over months gains
@@ -25,10 +29,17 @@ def read_parquet(
     default because at 100 TB footer-merging every file costs a
     distributed pre-pass; evolved tables should pin the unified schema
     in the catalog (see ``sources/warehouse.py``) so reads stay
-    one-footer cheap."""
+    one-footer cheap.
+
+    ``ignore_corrupt=True`` skips unreadable files instead of failing
+    the scan — the salvage-read for a table with a torn write. Off by
+    default: silently dropping data is never the right default; turn it
+    on deliberately, count what you got, and reconcile."""
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
+    if ignore_corrupt:
+        reader = reader.option("ignoreCorruptFiles", "true")
     return reader.parquet(path)
 
 

@@ -142,3 +142,21 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert len(rows) == 15
     assert all(rows[k] is None for k in range(10))       # old files: NULL
     assert all(rows[k] == 2 * k for k in range(10, 15))  # new files: data
+
+
+def test_parquet_corrupt_file_skip_vs_fail(spark, tmp_path):
+    """A torn/garbage file in the table directory fails the scan by
+    default (no silent data loss); ignore_corrupt=True salvages the
+    readable files."""
+    import pytest
+
+    from data_engineer_task_spark.sources.parquet import read_parquet
+
+    out = str(tmp_path / "torn")
+    spark.range(0, 100).write.parquet(out)
+    with open(f"{out}/part-zzz-torn.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a real parquet file")
+
+    with pytest.raises(Exception):
+        read_parquet(spark, out).count()
+    assert read_parquet(spark, out, ignore_corrupt=True).count() == 100
