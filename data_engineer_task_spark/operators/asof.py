@@ -92,12 +92,14 @@ def as_of_join_cogroup(
     tolerance: str | None = None,
     buckets: int = 64,
 ) -> DataFrame:
-    """As-of join on the cogrouped-Arrow path: same contract as
-    ``as_of_join`` plus ``direction`` ('backward' | 'forward' |
-    'nearest') and ``tolerance`` (a pandas offset string, e.g.
-    '1 hour') — semantics the union-marker window form can't express
-    (nearest needs both temporal directions at once; tolerance bounds
-    the match window).
+    """As-of join on the cogrouped-Arrow path: the ``as_of_join``
+    contract plus ``direction`` ('backward' | 'forward' | 'nearest')
+    and ``tolerance`` (a pandas offset string, e.g. '1 hour') —
+    semantics the union-marker window form can't express (nearest
+    needs both temporal directions at once; tolerance bounds the match
+    window). Nulls follow SQL ASOF semantics: null keys/timestamps
+    never match (left rows kept unmatched, right rows dropped) —
+    unlike the window form, which groups null keys together.
 
     Shape at scale: the cogroup key is a COARSE hash bucket of the join
     key (``buckets`` of them), not the key itself — ``pd.merge_asof``'s
@@ -127,18 +129,46 @@ def as_of_join_cogroup(
         ]
     )
     out_cols = [f.name for f in out_schema.fields]
+
+    # SQL ASOF semantics for nulls: a null key or null timestamp never
+    # matches. Null-bearing left rows bypass the merge (kept, unmatched)
+    # — pd.merge_asof refuses null merge keys outright; null-bearing
+    # right rows can match nothing and are dropped. NOTE this is where
+    # the two forms differ: the window-based as_of_join groups null
+    # keys together (Spark partitionBy treats nulls as equal).
+    nullable = [*on, left_ts]
+    null_cond = F.lit(False)
+    for c in nullable:
+        null_cond = null_cond | F.col(c).isNull()
+    left_null = left.where(null_cond).select(
+        *on,
+        F.col(left_ts),
+        *[c for c in left.columns if c not in on and c != left_ts],
+        *[
+            F.lit(None).cast(rsch[c].dataType).alias(f"{c}{suffix}")
+            for c in carried
+        ],
+    )
+
     bkt = F.pmod(F.hash(*on), F.lit(buckets))
-    left_b = left.withColumn("_bkt", bkt)
+    left_b = left.where(~null_cond).withColumn("_bkt", bkt)
     # Alias-to-self on the right's key columns: left and right commonly
     # derive from the same scan (purchases/clicks slices of one events
     # table), so the raw key attributes carry the SAME expression id on
     # both sides — and the cogroup planner dedups right-side attributes
     # it thinks the left already provides, silently dropping the key
     # from the right frame. An alias mints a fresh expression id.
-    right_b = right.select(
-        *[F.col(c).alias(c) for c in on],
-        *[F.col(c).alias(f"{c}{suffix}") for c in carried],
-    ).withColumn("_bkt", bkt)
+    r_null = F.lit(False)
+    for c in [*on, right_ts]:
+        r_null = r_null | F.col(c).isNull()
+    right_b = (
+        right.where(~r_null)
+        .select(
+            *[F.col(c).alias(c) for c in on],
+            *[F.col(c).alias(f"{c}{suffix}") for c in carried],
+        )
+        .withColumn("_bkt", bkt)
+    )
     tol = pd.Timedelta(tolerance) if tolerance is not None else None
 
     def align(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
@@ -155,8 +185,9 @@ def as_of_join_cogroup(
         )
         return merged[out_cols]
 
-    return (
+    matched = (
         left_b.groupBy("_bkt")
         .cogroup(right_b.groupBy("_bkt"))
         .applyInPandas(align, schema=out_schema)
     )
+    return matched.unionByName(left_null)

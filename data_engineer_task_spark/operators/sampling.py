@@ -16,11 +16,17 @@ from pyspark.sql import functions as F
 _HEX = "0123456789abcdef"
 
 
-def _md5_byte0(col: Column) -> Column:
-    """First md5 byte (0-255) of the stringified column — a uniform,
+def _md5_byte0(col: Column, salt: str = "") -> Column:
+    """First md5 byte (0-255) of salt + stringified column — a uniform,
     engine-portable hash bucket (md5 hex is bit-identical everywhere;
-    ``xxhash64``/``hash`` are not portable to the SQL oracle)."""
-    h = F.md5(col.cast("string"))
+    ``xxhash64``/``hash`` are not portable to the SQL oracle).
+
+    ``salt`` makes each operator's hash INDEPENDENT. Without it, every
+    md5(id)-prefix operator keeps the same low-byte rows: a 20%
+    unsalted sample feeds hash_split nothing but 'train' rows (every
+    survivor has byte0 < 52 < the 204 train cut) — composing sample +
+    split would silently empty val/test."""
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
     hv = lambda p: F.instr(F.lit(_HEX), F.substring(h, p, 1)) - 1  # noqa: E731
     return hv(1) * 16 + hv(2)
 
@@ -32,10 +38,10 @@ def hash_split(
     cuts: tuple[tuple[str, int], ...] = (("train", 204), ("val", 230), ("test", 256)),
 ) -> DataFrame:
     """Deterministic train/val/test assignment: bucket = first md5 byte
-    of the id, split = first label whose cut exceeds the bucket
+    of 'split:' + id, split = first label whose cut exceeds the bucket
     (204/256 ≈ 80%, 230/256 ≈ 90%). Map-only — no shuffle, no state;
     any engine that can md5 reproduces the exact membership."""
-    b = _md5_byte0(F.col(id_col))
+    b = _md5_byte0(F.col(id_col), salt="split:")
     expr = F.lit(cuts[-1][0])
     for label, cut in reversed(cuts[:-1]):
         expr = F.when(b < cut, F.lit(label)).otherwise(expr)
@@ -79,21 +85,22 @@ def stratified_hash_sample(
     df: DataFrame, id_col: str, *, fraction: float
 ) -> DataFrame:
     """Deterministic ~``fraction`` sample: keep rows whose first md5
-    byte falls under fraction*256. Same rows survive on every run,
-    every engine, every partitioning — the property `df.sample()`
-    (seeded per-partition RNG) loses the moment data moves. Stratify
-    by grouping the RESULT on the stratum column: membership is
-    per-row, so every stratum is sampled at the same rate without
-    per-stratum passes."""
+    byte of 'strat:' + id falls under fraction*256. Same rows survive
+    on every run, every engine, every partitioning — the property
+    `df.sample()` (seeded per-partition RNG) loses the moment data
+    moves. Stratify by grouping the RESULT on the stratum column:
+    membership is per-row, so every stratum is sampled at the same rate
+    without per-stratum passes. The salt decorrelates membership from
+    hash_split's (see ``_md5_byte0``)."""
     cut = int(round(fraction * 256))
-    return df.where(_md5_byte0(F.col(id_col)) < cut)
+    return df.where(_md5_byte0(F.col(id_col), salt="strat:") < cut)
 
 
-def _md5_uint16(col: Column) -> Column:
-    """First two md5 bytes (0-65535) of the stringified column —
+def _md5_uint16(col: Column, salt: str = "") -> Column:
+    """First two md5 bytes (0-65535) of salt + stringified column —
     finer-grained portable uniform than ``_md5_byte0`` for
     probability-proportional acceptance tests."""
-    h = F.md5(col.cast("string"))
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
     hv = lambda p: F.instr(F.lit(_HEX), F.substring(h, p, 1)) - 1  # noqa: E731
     return ((hv(1) * 16 + hv(2)) * 16 + hv(3)) * 16 + hv(4)
 
@@ -108,16 +115,17 @@ def weighted_hash_sample(
     importance-weighted corpus downsample.
 
     Acceptance is ``u_i · W < rate · N · w_i · 65536`` with
-    ``u_i`` = first two md5 bytes of the id: one tiny count/sum
-    aggregate broadcast back (no second pass over rows), then a
-    map-only filter of IEEE-double products — bit-identical in any
-    engine that can md5, so the membership is reproducible across
+    ``u_i`` = first two md5 bytes of 'ws:' + id (salted so membership
+    is independent of hash_split / stratified_hash_sample): one tiny
+    count/sum aggregate broadcast back (no second pass over rows),
+    then a map-only filter of IEEE-double products — bit-identical in
+    any engine that can md5, so the membership is reproducible across
     runs, partitionings, and the SQL oracle."""
     tot = df.agg(
         F.sum(F.col(weight_col).cast("double")).alias("_W"),
         F.count(F.lit(1)).cast("double").alias("_N"),
     )
-    u = _md5_uint16(F.col(id_col)).cast("double")
+    u = _md5_uint16(F.col(id_col), salt="ws:").cast("double")
     return (
         df.crossJoin(F.broadcast(tot))
         .where(

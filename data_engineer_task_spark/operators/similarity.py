@@ -327,7 +327,12 @@ def ivf_topk(
     probe_rows = []
     for qid, qv in queries:
         q = np.asarray(list(qv), dtype=np.float64)
-        sims = (C @ q) / (cnorm * float(np.sqrt(q @ q)))
+        qn = float(np.sqrt(q @ q))
+        if qn == 0.0:
+            raise ValueError(f"query {qid!r} has zero norm — cosine undefined")
+        den = cnorm * qn
+        # zero-norm centroid (empty cell kept its init) → never probed
+        sims = np.where(den > 0, (C @ q) / np.where(den > 0, den, 1.0), -1.0)
         cells = np.argsort(-np.round(sims, round_to), kind="stable")[:nprobe]
         probe_rows.extend(
             (qid, int(c), [float(x) for x in q]) for c in cells
@@ -343,7 +348,10 @@ def ivf_topk(
         B = np.asarray(b.tolist(), dtype=np.float64)
         num = (A * B).sum(axis=1)
         den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
-        return pd.Series(np.round(num / den, round_to))
+        # zero-norm corpus vector → -1, not NaN (Spark sorts NaN ABOVE
+        # every real value on DESC, so a NaN would hijack rank 1)
+        sim = np.where(den > 0, num / np.where(den > 0, den, 1.0), -1.0)
+        return pd.Series(np.round(sim, round_to))
 
     cand = assigned.join(F.broadcast(probes), "cluster")
     w = W.partitionBy("query_id").orderBy(

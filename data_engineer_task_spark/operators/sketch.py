@@ -30,19 +30,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_HEX = "0123456789abcdef"
-
-
-def _md5_byte0_str(col: Column) -> Column:
-    """First md5 byte (0-255) of a string column (portable hash)."""
-    h = F.md5(col)
-    hv = lambda p: F.instr(F.lit(_HEX), F.substring(h, p, 1)) - 1  # noqa: E731
-    return hv(1) * 16 + hv(2)
+from .sampling import _md5_byte0
 
 
 def _bucket(j: Column | int, token: Column) -> Column:
     jcol = F.lit(j) if isinstance(j, int) else j
-    return _md5_byte0_str(
+    # shared engine-portable md5-byte helper (one copy to keep the
+    # Spark and SQL-oracle spellings in lockstep)
+    return _md5_byte0(
         F.concat(jcol.cast("string"), F.lit(":"), token.cast("string"))
     )
 
@@ -85,6 +80,8 @@ def cms_build(
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Merge sketches by cell-wise addition (exact, order-free)."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)

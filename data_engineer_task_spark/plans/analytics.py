@@ -58,11 +58,19 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
-_SPLIT_BYTE = (
-    "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
-    " * 16 + "
-    "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
-)
+def _md5_byte_sql(expr: str, salt: str) -> str:
+    """DuckDB spelling of sampling._md5_byte0(col, salt): first md5
+    byte of salt + expr. Salts keep each sampling operator's membership
+    independent (see operators/sampling.py)."""
+    h = f"md5('{salt}' || {expr})"
+    return (
+        f"(instr('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16 + "
+        f"(instr('0123456789abcdef', substr({h}, 2, 1)) - 1)"
+    )
+
+
+_SPLIT_BYTE = _md5_byte_sql("CAST(doc_id AS VARCHAR)", "split:")
+_STRAT_BYTE = _md5_byte_sql("CAST(doc_id AS VARCHAR)", "strat:")
 
 
 # ---------------------------------------------------------------------------
@@ -726,7 +734,7 @@ def rolling_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_stratified_sample",
     f"""
     WITH s AS (
-      SELECT doc_id, lang FROM documents WHERE {_SPLIT_BYTE} < 51
+      SELECT doc_id, lang FROM documents WHERE {_STRAT_BYTE} < 51
     ),
     t AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang)
     SELECT t.lang AS lang, CAST(t.n_total AS BIGINT) AS n_total,

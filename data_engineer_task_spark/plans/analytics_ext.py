@@ -845,13 +845,14 @@ def doc_token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("token")
     )
-    sketch = cms_build(tokens, "token", depth=4)
-    top10 = (
-        tokens.groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
-        .orderBy(F.desc("true_cnt"), F.asc("token"))
-        .limit(10)
+    # ONE vocabulary aggregation feeds both the sketch (via the
+    # pre-aggregated weight_col path) and the exact top-10 — the
+    # corpus-wide explode + token shuffle happens once, not twice.
+    vocab = tokens.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
     )
+    sketch = cms_build(vocab, "token", depth=4, weight_col="true_cnt")
+    top10 = vocab.orderBy(F.desc("true_cnt"), F.asc("token")).limit(10)
     return cms_estimate(sketch, top10, "token", depth=4).orderBy(
         F.desc("true_cnt"), F.asc("token")
     )
@@ -908,9 +909,12 @@ def purchase_click_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _md5_uint16_sql(expr: str) -> str:
+def _md5_uint16_sql(expr: str, salt: str = "ws:") -> str:
+    """DuckDB spelling of sampling._md5_uint16(col, salt) — salted so
+    weighted-sample membership is independent of the split/stratified
+    hashes (see operators/sampling.py::_md5_byte0)."""
     hv = lambda p: (  # noqa: E731
-        f"(instr('0123456789abcdef', substr(md5({expr}), {p}, 1)) - 1)"
+        f"(instr('0123456789abcdef', substr(md5('{salt}' || {expr}), {p}, 1)) - 1)"
     )
     return f"((({hv(1)} * 16 + {hv(2)}) * 16 + {hv(3)}) * 16 + {hv(4)})"
 

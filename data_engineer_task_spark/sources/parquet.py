@@ -124,20 +124,30 @@ def zorder_write(
     from pyspark.sql import functions as F
 
     stats = df.agg(
-        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
     ).collect()[0]
     top = (1 << bits) - 1
 
     norm = []
     for c in cols:
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None:
+            raise ValueError(
+                f"zorder column {c!r} has no numeric min/max "
+                "(empty table, all-NULL, or non-numeric column)"
+            )
         span = (mx - mn) or 1.0
         norm.append(
-            F.least(
-                F.lit(top),
-                ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top)
-                .cast("long"),
+            # NULL values cluster at bucket 0 (coalesce), not silently
+            # at the top bucket (least() would skip the null operand)
+            F.coalesce(
+                F.least(
+                    F.lit(top),
+                    ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top)
+                    .cast("long"),
+                ),
+                F.lit(0),
             )
         )
     z = F.lit(0).cast("long")

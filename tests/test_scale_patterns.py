@@ -518,3 +518,54 @@ def test_ivf_topk_exact_recall_on_blobs(spark):
         order = sorted(range(60), key=lambda i: (-sims[i], i))[:5]
         ivf_ids = [got[(qid, r)] for r in range(1, 6)]
         assert ivf_ids == order, (qid, ivf_ids, order)
+
+
+def test_as_of_join_cogroup_null_keys_and_timestamps(spark):
+    """SQL ASOF null semantics: null-key or null-ts left rows survive
+    unmatched (never crash the merge); null-bearing right rows match
+    nothing."""
+    from data_engineer_task_spark.operators.asof import as_of_join_cogroup
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "ok"),
+         (None, "2024-01-01 10:00:00", "nullkey"),
+         (1, None, "nullts")],
+        ["uid", "ts_s", "tag"],
+    ).select("uid", F.to_timestamp("ts_s").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00"),
+         (None, "2024-01-01 09:30:00"),   # null key: must match nothing
+         (1, None)],                       # null ts: must match nothing
+        ["uid", "ts_s"],
+    ).select("uid", F.to_timestamp("ts_s").alias("ts"))
+
+    out = {r["tag"]: r["ts_asof"] for r in
+           as_of_join_cogroup(left, right, "uid").collect()}
+    assert str(out["ok"]) == "2024-01-01 09:00:00"
+    assert out["nullkey"] is None
+    assert out["nullts"] is None
+    assert len(out) == 3  # every left row kept
+
+
+def test_sampling_hashes_are_mutually_independent(spark):
+    """Salted hashes: a weighted (or stratified) sample must feed
+    hash_split a full train/val/test mix — unsalted prefix hashes made
+    every survivor 'train' (low-byte rows only)."""
+    from data_engineer_task_spark.operators.sampling import (
+        hash_split,
+        stratified_hash_sample,
+        weighted_hash_sample,
+    )
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"), F.lit(10).alias("wt")
+    )
+    for sample in (
+        weighted_hash_sample(df, "doc_id", "wt", rate=0.2),
+        stratified_hash_sample(df, "doc_id", fraction=0.2),
+    ):
+        splits = {
+            r["split"]
+            for r in hash_split(sample, "doc_id").select("split").distinct().collect()
+        }
+        assert splits == {"train", "val", "test"}
