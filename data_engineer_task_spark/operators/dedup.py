@@ -107,7 +107,13 @@ def near_duplicates(
     of the widest frame in the pipeline — would move 100 TB to do what
     a map-side array op does for free. ``shingle_mode``: 'token'
     (k-token) or 'char' (k-char n-grams — tokenization-free, robust to
-    spacing/punctuation)."""
+    spacing/punctuation).
+
+    Caching note: three intermediates (sets/sigs/cands) stay persisted
+    after the returned DataFrame is consumed — they back its lineage,
+    so the operator cannot unpersist them itself. One-shot pipelines
+    are unaffected; loop/service callers should
+    ``spark.catalog.clearCache()`` between corpora."""
     from .text import char_shingle_array, token_shingle_array
 
     arr = {
@@ -156,6 +162,12 @@ def lsh_candidate_pairs(
     """Band the signature and self-join on (band index, band value):
     documents agreeing on ALL hashes of any band become a candidate
     pair. Returns distinct (id_a, id_b) with id_a < id_b."""
+    if n_hashes % band_size:
+        raise ValueError(
+            f"band_size={band_size} must divide n_hashes={n_hashes} — "
+            "otherwise the trailing hashes are computed but never banded, "
+            "silently changing LSH recall"
+        )
     n_bands = n_hashes // band_size
     bands = F.array(
         *[

@@ -62,6 +62,7 @@ def connected_components(
         .persist()
     )
     labels.count()
+    converged = False
     for _ in range(max_iters):
         nb_min = (
             sym.join(labels, sym["v"] == labels["node"])
@@ -90,9 +91,19 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
     und.unpersist()
+    if not converged:
+        # returning unconverged labels would silently split one real
+        # component into several clusters — downstream dedup would keep
+        # extra "survivors"; fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} sweeps "
+            "(component diameter exceeds max_iters); raise max_iters or "
+            "switch to the large-star/small-star variant for deep chains"
+        )
     return labels
 
 

@@ -88,7 +88,15 @@ def yoy_growth(
 
     Float division (Spark/DuckDB semantics), not Postgres integer
     division — SURVEY §2.4 D4.
+
+    Input rows are summed per year first, so duplicate year rows are
+    well-defined (lag over un-aggregated duplicates would compare a
+    year to ITSELF, nondeterministically nulling the next year's
+    growth). The window is deliberately unpartitioned: post-aggregate
+    cardinality is bounded by the number of distinct years (decades,
+    not data volume), so the single-task sort is trivial at any scale.
     """
+    df = df.groupBy(year_col).agg(F.sum(value_col).alias(value_col))
     w = Window.orderBy(year_col)
     prev_year = F.lag(year_col).over(w)
     prev_val = F.lag(value_col).over(w)

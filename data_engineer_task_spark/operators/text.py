@@ -24,9 +24,14 @@ _HEX = "0123456789abcdef"
 def tokenize(df: DataFrame, id_col: str, text_col: str, *, sep: str = " ") -> DataFrame:
     """One row per (id, pos, token); pos is 1-based (matches SQL
     ``generate_subscripts``). Order within a document is preserved by
-    ``posexplode`` so downstream window functions can rebuild it."""
+    ``posexplode`` so downstream window functions can rebuild it.
+    ``sep`` is a LITERAL separator (quoted with \\Q…\\E — F.split takes
+    a regex, so a raw '|' or '.' would otherwise split per character)."""
     return df.select(
-        id_col, F.posexplode(F.split(F.col(text_col), sep)).alias("pos0", "token")
+        id_col,
+        F.posexplode(F.split(F.col(text_col), f"\\Q{sep}\\E")).alias(
+            "pos0", "token"
+        ),
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "token")
 
 
@@ -51,8 +56,9 @@ def shingles(
 def token_shingle_array(text_col: Column, *, k: int = 3, sep: str = " ") -> Column:
     """Row-local array of k-token shingles (ordered by start position) —
     the building block shared by the exploding shingle frames and the
-    in-row distinct sets used by near-dup."""
-    toks = F.split(text_col, sep)
+    in-row distinct sets used by near-dup. ``sep`` is literal (\\Q…\\E
+    quoted), not a regex."""
+    toks = F.split(text_col, f"\\Q{sep}\\E")
     n = F.size(toks)
     starts = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")

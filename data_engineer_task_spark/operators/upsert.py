@@ -55,15 +55,35 @@ def scd2_merge(
     attribute.) Assumes one update row per key per batch (compact the
     batch with ``keep_latest`` first otherwise).
     """
-    cur = dim.where(F.col(current_col))
-    hist = dim.where(~F.col(current_col))
+    # NULL is_current routes to history (kept, never silently dropped);
+    # it can only arise from upstream corruption, and losing the row is
+    # strictly worse than carrying it as non-current.
+    is_cur_flag = F.coalesce(F.col(current_col), F.lit(False))
+    cur = dim.where(is_cur_flag)
+    hist = dim.where(~is_cur_flag)
+    eff_t = updates.schema[effective_col].dataType
     u = updates.select(
         *key_cols,
         *[F.col(c).alias(f"_u_{c}") for c in tracked_cols],
-        F.col(effective_col).alias("_u_eff"),
+        # a NULL effective date cannot version anything — fail loudly
+        # per-row instead of silently dropping the update (lazy check,
+        # costs one null test per update row)
+        F.when(
+            F.col(effective_col).isNull(),
+            F.raise_error(
+                F.lit(f"scd2_merge: NULL {effective_col} in updates")
+            ).cast(eff_t),
+        )
+        .otherwise(F.col(effective_col))
+        .alias("_u_eff"),
+        F.lit(True).alias("_u_present"),
     )
     j = cur.join(u, key_cols, "full_outer")
-    has_update = F.col("_u_eff").isNotNull()
+    # presence markers survive the outer join as non-null literals —
+    # unlike data columns, which may be legitimately null
+    has_update = F.col("_u_present").isNotNull()
+    # every cur-slice row carries a literal TRUE current flag (the
+    # coalesce filter above), so non-null ⇔ the key had a current row
     has_current = F.col(current_col).isNotNull()
     same = F.lit(True)
     for c in tracked_cols:

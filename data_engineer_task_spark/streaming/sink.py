@@ -6,21 +6,39 @@ a transactional format that's ``MERGE INTO``; on plain parquet the
 equivalent is this foreachBatch pattern: each micro-batch merges into
 the previous snapshot with ``keep_latest`` and commits a NEW versioned
 snapshot directory, then atomically swaps a pointer file. Readers
-always see a complete snapshot (never a half-written directory), and a
-retried epoch rewrites its own snapshot dir — idempotent, because the
-merge input (previous pointer + replayed batch) is unchanged. This is
-the snapshot-isolation core of a table format, small enough to audit.
+always see a complete snapshot (never a half-written directory); a
+replayed epoch whose commit already landed is detected via the pointer
+and skipped — idempotent without ever reading and overwriting the same
+directory. This is the snapshot-isolation core of a table format,
+small enough to audit.
 """
 
 from __future__ import annotations
 
 import os
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.upsert import keep_latest
 
 _POINTER = "_LATEST"
+
+
+def _check_local(path: str) -> None:
+    """The pointer/vacuum bookkeeping uses driver-local file APIs
+    (atomic os.replace for the pointer swap). On a remote scheme those
+    would silently write to the driver's local disk while the data
+    lands remotely — every epoch would then see prev=None and emit a
+    batch-only 'snapshot'. Refuse loudly; a cluster deployment swaps
+    these few calls onto the Hadoop FileSystem API or a transactional
+    table format."""
+    scheme = urlparse(path).scheme
+    if scheme not in ("", "file"):
+        raise NotImplementedError(
+            f"snapshot sink bookkeeping is local-filesystem only (got "
+            f"{scheme!r}); port the pointer ops to Hadoop FS for {path!r}"
+        )
 
 
 def read_snapshot(
@@ -30,6 +48,7 @@ def read_snapshot(
     specific retained ``version`` ("v3" or 3) — time travel across the
     epochs ``vacuum`` hasn't reclaimed. None before the first commit;
     ValueError for a named version that doesn't exist."""
+    _check_local(out_dir)
     if version is not None:
         v = version if isinstance(version, str) else f"v{version}"
         path = os.path.join(out_dir, v)
@@ -46,6 +65,7 @@ def read_snapshot(
 
 def list_versions(out_dir: str) -> list[str]:
     """Retained snapshot versions, oldest → newest (epoch order)."""
+    _check_local(out_dir)
     if not os.path.isdir(out_dir):
         return []
     vs = [
@@ -64,6 +84,7 @@ def vacuum(out_dir: str, *, keep_last: int = 1) -> list[str]:
     Returns the versions removed."""
     import shutil
 
+    _check_local(out_dir)
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     ptr = os.path.join(out_dir, _POINTER)
@@ -117,11 +138,36 @@ def stream_merge_to_warehouse(
     """Start the merge sink on a streaming DataFrame; returns the
     StreamingQuery (caller drives/stops it). Each epoch:
     previous snapshot ∪ batch → keep_latest → snapshot v{epoch} →
-    pointer swap."""
+    pointer swap.
+
+    Replay safety: an epoch whose commit already landed (pointer ==
+    v{epoch}) is skipped — without the guard the merge would READ the
+    pointer's snapshot and OVERWRITE the same directory, which Spark
+    rejects ('cannot overwrite a path that is also being read from'),
+    wedging the query on every restart. An epoch LOWER than the
+    committed pointer means the source was restarted without its
+    checkpoint (epoch ids reset to 0) — that must fail loudly, not
+    overwrite old versions and rewind the pointer past newer
+    snapshots."""
+    _check_local(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     spark = stream_df.sparkSession
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        ptr = os.path.join(out_dir, _POINTER)
+        cur = None
+        if os.path.exists(ptr):
+            with open(ptr) as fh:
+                cur = int(fh.read().strip().lstrip("v"))
+        if cur is not None:
+            if epoch_id == cur:
+                return  # replay of a fully-committed epoch — idempotent skip
+            if epoch_id < cur:
+                raise RuntimeError(
+                    f"epoch {epoch_id} < committed v{cur}: the stream was "
+                    "restarted without its checkpoint; reuse checkpoint_dir "
+                    "or start a fresh out_dir"
+                )
         prev = read_snapshot(spark, out_dir)
         base = prev.unionByName(batch_df) if prev is not None else batch_df
         merged = keep_latest(base, key_cols, version_cols)

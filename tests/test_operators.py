@@ -589,3 +589,76 @@ def test_decode_media_arrow_matches_pandas_path(spark):
     a = rows(decode_media(media, "doc_id", "media"))
     b = rows(decode_media_arrow(media, "doc_id", "media"))
     assert a == b and len(a) == 3
+
+
+def test_scd2_merge_null_handling(spark):
+    """NULL is_current dim rows survive as history (not silently lost);
+    a NULL effective date in updates raises instead of silently
+    dropping the update."""
+    from pyspark.sql.utils import PythonException
+
+    from data_engineer_task_spark.operators.upsert import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, "A", "2024-01-01", None, True),
+         (2, "B", "2024-01-01", "2030-01-01", None)],   # corrupted flag
+        ["k", "attr", "valid_from", "valid_to", "is_current"],
+    ).selectExpr("k", "attr", "CAST(valid_from AS DATE) valid_from",
+                 "CAST(valid_to AS DATE) valid_to", "is_current")
+    updates = spark.createDataFrame(
+        [(1, "A2", "2024-06-01")], ["k", "attr", "eff"]
+    ).selectExpr("k", "attr", "CAST(eff AS DATE) eff")
+
+    out = scd2_merge(dim, updates, ["k"], ["attr"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    assert len(by_key[1]) == 2                    # closed + reopened
+    assert len(by_key[2]) == 1                    # corrupted row KEPT
+    assert by_key[2][0]["attr"] == "B"
+
+    bad = spark.createDataFrame(
+        [(3, "C", None)], "k long, attr string, eff string"
+    ).selectExpr("k", "attr", "CAST(eff AS DATE) eff")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="NULL eff"):
+        scd2_merge(dim, bad, ["k"], ["attr"]).collect()
+
+
+def test_scd2_merge_new_key_inserted(spark):
+    from data_engineer_task_spark.operators.upsert import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, "A", "2024-01-01", "2099-12-31", True)],
+        ["k", "attr", "valid_from", "valid_to", "is_current"],
+    ).selectExpr("k", "attr", "CAST(valid_from AS DATE) valid_from",
+                 "CAST(valid_to AS DATE) valid_to", "is_current")
+    updates = spark.createDataFrame(
+        [(9, "NEW", "2024-06-01")], ["k", "attr", "eff"]
+    ).selectExpr("k", "attr", "CAST(eff AS DATE) eff")
+    rows = {r["k"]: r for r in scd2_merge(dim, updates, ["k"], ["attr"]).collect()}
+    assert rows[9]["attr"] == "NEW" and rows[9]["is_current"]
+
+
+def test_lsh_band_size_must_divide(spark):
+    from data_engineer_task_spark.operators.dedup import lsh_candidate_pairs
+
+    sigs = spark.createDataFrame([(1, *range(8))],
+                                 ["id", *[f"mh_{i}" for i in range(8)]])
+    with pytest.raises(ValueError, match="must divide"):
+        lsh_candidate_pairs(sigs, "id", n_hashes=8, band_size=3)
+
+
+def test_tokenize_sep_is_literal_not_regex(spark):
+    df = spark.createDataFrame([(1, "ab|cd")], ["id", "text"])
+    got = [r["token"] for r in
+           tokenize(df, "id", "text", sep="|").orderBy("pos").collect()]
+    assert got == ["ab", "cd"]  # '|' as regex would split per character
+
+
+def test_yoy_growth_duplicate_year_rows_are_summed(spark):
+    df = spark.createDataFrame(
+        [(2000, 6), (2000, 4), (2001, 20)], ["y", "n"]
+    )
+    rows = {r["y"]: r["growth_pct"] for r in yoy_growth(df, "y", "n").collect()}
+    assert rows[2001] == 100.0  # (20-10)/10 — duplicates summed, not raced

@@ -569,3 +569,23 @@ def test_sampling_hashes_are_mutually_independent(spark):
             for r in hash_split(sample, "doc_id").select("split").distinct().collect()
         }
         assert splits == {"train", "val", "test"}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A chain deeper than max_iters must fail loudly — unconverged
+    labels would silently split one component into several clusters."""
+    import pytest
+
+    from data_engineer_task_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2, driver_threshold=0)
+    # the same chain converges on the (equivalent) union-find path —
+    # full distributed convergence is exercised at 3-4 sweeps by the
+    # near_dup_clusters pipeline; 10+ sweeps here would cost minutes
+    # of per-sweep replanning for no extra coverage
+    labels = connected_components(chain, max_iters=15, driver_threshold=10**6)
+    assert {r["cluster"] for r in labels.collect()} == {0}
