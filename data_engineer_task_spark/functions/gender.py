@@ -82,9 +82,15 @@ def with_gender(
     first_name_col: str = "first_name",
     gender_col: str = "gender",
 ) -> DataFrame:
-    """Broadcast-join gender onto ``df``; unmatched → 'unknown'."""
+    """Broadcast-join gender onto ``df``; unmatched → 'unknown'.
+
+    The lookup's value column is renamed to a reserved temp name before
+    the join, so the output carries EXACTLY one new column
+    (``gender_col``) — no raw 'gender' leak when ``gender_col`` is
+    customized, no AMBIGUOUS_REFERENCE when ``df`` already has one."""
     keyed = df.withColumn("_name_key", F.lower(F.col(first_name_col)))
-    joined = keyed.join(F.broadcast(lookup), "_name_key", "left")
+    lk = lookup.select("_name_key", F.col("gender").alias("_lk_gender"))
+    joined = keyed.join(F.broadcast(lk), "_name_key", "left")
     return joined.withColumn(
-        gender_col, F.coalesce(F.col("gender"), F.lit("unknown"))
-    ).drop("_name_key")
+        gender_col, F.coalesce(F.col("_lk_gender"), F.lit("unknown"))
+    ).drop("_name_key", "_lk_gender")

@@ -33,7 +33,9 @@ def explode_multivalue(
     """
     out_col = out_col or col
     element = F.explode_outer if keep_null_rows else F.explode
-    exploded = element(F.split(F.col(col), sep)).alias("__elem")
+    # \Q…\E: F.split takes a regex; a raw '|' or '.' separator would
+    # otherwise split per character (see operators/text.py::tokenize)
+    exploded = element(F.split(F.col(col), f"\\Q{sep}\\E")).alias("__elem")
     value = F.trim(F.col("__elem")) if trim else F.col("__elem")
     others = [c for c in df.columns if c != col]
     return df.select(*others, exploded).withColumn(out_col, value).drop("__elem")

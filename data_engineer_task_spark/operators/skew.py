@@ -26,8 +26,15 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with the small side replicated ``n_salts``× and the big
-    side salted uniformly. Exact for inner/left joins (each big row
-    joins exactly the one replica matching its salt)."""
+    side salted uniformly. Exact for inner/left-shaped joins (each big
+    row joins exactly the one replica matching its salt); right/full
+    would keep every unmatched replica — n_salts duplicates — so they
+    are rejected."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r}: an outer "
+            "small side would emit each unmatched row once per salt replica"
+        )
     on = [on] if isinstance(on, str) else list(on)
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))

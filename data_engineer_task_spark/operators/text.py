@@ -153,7 +153,12 @@ def token_stats(
         n_chars.cast("long").alias("char_count"),
         F.round(avg_len.cast("double"), 4).alias("avg_token_len"),
         F.round((n_stop / n_tok).cast("double"), 4).alias("stopword_ratio"),
-        F.round((n_punct / n_chars).cast("double"), 4).alias("punct_ratio"),
+        # empty text ⇒ n_chars=0: NULL ratio, not an ANSI
+        # DIVIDE_BY_ZERO crash (a quality gate must SURVIVE the rows
+        # it exists to reject; n_tok is never 0 — split('') = [''])
+        F.round(
+            F.when(n_chars > 0, (n_punct / n_chars)).cast("double"), 4
+        ).alias("punct_ratio"),
     )
 
 

@@ -772,9 +772,10 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH g AS (
       SELECT user_id,
-             CASE WHEN date_diff('second',
-                                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
-                                 ts) > 3600
+             CASE WHEN epoch_us(ts)
+                       - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts))
+                       > CAST(3600 AS BIGINT) * 1000000
                   THEN 1 ELSE 0 END AS brk
       FROM events
     )

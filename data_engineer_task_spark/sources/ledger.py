@@ -14,8 +14,6 @@ not in this image, stubbed at the format layer) — the API here stays.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -28,10 +26,21 @@ class Ledger:
         self.path = path
 
     def _exists(self) -> bool:
-        # one driver-side FS check, not a Spark job
-        return os.path.isdir(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
-        )
+        """One driver-side FS check, not a Spark job — via the Hadoop
+        FileSystem API so any scheme the session can read works
+        (file://, hdfs://, s3a://); an os.listdir here would silently
+        report 'never seen' for every remote ledger and re-run every
+        pipeline."""
+        sc = self.spark.sparkContext
+        jvm = sc._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return False
+        for status in fs.listStatus(hpath):
+            if status.getPath().getName().endswith(".parquet"):
+                return True
+        return False
 
     def seen(self, name: str) -> bool:
         if not self._exists():

@@ -123,9 +123,13 @@ def zorder_write(
     ~``n_files^((d-1)/d)`` of the files instead of all of them."""
     from pyspark.sql import functions as F
 
+    # nanvl: NaN → NULL so min/max ignore it (NaN sorts above every
+    # double, so F.max would otherwise return NaN, poisoning span and
+    # making every row's ANSI cast-to-long throw CAST_OVERFLOW)
+    num = {c: F.nanvl(F.col(c).cast("double"), F.lit(None)) for c in cols}
     stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+        *[F.min(num[c]).alias(f"mn_{c}") for c in cols],
+        *[F.max(num[c]).alias(f"mx_{c}") for c in cols],
     ).collect()[0]
     top = (1 << bits) - 1
 
@@ -139,13 +143,13 @@ def zorder_write(
             )
         span = (mx - mn) or 1.0
         norm.append(
-            # NULL values cluster at bucket 0 (coalesce), not silently
-            # at the top bucket (least() would skip the null operand)
+            # NULL and NaN values cluster at bucket 0 (coalesce), not
+            # silently at the top bucket (least() would skip the null
+            # operand) and never through an ANSI NaN→long cast
             F.coalesce(
                 F.least(
                     F.lit(top),
-                    ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top)
-                    .cast("long"),
+                    ((num[c] - F.lit(mn)) / F.lit(span) * top).cast("long"),
                 ),
                 F.lit(0),
             )

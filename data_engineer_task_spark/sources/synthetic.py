@@ -95,19 +95,33 @@ class _StreamReader(DataSourceStreamReader):
         self.rows_per_batch = int(options.get("rows_per_batch", 500))
         self.n_parts = int(options.get("num_partitions", 2))
         self.seed = int(options.get("seed", 0))
-        self._hwm = 0
+        self._next = 0   # offset generator (what latestOffset hands out)
+        self._floor = 0  # proven progress (rows below are already emitted)
 
     def initialOffset(self):
         return {"idx": 0}
 
     def latestOffset(self):
-        self._hwm += self.rows_per_batch
-        return {"idx": self._hwm}
+        self._next = max(self._next, self._floor) + self.rows_per_batch
+        return {"idx": self._next}
 
     def partitions(self, start, end):
+        # Restart safety: a fresh reader starts at 0, but the
+        # checkpoint may restore an offset far ahead — latestOffset()
+        # would then regress BEHIND the committed offset, and a later
+        # batch spanning the stale range would re-emit committed rows,
+        # breaking the exactly-once resume this class promises. The
+        # floor records how far the stream is PROVEN to have progressed
+        # (any planned range is such proof); rows below it are never
+        # emitted again. Kept separate from the _next generator: the
+        # pending latestOffset value is NOT progress yet.
         lo, hi = start["idx"], end["idx"]
-        step = max(1, (hi - lo) // self.n_parts)
-        bounds = list(range(lo, hi, step)) + [hi]
+        floor = max(self._floor, lo)
+        self._floor = max(floor, hi)
+        if hi <= floor:
+            return []
+        step = max(1, (hi - floor) // self.n_parts)
+        bounds = list(range(floor, hi, step)) + [hi]
         return [
             _RangePartition(a, b, self.seed)
             for a, b in zip(bounds, bounds[1:])
@@ -119,7 +133,7 @@ class _StreamReader(DataSourceStreamReader):
             yield _row(i, partition.seed)
 
     def commit(self, end):
-        pass
+        self._floor = max(self._floor, end["idx"])
 
 
 class SyntheticEventsDataSource(DataSource):

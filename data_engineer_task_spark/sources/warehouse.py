@@ -22,7 +22,9 @@ def create_table(
     spark: SparkSession, name: str, schema: T.StructType, *, comment: str = ""
 ) -> None:
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
-    comment_sql = f" COMMENT '{comment}'" if comment else ""
+    # '' doubling: the one escape SQL string literals need — an
+    # unescaped quote in the comment would break (or splice into) the DDL
+    comment_sql = f" COMMENT '{comment.replace(chr(39), chr(39) * 2)}'" if comment else ""
     spark.sql(f"CREATE TABLE IF NOT EXISTS `{name}` ({cols}) USING parquet{comment_sql}")
 
 

@@ -38,6 +38,37 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
+
+def _as_glob(path: str) -> str:
+    """File-source paths must be a directory or glob, not a bare file.
+    Globs only the BASENAME (a dirname containing '.parquet' must not
+    be rewritten)."""
+    head, _, tail = path.rpartition("/")
+    if path.endswith("*") or "." not in tail:
+        return path
+    return f"{head}/{tail.replace('.parquet', '*.parquet')}"
+
+
+def _drive_to_memory(df, query_name: str, *, output_mode: str,
+                     checkpoint_dir: str | None = None) -> None:
+    """Run a streaming frame synchronously to completion into a memory
+    sink (shared drive block for every run_*_once wrapper)."""
+    spark = df.sparkSession
+    with _stream_shuffle_partitions(spark):
+        writer = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+        )
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        q = writer.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+
 def _schema_with_ts(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
         [
@@ -85,9 +116,12 @@ def sessionize(
     ``session_window``/``applyInPandasWithState``; batch form kept
     separate because the oracle comparison needs a deterministic
     batch program."""
+    # micro-precision gap: a seconds-truncating cast('long') would
+    # merge sessions whose gap is e.g. 3600.9s (> the 3600s break)
+    # — same rationale as operators/rangejoin.py
     w = W.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
-    new_sess = F.when(gap > gap_seconds, 1).otherwise(0)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap > gap_seconds * 1_000_000, 1).otherwise(0)
     sess = events.select("user_id", "ts").withColumn("brk", new_sess)
     return (
         sess.groupBy("user_id")
@@ -146,12 +180,7 @@ def run_stream_dedup_once(
     returned frame aggregates it per event_type, which the batch SQL
     oracle reproduces from the ORIGINAL table — streaming union+dedup
     must be an exact identity."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    glob_path = (
-        events_path
-        if events_path.endswith("*") or "." not in events_path.rsplit("/", 1)[-1]
-        else events_path.replace(".parquet", "*.parquet")
-    )
+    glob_path = _as_glob(events_path)
     # The delay must exceed the stream's event-time DISORDER: rows older
     # than (max ts seen - delay) are dropped as late, and duplicates
     # separated by more than the delay would both survive. The test
@@ -164,17 +193,7 @@ def run_stream_dedup_once(
     deduped = doubled.withWatermark(
         "ts", watermark_delay
     ).dropDuplicatesWithinWatermark(["event_id"])
-    with _stream_shuffle_partitions(spark):
-        q = (
-            deduped.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(query_name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    _drive_to_memory(deduped, query_name, output_mode="append")
     return spark.sql(
         f"SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "  # noqa: S608
         f"round(sum(value), 2) AS total_value "
@@ -197,12 +216,7 @@ def run_stream_interval_join_once(
     advancement the way outer-join unmatched rows do. The memory sink
     collects the matches; the returned frame is the per-purchase click
     count, which the batch oracle reproduces with a plain range join."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    glob_path = (
-        events_path
-        if events_path.endswith("*") or "." not in events_path.rsplit("/", 1)[-1]
-        else events_path.replace(".parquet", "*.parquet")
-    )
+    glob_path = _as_glob(events_path)
     p = (
         _event_stream(spark, glob_path)
         .where(F.col("event_type") == "purchase")
@@ -223,17 +237,7 @@ def run_stream_interval_join_once(
         ),
         "inner",
     ).select("event_id", "user_id", "c_ts")
-    with _stream_shuffle_partitions(spark):
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(query_name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    _drive_to_memory(joined, query_name, output_mode="append")
     return spark.sql(
         f"SELECT event_id, user_id, CAST(count(*) AS BIGINT) AS n_clicks_30m "  # noqa: S608
         f"FROM {query_name} GROUP BY event_id, user_id ORDER BY event_id"
@@ -256,24 +260,10 @@ def run_stream_once(
     resumes from the restored state — the exactly-once resume contract
     (tests restart it against a grown source directory).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # The file source needs a directory/glob, not a bare file path.
-    glob_path = (
-        events_path if events_path.endswith("*") or "." not in events_path.rsplit("/", 1)[-1]
-        else events_path.replace(".parquet", "*.parquet")
-    )
+    glob_path = _as_glob(events_path)
     agg = hourly_event_counts(_event_stream(spark, glob_path))
-    writer = agg.writeStream.outputMode("complete").format("memory").queryName(
-        query_name
-    )
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    with _stream_shuffle_partitions(spark):
-        q = writer.start()
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    _drive_to_memory(agg, query_name, output_mode="complete",
+                     checkpoint_dir=checkpoint_dir)
     return spark.sql(
         f"SELECT * FROM {query_name} ORDER BY hour, event_type"  # noqa: S608
     )
