@@ -35,30 +35,43 @@ def as_of_join(
     suffix: str = "_asof",
 ) -> DataFrame:
     """Backward as-of join. Output: every left row + ``{right_ts}{suffix}``
-    (+ each right value col suffixed), NULL where no prior right row."""
+    (+ each right value col suffixed), NULL where no prior right row.
+
+    The right payload travels as ONE struct filled with a single
+    ``last(ignorenulls)``: filling each carried column independently
+    would stitch values from DIFFERENT right rows whenever the matched
+    row holds a NULL value (an older row's value would leak under the
+    newer row's timestamp — a tuple no right row ever contained).
+    Right rows with a NULL key or timestamp are filtered (SQL ASOF
+    semantics: they can match nothing; a NULL ts would also sort
+    NULLS-FIRST and phantom-fill every left row)."""
     on = [on] if isinstance(on, str) else list(on)
     carried = [right_ts, *right_value_cols]
 
     left_payload = [c for c in left.columns if c not in on and c != left_ts]
-    right_types = dict(right.dtypes)
     left_types = dict(left.dtypes)
+    rsch = {f.name: f for f in right.schema.fields}
+    pay_type = T.StructType(
+        [T.StructField(c, rsch[c].dataType, True) for c in carried]
+    )
+
+    r_ok = F.lit(True)
+    for c in [*on, right_ts]:
+        r_ok = r_ok & F.col(c).isNotNull()
 
     l_side = left.select(
         *on,
         F.col(left_ts).cast("timestamp").alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left_payload],
-        *[
-            F.lit(None).cast(right_types[c]).alias(f"{c}{suffix}")
-            for c in carried
-        ],
+        F.lit(None).cast(pay_type).alias("_rpay"),
     )
-    r_side = right.select(
+    r_side = right.where(r_ok).select(
         *on,
         F.col(right_ts).cast("timestamp").alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left_types[c]).alias(c) for c in left_payload],
-        *[F.col(c).alias(f"{c}{suffix}") for c in carried],
+        F.struct(*[F.col(c).alias(c) for c in carried]).alias("_rpay"),
     )
 
     w = (
@@ -66,16 +79,14 @@ def as_of_join(
         .orderBy("_ts", "_side")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    filled = l_side.unionByName(r_side)
-    for c in carried:
-        filled = filled.withColumn(
-            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
-        )
+    filled = l_side.unionByName(r_side).withColumn(
+        "_rpay", F.last("_rpay", ignorenulls=True).over(w)
+    )
     return filled.where(F.col("_side") == 1).select(
         *on,
         F.col("_ts").alias(left_ts),
         *left_payload,
-        *[F.col(f"{c}{suffix}") for c in carried],
+        *[F.col(f"_rpay.{c}").alias(f"{c}{suffix}") for c in carried],
     )
 
 
@@ -97,9 +108,9 @@ def as_of_join_cogroup(
     and ``tolerance`` (a pandas offset string, e.g. '1 hour') —
     semantics the union-marker window form can't express (nearest
     needs both temporal directions at once; tolerance bounds the match
-    window). Nulls follow SQL ASOF semantics: null keys/timestamps
-    never match (left rows kept unmatched, right rows dropped) —
-    unlike the window form, which groups null keys together.
+    window). Nulls follow SQL ASOF semantics, same as the window form:
+    null keys/timestamps never match (left rows kept unmatched, right
+    rows dropped).
 
     Shape at scale: the cogroup key is a COARSE hash bucket of the join
     key (``buckets`` of them), not the key itself — ``pd.merge_asof``'s
@@ -133,9 +144,7 @@ def as_of_join_cogroup(
     # SQL ASOF semantics for nulls: a null key or null timestamp never
     # matches. Null-bearing left rows bypass the merge (kept, unmatched)
     # — pd.merge_asof refuses null merge keys outright; null-bearing
-    # right rows can match nothing and are dropped. NOTE this is where
-    # the two forms differ: the window-based as_of_join groups null
-    # keys together (Spark partitionBy treats nulls as equal).
+    # right rows can match nothing and are dropped.
     nullable = [*on, left_ts]
     null_cond = F.lit(False)
     for c in nullable:

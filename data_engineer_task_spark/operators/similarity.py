@@ -29,20 +29,17 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential left-fold — deterministic summation order."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+def _safe_cos(num: "np.ndarray", den: "np.ndarray", round_to: int) -> "np.ndarray":
+    """Cosine with zero-norm degenerate pairs pinned to -1 instead of
+    NaN: numpy propagates 0/0 → NaN, Spark sorts NaN ABOVE every real
+    value on DESC (desc_nulls_last does not catch NaN), and numpy
+    comparisons with NaN are False — so an unguarded kernel lets one
+    zero-norm vector hijack rank 1 of every top-k while silently
+    vanishing from thresholded pair sets. -1 ranks it last and keeps
+    it out of any threshold >= -1, deterministically."""
+    return np.round(
+        np.where(den > 0, num / np.where(den > 0, den, 1.0), -1.0), round_to
     )
-
-
-def l2_norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
-
-
-def with_norm(df: DataFrame, vec_col: str) -> DataFrame:
-    v = as_double(F.col(vec_col))
-    return df.withColumn("_v", v).withColumn("_norm", l2_norm(F.col("_v")))
 
 
 def cosine_topk(
@@ -76,12 +73,15 @@ def cosine_topk(
     qids = [r[id_col] for r in qrows]
     Q = np.asarray([r["_v"] for r in qrows], dtype=np.float64)
     qnorm = np.sqrt((Q * Q).sum(axis=1))
+    if (qnorm == 0).any():
+        bad = [q for q, n in zip(qids, qnorm) if n == 0]
+        raise ValueError(f"zero-norm query vector(s) {bad!r} — cosine undefined")
 
     @F.pandas_udf("array<double>")
     def sims(vs: pd.Series) -> pd.Series:
         V = np.asarray(vs.tolist(), dtype=np.float64)
         norm = np.sqrt((V * V).sum(axis=1))
-        S = np.round((V @ Q.T) / (norm[:, None] * qnorm[None, :]), round_to)
+        S = _safe_cos(V @ Q.T, norm[:, None] * qnorm[None, :], round_to)
         return pd.Series(list(S))
 
     qid_lit = F.array(*[F.lit(q) for q in qids])
@@ -145,7 +145,7 @@ def bucketed_similar_pairs(
         ids = pdf[id_col].to_numpy()
         V = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
         norm = np.sqrt((V * V).sum(axis=1))
-        S = np.round((V @ V.T) / np.outer(norm, norm), round_to)
+        S = _safe_cos(V @ V.T, np.outer(norm, norm), round_to)
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = S[ia, ib] >= threshold
         return pd.DataFrame(
@@ -243,7 +243,13 @@ def kmeans_fit(
             for r in rows
         }
         centroids = [new.get(c, centroids[c]) for c in range(k)]
-    return centroids, _assign_to_centroids(base, centroids)
+    final = _assign_to_centroids(base, centroids)
+    # The cache served its purpose (one scan per iteration); release
+    # it so repeated fits don't pin corpus copies for the session
+    # lifetime. Consuming `final` re-reads the source once —
+    # deterministic, and cheaper than a leaked cache under pressure.
+    base.unpersist(blocking=False)
+    return centroids, final
 
 
 def ivf_assign(
@@ -267,6 +273,12 @@ def ivf_assign(
     cids = [r[id_col] for r in crows]
     C = np.asarray([r["_v"] for r in crows], dtype=np.float64)
     cnorm = np.sqrt((C * C).sum(axis=1))
+    if (cnorm == 0).any():
+        bad = [cid for cid, n in zip(cids, cnorm) if n == 0]
+        raise ValueError(
+            f"centroid_filter selected zero-norm vector(s) {bad!r} — an "
+            "unguarded NaN column would capture the entire corpus"
+        )
 
     # The centroid table is O(k·d) — it rides in the UDF closure, so
     # assignment is a map-only scan (no cross join, no per-vector
@@ -279,7 +291,7 @@ def ivf_assign(
     def best(vs):
         V = np.asarray(vs.tolist(), dtype=np.float64)
         norm = np.sqrt((V * V).sum(axis=1))
-        S = np.round((V @ C.T) / (norm[:, None] * cnorm[None, :]), round_to)
+        S = _safe_cos(V @ C.T, norm[:, None] * cnorm[None, :], round_to)
         ci = S.argmax(axis=1)
         return pd.DataFrame(
             {

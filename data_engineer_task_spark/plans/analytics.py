@@ -1294,9 +1294,11 @@ _EMB_BASE = """
     """,
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k (query rows broadcast against the full
-    table; native zip_with/aggregate fold — no UDF). The correctness
-    baseline for the bucketed ANN variant."""
+    """Brute-force cosine top-k (query rows ride in the scorer's
+    closure against the full table; one Arrow-batched numpy matmul per
+    record batch — see operators/similarity.py module docstring for
+    why dense vector math avoids interpreted HOF folds). The
+    correctness baseline for the bucketed ANN variant."""
     from ..operators.similarity import cosine_topk
 
     emb = _t_wide(spark, sf_dir, "embeddings")

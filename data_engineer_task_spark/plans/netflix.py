@@ -129,26 +129,32 @@ class NetflixPipeline:
         self.ledger = Ledger(spark, f"{self.warehouse}/history")
 
     def run(self, csv_path: str, *, force: bool = False) -> StarSchema | None:
+        """``force=True`` re-ingests by REPLACING the star tables (the
+        reference's DEBUG branch purges before re-running for the same
+        reason, ``task.py:281-287``) — appending a second copy would
+        silently double every analytics answer. A forced ingest is
+        also recorded in the ledger if absent, so the next plain run
+        stays idempotent."""
         name = csv_path.rsplit("/", 1)[-1]
         if not force and self.ledger.seen(name):
             return None  # already ingested — idempotency (ref task.py:289)
         raw = extract(self.spark, csv_path)
         star = transform(raw, gender_lookup_df(self.spark))
-        self.load(star)
+        self.load(star, mode="overwrite" if force else "append")
         # Record only AFTER a successful load — the reference inserts
         # during the pre-check (task.py:239), which poisons the ledger
         # when a later stage fails and makes retries silently no-op.
-        if not force:
+        if not self.ledger.seen(name):
             self.ledger.record(name)
         return star
 
-    def load(self, star: StarSchema) -> None:
-        """T2: append star tables to the parquet warehouse. FK load
+    def load(self, star: StarSchema, *, mode: str = "append") -> None:
+        """T2: write star tables to the parquet warehouse. FK load
         order is irrelevant here (no enforced constraints), kept anyway
         for parity with ``task.py:154-166``."""
         for table_name in ("shows", "personnel", "movie_crew", "listings"):
             write_parquet(
-                getattr(star, table_name), f"{self.warehouse}/{table_name}", mode="append"
+                getattr(star, table_name), f"{self.warehouse}/{table_name}", mode=mode
             )
 
     def table(self, name: str) -> DataFrame:

@@ -589,3 +589,29 @@ def test_connected_components_raises_when_unconverged(spark):
     # of per-sweep replanning for no extra coverage
     labels = connected_components(chain, max_iters=15, driver_threshold=10**6)
     assert {r["cluster"] for r in labels.collect()} == {0}
+
+
+def test_as_of_join_payload_is_atomic_per_matched_row(spark):
+    """Carried value columns must come from THE matched right row: a
+    NULL value on the matched row stays NULL (no older row's value
+    leaking under the newer timestamp), and a right row with NULL ts
+    never phantom-fills."""
+    from data_engineer_task_spark.operators.asof import (
+        as_of_join,
+        as_of_join_cogroup,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:03", "p")], ["uid", "ts_s", "tag"]
+    ).select("uid", F.to_timestamp("ts_s").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:01", "A"),
+         (1, "2024-01-01 10:00:02", None),   # matched row: NULL value
+         (1, None, "PHANTOM")],              # null ts: must never match
+        ["uid", "ts_s", "v"],
+    ).select("uid", F.to_timestamp("ts_s").alias("ts"), "v")
+
+    for impl in (as_of_join, as_of_join_cogroup):
+        row = impl(left, right, "uid", right_value_cols=["v"]).collect()[0]
+        assert str(row["ts_asof"]) == "2024-01-01 10:00:02", impl.__name__
+        assert row["v_asof"] is None, impl.__name__  # NOT 'A', NOT 'PHANTOM'
