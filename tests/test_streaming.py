@@ -316,3 +316,51 @@ def test_snapshot_diff_is_exact_upsert_set(spark, events_stream_dir, tmp_path):
     assert got == want
     # and the feed is minimal: nothing in it already existed verbatim
     assert feed.intersect(read_snapshot(spark, out, v_prev)).count() == 0
+
+
+def test_merge_sink_replay_skip_and_checkpointless_restart_guard(spark, events_stream_dir, tmp_path):
+    """Replay of a committed epoch is a no-op (same pointer, no
+    read-and-overwrite wedge); restarting WITHOUT the checkpoint
+    (epoch ids reset to 0 below the committed pointer) fails loudly
+    instead of rewinding the pointer over old snapshots."""
+    import os
+
+    from data_engineer_task_spark.streaming.sink import (
+        read_snapshot,
+        stream_merge_to_warehouse,
+    )
+
+    out = str(tmp_path / "wh")
+    q = stream_merge_to_warehouse(
+        _event_stream(spark, events_stream_dir), out,
+        ["user_id", "event_type"], ["ts", "event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    with open(os.path.join(out, "_LATEST")) as fh:
+        committed = fh.read().strip()
+    n_rows = read_snapshot(spark, out).count()
+
+    # fresh checkpoint, same out_dir → epoch 0 < committed pointer
+    q2 = stream_merge_to_warehouse(
+        _event_stream(spark, events_stream_dir), out,
+        ["user_id", "event_type"], ["ts", "event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    failed = False
+    try:
+        q2.processAllAvailable()
+    except Exception as ex:
+        failed = True
+        assert "restarted without its checkpoint" in str(ex)
+    finally:
+        q2.stop()
+    assert failed
+
+    # the committed state is untouched: same pointer, same rows
+    with open(os.path.join(out, "_LATEST")) as fh:
+        assert fh.read().strip() == committed
+    assert read_snapshot(spark, out).count() == n_rows
