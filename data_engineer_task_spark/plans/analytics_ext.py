@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .analytics import _SPLIT_BYTE, _t, q
+from .analytics import _SPLIT_BYTE, _md5_byte_sql, _t, q
 
 
 @q(
@@ -1196,4 +1196,91 @@ def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
         .orderBy("cohort_week", "week_offset")
+    )
+
+
+@q(
+    "doc_source_capped_sample",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_md5_byte_sql("CAST(doc_id AS VARCHAR)", "cap:")},
+                        doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)   AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM ranked WHERE rn <= 50
+    GROUP BY source ORDER BY source
+    """,
+)
+def doc_source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source balancing: cap each source at 50 documents, chosen by a
+    salted-hash order (deterministic lottery — no rand(), and the
+    'cap:' salt keeps the pick independent of the split/sample
+    hashes). One shuffle on source; WindowGroupLimit pushes the rn<=50
+    filter below the sort, so an over-represented crawl never
+    dominates the mix. The id_sum is the membership checksum."""
+    from ..operators.sampling import _md5_byte0
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    w = W.partitionBy("source").orderBy(
+        _md5_byte0(F.col("doc_id"), salt="cap:"), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "doc_bigram_counts",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.token, t.pos
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS token,
+                           generate_subscripts(string_split(text, ' '), 1) AS pos) t
+    ),
+    bi AS (
+      SELECT a.token AS w1, b.token AS w2
+      FROM toks a JOIN toks b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    )
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+    FROM bi GROUP BY w1, w2
+    ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 30
+    """,
+)
+def doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram table (the n-gram-LM / phrase-mining primitive),
+    built IN-ROW: each document zips its token array with its own tail
+    (arrays_zip + slice) so adjacent pairs never need a positional
+    self-join — the only shuffle is the final count over (w1, w2). The
+    oracle spells the same pairs relationally (pos+1 self-join)."""
+    from .analytics import _t_wide
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n1).alias("w1"),
+        F.slice(toks, 2, n1).alias("w2"),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(30)
     )
