@@ -312,3 +312,25 @@ if _udtf is not None:
 
 else:  # pragma: no cover
     FixedChunker = None
+
+
+def normalize_text(
+    text_col: Column,
+    *,
+    lowercase: bool = True,
+    strip_punct: str = r"[.,!?;:]",
+    collapse_ws: bool = True,
+) -> Column:
+    """Standard corpus text normalization, entirely in codegen:
+    lowercase → punctuation strip → whitespace collapse → trim. The
+    canonical pre-dedup cleanup (near-dup recall improves when case and
+    punctuation noise are gone). Each step is a toggle so pipelines can
+    normalize exactly as far as their dedup key requires."""
+    out = text_col
+    if lowercase:
+        out = F.lower(out)
+    if strip_punct:
+        out = F.regexp_replace(out, strip_punct, "")
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out

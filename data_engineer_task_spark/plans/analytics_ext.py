@@ -1284,3 +1284,46 @@ def doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
         .limit(30)
     )
+
+
+@q(
+    "doc_normalization_profile",
+    r"""
+    WITH n AS (
+      SELECT lang, text,
+             trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+                                 '\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                                 AS n_docs,
+           CAST(sum(len(text)) AS BIGINT)                           AS chars_raw,
+           CAST(sum(len(norm)) AS BIGINT)                           AS chars_norm,
+           CAST(sum(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed
+    FROM n GROUP BY lang ORDER BY lang
+    """,
+)
+def doc_normalization_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language effect of the standard text normalization
+    (lowercase, punctuation strip, whitespace collapse) — the pre-dedup
+    cleanup pass. Map-only projection in codegen, one tiny groupBy;
+    char deltas quantify how much surface noise each language slice
+    carries. DuckDB needs the 'g' flag for global regexp_replace —
+    Spark replaces all matches by default."""
+    from ..operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    n = docs.withColumn("norm", normalize_text(F.col("text")))
+    return (
+        n.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("chars_raw"),
+            F.sum(F.length("norm")).cast("long").alias("chars_norm"),
+            F.sum((F.col("norm") != F.col("text")).cast("long"))
+            .cast("long")
+            .alias("n_changed"),
+        )
+        .orderBy("lang")
+    )
