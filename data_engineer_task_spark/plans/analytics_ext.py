@@ -1327,3 +1327,79 @@ def doc_normalization_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@q(
+    "doc_bigram_collocations",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.token, t.pos
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS token,
+                           generate_subscripts(string_split(text, ' '), 1) AS pos) t
+    ),
+    uni AS (SELECT token, CAST(count(*) AS BIGINT) AS u FROM toks GROUP BY token),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS t_uni FROM toks),
+    bi AS (
+      SELECT a.token AS w1, b.token AS w2, CAST(count(*) AS BIGINT) AS b
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.token, b.token
+    ),
+    btot AS (SELECT CAST(sum(b) AS DOUBLE) AS t_bi FROM bi)
+    SELECT w1, w2, b AS n_pair,
+           round((b / t_bi) / ((u1.u / t_uni) * (u2.u / t_uni)), 3) AS lift
+    FROM bi, tot, btot
+    JOIN uni u1 ON u1.token = bi.w1
+    JOIN uni u2 ON u2.token = bi.w2
+    WHERE b >= 5
+    ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 25
+    """,
+)
+def doc_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: bigram lift (the exp of PMI) — how much more
+    often a pair co-occurs than its unigrams predict. Pure ×/÷
+    arithmetic instead of log() keeps the score bit-identical across
+    engines (libm ln differs in the last ulp); the unigram marginal
+    table broadcasts onto the bigram table, so beyond the token counts
+    nothing re-shuffles. b>=5 is the standard low-count PMI guard."""
+    from .analytics import _t_wide
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n1).alias("w1"), F.slice(toks, 2, n1).alias("w2")
+    )
+    unigrams = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("u"))
+    )
+    t_uni = unigrams.agg(F.sum("u").cast("double").alias("t_uni"))
+    bigrams = (
+        docs.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("b"))
+        .where(F.col("b") >= 5)
+    )
+    t_bi = (
+        docs.select(F.explode(pairs).alias("p"))
+        .agg(F.count(F.lit(1)).cast("double").alias("t_bi"))
+    )
+    u1 = unigrams.select(F.col("token").alias("w1"), F.col("u").alias("u1"))
+    u2 = unigrams.select(F.col("token").alias("w2"), F.col("u").alias("u2"))
+    lift = (F.col("b") / F.col("t_bi")) / (
+        (F.col("u1") / F.col("t_uni")) * (F.col("u2") / F.col("t_uni"))
+    )
+    return (
+        bigrams.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_bi))
+        .select(
+            "w1", "w2", F.col("b").alias("n_pair"),
+            F.round(lift, 3).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(25)
+    )
