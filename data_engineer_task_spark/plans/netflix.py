@@ -21,6 +21,7 @@ Faithful quirks preserved (golden numbers depend on them, SURVEY §2.2):
 
 from __future__ import annotations
 
+import hashlib
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +36,10 @@ from ..sources.ledger import Ledger
 from ..sources.parquet import write_parquet
 
 
+def _ingest_digest(name: str) -> str:
+    return hashlib.md5(name.encode()).hexdigest()[:12]
+
+
 @dataclass
 class StarSchema:
     shows: DataFrame
@@ -44,8 +49,11 @@ class StarSchema:
 
 
 def extract(spark: SparkSession, path: str) -> DataFrame:
-    """T1: CSV scan with explicit schema + RFC-4180 quoting."""
-    return read_csv(spark, path, SHOWS_RAW)
+    """T1: CSV scan with explicit schema + RFC-4180 quoting. The
+    catalog embeds newlines inside quoted fields, so this source pays
+    the multiLine single-task-per-file cost knowingly (see
+    ``sources/csv.py``)."""
+    return read_csv(spark, path, SHOWS_RAW, multi_line=True)
 
 
 def _crew_pairs(raw: DataFrame, col: str, personnel_type: str) -> DataFrame:
@@ -104,12 +112,18 @@ def transform(raw: DataFrame, gender_lookup: DataFrame) -> StarSchema:
     # shows: parse date_added (T7 — trim handles the 88 leading-space
     # rows [verified]); drop the multi-valued source columns (ref
     # ``task.py:137``).
+    # try_to_timestamp: under Spark 4's default ANSI mode a plain
+    # to_timestamp would ABORT the whole job on one malformed date —
+    # unparseable values must become NULL (the column's declared
+    # contract), not kill a 100 TB ingest.
     shows = raw.select(
         "show_id",
         "type",
         "title",
         "country",
-        F.to_timestamp(F.trim("date_added"), "MMMM d, yyyy").alias("date_added"),
+        F.try_to_timestamp(F.trim("date_added"), F.lit("MMMM d, yyyy")).alias(
+            "date_added"
+        ),
         "release_year",
         "rating",
         "duration",
@@ -129,33 +143,63 @@ class NetflixPipeline:
         self.ledger = Ledger(spark, f"{self.warehouse}/history")
 
     def run(self, csv_path: str, *, force: bool = False) -> StarSchema | None:
-        """``force=True`` re-ingests by REPLACING the star tables (the
-        reference's DEBUG branch purges before re-running for the same
-        reason, ``task.py:281-287``) — appending a second copy would
-        silently double every analytics answer. A forced ingest is
-        also recorded in the ledger if absent, so the next plain run
-        stays idempotent."""
-        name = csv_path.rsplit("/", 1)[-1]
+        """Each ingest writes into its OWN warehouse subdirectory
+        (keyed by a digest of the input path) with overwrite mode, so:
+
+        - a retry after a partial-load crash overwrites its own
+          half-written slice instead of appending a duplicate copy
+          (the ledger is only written after a successful load, so the
+          retry path is the NORMAL path);
+        - ``force=True`` re-ingests by replacing that same slice;
+        - different input files coexist side by side, each slice
+          carrying an ``_ingest`` provenance column — cross-ingest
+          analytics must group/join per ingest, since show ids and
+          surrogate personnel ids are only unique within one input
+          (the reference is a single-CSV program; SURVEY §2.4 D2).
+
+        The ledger keys on the FULL input path, like the reference's
+        ``check_history(args.input)`` (``task.py:289``) — basename-only
+        keying would silently skip a different file that happens to
+        share a name."""
+        name = csv_path
         if not force and self.ledger.seen(name):
             return None  # already ingested — idempotency (ref task.py:289)
-        raw = extract(self.spark, csv_path)
+        raw = extract(self.spark, csv_path).persist()
         star = transform(raw, gender_lookup_df(self.spark))
-        self.load(star, mode="overwrite" if force else "append")
-        # Record only AFTER a successful load — the reference inserts
-        # during the pre-check (task.py:239), which poisons the ledger
-        # when a later stage fails and makes retries silently no-op.
-        if not self.ledger.seen(name):
-            self.ledger.record(name)
+        # personnel feeds its own write AND the movie_crew broadcast;
+        # raw feeds all four tables — cache both so the four write
+        # actions don't re-parse the CSV and re-sort the names per
+        # table (lazy plans re-execute per action otherwise).
+        star.personnel.persist()
+        try:
+            self.load(star, ingest=_ingest_digest(name))
+            # Record only AFTER a successful load — the reference
+            # inserts during the pre-check (task.py:239), which poisons
+            # the ledger when a later stage fails and makes retries
+            # silently no-op.
+            if not self.ledger.seen(name):
+                self.ledger.record(name)
+        finally:
+            star.personnel.unpersist(False)
+            raw.unpersist(False)
         return star
 
-    def load(self, star: StarSchema, *, mode: str = "append") -> None:
-        """T2: write star tables to the parquet warehouse. FK load
-        order is irrelevant here (no enforced constraints), kept anyway
-        for parity with ``task.py:154-166``."""
+    def load(self, star: StarSchema, *, ingest: str) -> None:
+        """T2: write star tables into the ingest's warehouse slice.
+        FK load order is irrelevant here (no enforced constraints),
+        kept anyway for parity with ``task.py:154-166``."""
         for table_name in ("shows", "personnel", "movie_crew", "listings"):
             write_parquet(
-                getattr(star, table_name), f"{self.warehouse}/{table_name}", mode=mode
+                getattr(star, table_name).withColumn("_ingest", F.lit(ingest)),
+                f"{self.warehouse}/{table_name}/{ingest}",
+                mode="overwrite",
             )
 
     def table(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(f"{self.warehouse}/{name}")
+        """All ingest slices of a star table (recursive read — the
+        slice dirs are plain nesting, not partition columns; provenance
+        travels in the ``_ingest`` data column instead)."""
+        return (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(f"{self.warehouse}/{name}")
+        )

@@ -84,11 +84,19 @@ NETFLIX_SQL: dict[str, str] = {
         )
         SELECT p.name AS name, count(*) AS n
         FROM in_cohort mc JOIN personnel p ON mc.personnel_id = p.id
-        WHERE p.gender IN ('female', 'unknown') AND p.name <> :name
+        WHERE array_contains(:genders, p.gender) AND p.name <> :name
         GROUP BY p.name
-        HAVING count(*) >= 2
+        HAVING count(*) >= :min_shows
         ORDER BY n DESC NULLS LAST, name ASC
     """,
+}
+
+# Per-query default binds: keeps the SQL surface parameter-compatible
+# with its DataFrame twin (netflix_queries.frequent_costars takes
+# genders/min_shows) — hard-coded literals here would silently diverge
+# from any non-default DataFrame call.
+_DEFAULT_PARAMS: dict[str, dict] = {
+    "frequent_costars": {"genders": ["female", "unknown"], "min_shows": 2},
 }
 
 
@@ -98,9 +106,9 @@ def register_star(star) -> None:
         getattr(star, name).createOrReplaceTempView(name)
 
 
-def run_sql(
-    spark: SparkSession, query: str, **params: str | int
-) -> DataFrame:
+def run_sql(spark: SparkSession, query: str, **params) -> DataFrame:
     """Execute a named query with bound parameters (no string
-    splicing)."""
-    return spark.sql(NETFLIX_SQL[query], args=params or None)
+    splicing). Per-query defaults fill any bind the caller omits, so
+    the SQL surface accepts the same knobs as its DataFrame twin."""
+    args = {**_DEFAULT_PARAMS.get(query, {}), **params}
+    return spark.sql(NETFLIX_SQL[query], args=args or None)

@@ -18,7 +18,7 @@ def read_csv(
     schema: T.StructType | None = None,
     *,
     header: bool = True,
-    multi_line: bool = True,
+    multi_line: bool = False,
     mode: str = "PERMISSIVE",
     corrupt_col: str | None = None,
 ) -> DataFrame:
@@ -28,7 +28,13 @@ def read_csv(
     an explicit ``schema``), PERMISSIVE additionally captures each bad
     row's RAW text in that column for quarantine-table routing, so a
     100 TB ingest keeps its rejects auditable instead of silently
-    nulled."""
+    nulled.
+
+    ``multi_line`` defaults OFF because it makes every file
+    single-task (a multiLine CSV can't be split at newlines) — zero
+    intra-file parallelism on a big feed. Turn it on only for sources
+    whose quoted fields genuinely embed newlines (the Netflix catalog
+    does)."""
     reader = (
         spark.read.option("header", header)
         .option("quote", '"')

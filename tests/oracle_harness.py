@@ -8,6 +8,7 @@ row count, column names, and an order-insensitive value comparison
 from __future__ import annotations
 
 import math
+from decimal import Decimal
 from typing import Any
 
 import duckdb
@@ -27,6 +28,11 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _norm(v: Any) -> Any:
     if isinstance(v, bool):
         return int(v)
+    if isinstance(v, Decimal):
+        # Decimal (Spark DecimalType) vs float (DuckDB double) must
+        # canonicalize identically, or repr-sorting permutes the two
+        # sides differently and equal results report as mismatched
+        return round(float(v), 9) + 0.0
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

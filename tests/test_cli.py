@@ -42,7 +42,10 @@ def test_cli_etl_end_to_end_with_ledger_skip(spark, netflix_csv, tmp_path, caplo
     with caplog.at_level(logging.INFO, logger="data_engineer_task_spark"):
         assert main(["-i", netflix_csv, "--warehouse", wh, "--force"]) == 0
     assert "shows with no crew: 299" in caplog.text  # not 598
-    assert spark.read.parquet(f"{wh}/shows").count() == 7787
+    shows = (
+        spark.read.option("recursiveFileLookup", "true").parquet(f"{wh}/shows")
+    )
+    assert shows.count() == 7787
 
 
 def test_cli_maintain_compact_and_zorder(spark, tmp_path, capsys):

@@ -147,3 +147,32 @@ def test_sql_forms_match_dataframe_forms(spark, star):
     assert rows(run_sql(spark, "frequent_costars", name=woody)) == rows(
         q.frequent_costars(star.personnel, star.movie_crew, woody)
     )
+
+
+def test_pipeline_multi_ingest_slices_and_full_path_ledger(spark, netflix_csv, tmp_path):
+    """Two inputs sharing a BASENAME in different directories are
+    distinct to the ledger (full-path keying, like the reference's
+    check_history(args.input)); each lands in its own warehouse slice
+    with an _ingest provenance value, and re-running one input
+    overwrites its own slice instead of appending a duplicate."""
+    import shutil
+
+    from data_engineer_task_spark.plans.netflix import NetflixPipeline
+
+    other_dir = tmp_path / "2021"
+    other_dir.mkdir()
+    other_csv = str(other_dir / netflix_csv.rsplit("/", 1)[-1])
+    shutil.copy(netflix_csv, other_csv)
+
+    pipe = NetflixPipeline(spark, str(tmp_path / "wh"))
+    assert pipe.run(netflix_csv) is not None
+    assert pipe.run(other_csv) is not None      # same basename — NOT skipped
+    assert pipe.run(other_csv) is None          # exact same path — skipped
+
+    shows = pipe.table("shows")
+    assert shows.count() == 2 * 7787
+    assert shows.select("_ingest").distinct().count() == 2
+
+    # forced re-ingest replaces its own slice only
+    assert pipe.run(other_csv, force=True) is not None
+    assert pipe.table("shows").count() == 2 * 7787
