@@ -1403,3 +1403,99 @@ def doc_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
         .limit(25)
     )
+
+
+@q(
+    "full_priority_coverage_customers",
+    """
+    WITH pr AS (SELECT DISTINCT o_orderpriority FROM orders),
+    need AS (SELECT CAST(count(*) AS BIGINT) AS need FROM pr),
+    cover AS (
+      SELECT o_custkey,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.o_custkey, c.n_priorities, c.n_orders
+    FROM cover c, need
+    WHERE c.n_priorities = need.need
+    ORDER BY c.o_custkey
+    """,
+)
+def full_priority_coverage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (the FOR-ALL query family — absent from the
+    reference, SURVEY §2.5): customers who have placed orders at EVERY
+    priority level. Division by counting: distinct covered values per
+    customer == universe size, one aggregate over the fact table
+    instead of the textbook double-NOT-EXISTS (two correlated
+    anti-join passes). The universe count broadcasts as a one-row
+    frame."""
+    orders = _t(spark, sf_dir, "orders")
+    need = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("need"))
+    )
+    cover = orders.groupBy("o_custkey").agg(
+        F.count_distinct("o_orderpriority").cast("long").alias("n_priorities"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    return (
+        cover.crossJoin(F.broadcast(need))
+        .where(F.col("n_priorities") == F.col("need"))
+        .select("o_custkey", "n_priorities", "n_orders")
+        .orderBy("o_custkey")
+    )
+
+
+@q(
+    "customer_rfm_segments",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, frequency, monetary,
+             ntile(4) OVER (ORDER BY last_order ASC, o_custkey ASC) AS r_q,
+             ntile(4) OVER (ORDER BY frequency ASC, o_custkey ASC) AS f_q,
+             ntile(4) OVER (ORDER BY monetary ASC, o_custkey ASC) AS m_q
+      FROM per_cust
+    )
+    SELECT r_q, f_q, m_q,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(monetary), 2) AS total_monetary
+    FROM scored GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles) —
+    the classic customer-scoring matrix. One fact aggregate, then
+    three ntile windows over the per-customer table (bounded by
+    customer count, not fact volume); custkey tie-breaks make every
+    quartile assignment engine-identical. Output is the segment-cell
+    census."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = per_cust.select(
+        "o_custkey", "frequency", "monetary",
+        F.ntile(4).over(W.orderBy(F.asc("last_order"), F.asc("o_custkey"))).alias("r_q"),
+        F.ntile(4).over(W.orderBy(F.asc("frequency"), F.asc("o_custkey"))).alias("f_q"),
+        F.ntile(4).over(W.orderBy(F.asc("monetary"), F.asc("o_custkey"))).alias("m_q"),
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("total_monetary"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
