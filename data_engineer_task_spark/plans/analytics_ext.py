@@ -1499,3 +1499,42 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+@q(
+    "order_price_histogram",
+    """
+    WITH b AS (
+      SELECT CAST(least(floor((o_totalprice - 0.0) / 25000.0), 19) AS INT)
+               AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           round(bucket * 25000.0, 1)       AS lo,
+           round((bucket + 1) * 25000.0, 1) AS hi,
+           CAST(count(*) AS BIGINT)         AS n_orders
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (fixed $25k buckets, top bucket clamped) —
+    the profiling complement to the equi-depth `segment_balance_deciles`
+    (ntile) and the exact/approx quantile entries. Pure map-side floor
+    arithmetic + a bucket-count shuffle bounded by bucket count, so
+    the shape is scan-dominated at any volume."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 25000.0), F.lit(19)
+    ).cast("int")
+    return (
+        orders.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") * 25000.0, 1).alias("lo"),
+            F.round((F.col("bucket") + 1) * 25000.0, 1).alias("hi"),
+            "n_orders",
+        )
+        .orderBy("bucket")
+    )
