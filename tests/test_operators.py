@@ -662,3 +662,23 @@ def test_yoy_growth_duplicate_year_rows_are_summed(spark):
     )
     rows = {r["y"]: r["growth_pct"] for r in yoy_growth(df, "y", "n").collect()}
     assert rows[2001] == 100.0  # (20-10)/10 — duplicates summed, not raced
+
+
+def test_normalize_text_steps_and_toggles(spark):
+    from data_engineer_task_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello,  WORLD!? it's   fine.  ")], ["id", "text"]
+    )
+    full = df.select(normalize_text(F.col("text")).alias("n")).collect()[0]["n"]
+    assert full == "hello world it's fine"  # [.,!?;:] stripped, ws collapsed
+
+    keep_case = df.select(
+        normalize_text(F.col("text"), lowercase=False).alias("n")
+    ).collect()[0]["n"]
+    assert keep_case == "Hello WORLD it's fine"
+
+    no_collapse = df.select(
+        normalize_text(F.col("text"), collapse_ws=False).alias("n")
+    ).collect()[0]["n"]
+    assert "  " in no_collapse  # collapse genuinely toggled off
