@@ -26,6 +26,10 @@ from pyspark.sql import functions as F
 
 from .analytics import _SPLIT_BYTE, _md5_byte_sql, _t, q
 
+# Third-batch entries register themselves the same way on import (kept
+# in a sibling module so this file stays navigable). The import lives
+# at the bottom of the module.
+
 
 @q(
     "brand_metric_unpivot",
@@ -1538,3 +1542,7 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# Third-batch entries register themselves into QUERIES/ORACLE on import.
+from . import analytics_ext2  # noqa: E402,F401  isort:skip

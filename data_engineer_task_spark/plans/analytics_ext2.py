@@ -1,0 +1,656 @@
+"""Third batch of declared inventory entries — operator families the
+first two batches did not yet cover, each paired with a DuckDB oracle:
+
+ - benchmark-contamination detection (trigram overlap vs a held-out set)
+ - intra-document repetition profiling (Gopher-style duplicate n-grams)
+ - Zipf rank/frequency curve over the corpus vocabulary
+ - Markov transition matrix over per-user event sequences
+ - inter-arrival time percentiles (lag diffs per user/type)
+ - OHLC time-bar downsampling (first/last/min/max per hour)
+ - listagg / ordered array_agg (bounded grouped string assembly)
+ - column-level null/distinct table profiling (one-pass + unpivot)
+ - int8 scalar quantization round-trip error for embeddings
+ - class-balanced deterministic downsampling (per-language)
+
+Registered into the same ``QUERIES`` / ``ORACLE`` dicts via the ``q``
+decorator. Authoring rules are the ones at the top of ``analytics.py``
+(identical aliases both sides, rounded floats, BIGINT casts, explicit
+null ordering + deterministic tie-breaks, no raw timestamps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .analytics import _t, _t_wide, q
+
+
+def _tokens(col: str = "text"):
+    """Whitespace tokens of a document (driver docs are single-space
+    word soup; split on the literal space, regex-quoted)."""
+    return F.split(F.col(col), r"\Q \E")
+
+
+def _ngrams(toks, n: int):
+    """In-row n-gram assembly: transform over a bounded index sequence
+    — no positional self-join, no explode before the gram is formed
+    (SCALING.md: shingles built IN-ROW). Short docs yield an empty
+    array, not an error."""
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.expr("array()"))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[toks[i + k] for k in range(n)])
+    )
+
+
+# DuckDB spelling of the same in-row trigram build. range(1, L-1) is
+# empty for L < 3 — same guard as the Spark side.
+_DUCK_TRIGRAMS = (
+    "list_transform(range(1, greatest(len(ts) - 1, 1)), "
+    "i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])"
+)
+_DUCK_BIGRAMS = (
+    "list_transform(range(1, greatest(len(ts), 1)), "
+    "i -> ts[i] || ' ' || ts[i+1])"
+)
+
+
+@q(
+    "doc_contamination_overlap",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, list_distinct({_DUCK_TRIGRAMS}) AS gs FROM toks
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, source, unnest(gs) AS g, len(gs) AS n_grams
+      FROM grams WHERE doc_id % 97 <> 0
+    ),
+    hits AS (
+      SELECT c.doc_id, c.source, c.n_grams,
+             CAST(count(b.g) AS BIGINT) AS n_hits
+      FROM corpus c LEFT JOIN bench b ON c.g = b.g
+      GROUP BY c.doc_id, c.source, c.n_grams
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           round(avg(CAST(n_hits AS DOUBLE) / n_grams), 4) AS avg_overlap
+    FROM hits GROUP BY source ORDER BY source
+    """,
+)
+def doc_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection — the decontamination pass
+    every training-data pipeline runs before a model ships: fraction of
+    each document's distinct trigrams that also appear in a held-out
+    "benchmark" set (here: docs with ``doc_id % 97 == 0``, a
+    deterministic stand-in for an external eval suite). Trigrams are
+    built IN-ROW (transform over a bounded index sequence — no
+    positional self-join), the benchmark gram set is distinct-collapsed
+    and BROADCAST into the corpus-gram probe (benchmark suites are
+    KB–MB scale; the corpus never shuffles on gram), and per-doc hit
+    counts aggregate map-side. At 100 TB the corpus side stays a scan
+    → in-row fan-out → broadcast-hash probe → two bounded aggregates."""
+    toks = _tokens()
+    grams = (
+        _t_wide(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(_ngrams(toks, 3)).alias("gs"),
+        )
+    )
+    bench = (
+        grams.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    corpus = (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "source", F.size("gs").alias("n_grams"), F.explode("gs").alias("g"))
+    )
+    hits = (
+        corpus.join(F.broadcast(bench.withColumnRenamed("g", "bg")),
+                    corpus["g"] == F.col("bg"), "left")
+        .groupBy("doc_id", "source", "n_grams")
+        .agg(F.count("bg").cast("long").alias("n_hits"))
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.round(
+                F.avg(F.col("n_hits").cast("double") / F.col("n_grams")), 4
+            ).alias("avg_overlap"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "doc_repetition_profile",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, source, {_DUCK_BIGRAMS} AS gs FROM toks
+    ),
+    frac AS (
+      SELECT source,
+             1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) AS rep
+      FROM bg WHERE len(gs) > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(rep), 4) AS avg_repetition,
+           round(max(rep), 4) AS max_repetition,
+           CAST(sum(CASE WHEN rep > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repetitious
+    FROM frac GROUP BY source ORDER BY source
+    """,
+)
+def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality signal): the
+    fraction of a document's bigrams that are duplicates of an earlier
+    bigram in the SAME document. Entirely in-row array math (split →
+    transform → array_distinct → size) — zero joins, zero explodes;
+    the only shuffle is the final per-source aggregate over scalar
+    fractions. The map-side shape is what makes this viable as a
+    pre-filter over 100 TB of raw crawl text."""
+    toks = _tokens()
+    gs = _ngrams(toks, 2)
+    frac = (
+        _t_wide(spark, sf_dir, "documents")
+        .select(
+            "source",
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct(gs)).cast("double") / F.size(gs)
+            ).alias("rep"),
+            F.size(gs).alias("n_bg"),
+        )
+        .where(F.col("n_bg") > 0)
+    )
+    return (
+        frac.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("rep"), 4).alias("avg_repetition"),
+            F.round(F.max("rep"), 4).alias("max_repetition"),
+            F.sum(F.when(F.col("rep") > 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_repetitious"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "corpus_zipf_curve",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n
+      FROM tok GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+      FROM counts
+    )
+    SELECT rank, token, n,
+           round(CAST(n AS DOUBLE)
+                 / lag(n) OVER (ORDER BY rank ASC), 4) AS ratio_to_prev
+    FROM ranked WHERE rank <= 20 ORDER BY rank
+    """,
+)
+def corpus_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank/frequency curve of the corpus vocabulary: top-20
+    tokens with their rank and the frequency ratio to the
+    next-more-frequent token. Token counts aggregate map-side
+    (partial agg) before the vocabulary-sized shuffle; the rank +
+    lag windows then run over a VOCABULARY-bounded table (≪ corpus),
+    and WindowGroupLimit bounds the top-k sort. Deterministic
+    tie-break: token ASC at equal counts."""
+    tok = (
+        _t_wide(spark, sf_dir, "documents")
+        .select(F.explode(_tokens()).alias("token"))
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = W.orderBy(F.desc("n"), F.asc("token"))
+    ranked = counts.select(
+        "token", "n", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= 20)
+    return ranked.select(
+        "rank",
+        "token",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.lag("n").over(W.orderBy(F.asc("rank"))),
+            4,
+        ).alias("ratio_to_prev"),
+    ).orderBy("rank")
+
+
+@q(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ) AS to_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_type), 4) AS prob
+    FROM pairs ORDER BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the session-modeling primitive behind next-action
+    prediction features). One shuffle on user_id for the lead window,
+    one bounded aggregate on (from, to) — the row-probability
+    normalization runs as a window over the TYPE²-bounded matrix, not
+    the fact table. Ordering ties broken by event_id so consecutive
+    same-timestamp events sequence identically in every engine."""
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id")))
+        .alias("to_type"),
+    )
+    pairs = (
+        seq.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("from_type")),
+            4,
+        ).alias("prob"),
+    ).orderBy("from_type", "to_type")
+
+
+@q(
+    "event_interarrival_stats",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(date_diff('microsecond',
+                            lag(ts) OVER (
+                              PARTITION BY user_id, event_type
+                              ORDER BY ts ASC, event_id ASC
+                            ), ts) AS DOUBLE) / 1000000.0 AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_s) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_s, 0.5)::DOUBLE, 3) AS p50_gap_s,
+           round(quantile_cont(gap_s, 0.9)::DOUBLE, 3) AS p90_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type: lag-diff within
+    (user, type), then exact interpolated percentiles of the gap in
+    seconds. The window shuffles once on the composite key; the
+    percentile aggregates over per-type groups (exact form declared
+    for the oracle — ``percentile_approx`` is the same call shape at
+    100 TB, per the quantile entry's scale note). Microsecond diffs
+    keep the arithmetic integer-exact before the single division."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    gaps = ev.select(
+        "event_type",
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).cast(
+                "double"
+            )
+            / 1000000.0
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_s").cast("long").alias("n_gaps"),
+            F.round(F.expr("percentile(gap_s, 0.5)"), 3).alias("p50_gap_s"),
+            F.round(F.expr("percentile(gap_s, 0.9)"), 3).alias("p90_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "event_hourly_ohlc",
+    """
+    WITH ranked AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, value,
+             row_number() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts ASC, event_id ASC) AS rn_first,
+             row_number() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM events
+    )
+    SELECT event_type, strftime(hr, '%Y-%m-%d %H') AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(max(CASE WHEN rn_first = 1 THEN value END), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(max(CASE WHEN rn_last = 1 THEN value END), 2) AS close
+    FROM ranked GROUP BY event_type, hr
+    ORDER BY event_type, hour
+    LIMIT 200
+    """,
+)
+def event_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling (the time-series compaction primitive:
+    open / high / low / close per hour per series). Both row_number
+    windows share one (type, hour) partitioning → a single shuffle,
+    two in-partition sorts; the conditional max folds first/last into
+    the same grouped aggregate as min/max/count. Ties at equal ts
+    break on event_id, making open/close engine-identical. Bounded to
+    200 bars for a stable declared output."""
+    ev = _t(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    pw = W.partitionBy("event_type", hr)
+    ranked = ev.select(
+        "event_type",
+        hr.alias("hr"),
+        "value",
+        F.row_number()
+        .over(pw.orderBy(F.asc("ts"), F.asc("event_id")))
+        .alias("rn_first"),
+        F.row_number()
+        .over(pw.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rn_last"),
+    )
+    return (
+        ranked.groupBy("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.max(F.when(F.col("rn_first") == 1, F.col("value"))), 2
+            ).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(
+                F.max(F.when(F.col("rn_last") == 1, F.col("value"))), 2
+            ).alias("close"),
+        )
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH").alias("hour"),
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+        .orderBy("event_type", "hour")
+        .limit(200)
+    )
+
+
+@q(
+    "brand_type_listing",
+    """
+    WITH per AS (
+      SELECT p_brand,
+             CAST(count(DISTINCT p_type) AS BIGINT) AS n_types,
+             list(DISTINCT p_type) AS types
+      FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, n_types,
+           array_to_string(list_sort(types)[1:5], ',') AS first_types
+    FROM per ORDER BY p_brand
+    """,
+)
+def brand_type_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered grouped string assembly (LISTAGG family): per brand,
+    the distinct part-type census plus the first five types
+    lexicographically, comma-joined. collect_set dedupes map-side
+    before the (brand-bounded) shuffle; sort_array + slice keep
+    the assembled string bounded and deterministic — grouped string
+    aggregation is only scale-safe when the group payload is capped,
+    which the slice makes explicit."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(F.collect_set("p_type").alias("types"))
+        .select(
+            "p_brand",
+            F.size("types").cast("long").alias("n_types"),
+            F.array_join(F.slice(F.sort_array("types"), 1, 5), ",").alias(
+                "first_types"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@q(
+    "events_null_profile",
+    """
+    SELECT 'event_id' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT event_type) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT value) AS BIGINT)
+    FROM events
+    ORDER BY column_name
+    """,
+)
+def events_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level table profiling (null counts + exact distinct
+    cardinality) — the schema-drift / data-quality sweep run before a
+    table enters a pipeline. The Spark plan is ONE pass: a single
+    aggregate computes every column's stats (distinct aggs expand to
+    per-column partials under one shuffle), then an in-row stack
+    unpivots to the (column, stats) long form — versus the oracle's
+    four scans. At 100 TB the exact distincts swap for
+    approx_count_distinct / HLL sketches (same plan shape, tested in
+    test_scale_patterns)."""
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_id", "event_type", "user_id", "value"]
+    agg = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nulls")
+            for c in cols
+        ],
+        *[
+            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__distinct")
+            for c in cols
+        ],
+    )
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct" for c in cols
+    )
+    return (
+        agg.select(
+            F.col("n_rows"),
+            F.expr(
+                f"stack({len(cols)}, {stack}) AS (column_name, n_nulls, n_distinct)"
+            ),
+        )
+        .select("column_name", "n_rows", "n_nulls", "n_distinct")
+        .orderBy("column_name")
+    )
+
+
+@q(
+    "embedding_quantization_error",
+    """
+    WITH v AS (
+      SELECT label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT label,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale,
+             e
+      FROM v
+    ),
+    err AS (
+      SELECT label, scale,
+             list_max(list_transform(
+               e, x -> abs(x - round(x / scale) * scale))) AS max_err
+      FROM scaled WHERE scale > 0
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(scale), 6) AS avg_scale,
+           round(avg(max_err), 6) AS avg_max_err,
+           round(max(max_err), 6) AS worst_err
+    FROM err GROUP BY label ORDER BY label
+    """,
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization round-trip error — the storage/serving
+    compression every embedding store applies (4× smaller than fp32,
+    ~2 decimal digits of error). Per-vector scale = max|x|/127;
+    reconstruction error is computed entirely with in-row
+    higher-order functions on doubles (transform → max fold) — a
+    map-only pass with one label-bounded aggregate, no Python, no
+    shuffle of vector payloads. Per-vector max is order-independent,
+    so only the final avg carries fp-sum-order sensitivity (rounded)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scaled = emb.select(
+        "label",
+        (
+            F.array_max(F.transform(e, lambda x: F.abs(x))) / F.lit(127.0)
+        ).alias("scale"),
+        e.alias("e"),
+    ).where(F.col("scale") > 0)
+    err = scaled.select(
+        "label",
+        "scale",
+        F.array_max(
+            F.transform(
+                F.col("e"),
+                lambda x: F.abs(
+                    x - F.round(x / F.col("scale"), 0) * F.col("scale")
+                ),
+            )
+        ).alias("max_err"),
+    )
+    return (
+        err.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(F.avg("scale"), 6).alias("avg_scale"),
+            F.round(F.avg("max_err"), 6).alias("avg_max_err"),
+            F.round(F.max("max_err"), 6).alias("worst_err"),
+        )
+        .orderBy("label")
+    )
+
+
+@q(
+    "doc_balanced_lang_sample",
+    """
+    WITH target AS (
+      SELECT CAST(min(n) AS BIGINT) AS target FROM (
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang
+      )
+    ),
+    ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC
+             ) AS rn
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM ranked, target WHERE rn <= target
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def doc_balanced_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language contributes exactly
+    min-class-count documents, membership chosen by salted-md5 lottery
+    rank (engine-portable, rand()-free — the sampling doctrine from
+    operators/sampling.py) with doc_id tie-break. The target size is
+    a one-row broadcast; ranking shuffles once on lang. id_checksum
+    pins MEMBERSHIP equality, not just counts. At skewed 100 TB the
+    per-lang rank window is the cost — swap to an md5-threshold
+    acceptance pass (map-only, approximate per-class size) when exact
+    class sizes aren't required."""
+    docs = _t(spark, sf_dir, "documents")
+    target = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").cast("long").alias("target"))
+    )
+    rank_key = F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string")))
+    ranked = docs.select(
+        "lang",
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy(rank_key.asc(), F.asc("doc_id")))
+        .alias("rn"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(target))
+        .where(F.col("rn") <= F.col("target"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
