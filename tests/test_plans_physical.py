@@ -9,6 +9,8 @@ right.
 
 from __future__ import annotations
 
+import re
+
 from data_engineer_task_spark.plans.analytics import QUERIES
 
 from conftest import SF_SMOKE
@@ -249,3 +251,55 @@ def test_weighted_sample_is_map_only_after_totals(spark):
     plan = _plan(spark, "doc_weighted_sample")
     assert "BatchEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    # The held-out gram set must broadcast into the corpus probe — the
+    # corpus side never shuffles on gram text at any scale.
+    plan = _plan(spark, "doc_contamination_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_profile_is_in_row_map_only(spark):
+    # Bigram assembly + distinct-fraction are in-row array math; the
+    # only exchange is the final per-source aggregate.
+    plan = _plan(spark, "doc_repetition_profile")
+    assert "BatchEvalPython" not in plan
+    # RoundRobin is _t_wide's local fan-out of single-row-group files —
+    # a no-op at real scale. Beyond it: agg shuffle + bounded sort only.
+    headers = re.findall(r"^\(\d+\) Exchange$", plan, flags=re.M)
+    n_roundrobin = plan.count("RoundRobinPartitioning")
+    assert len(headers) - n_roundrobin <= 2, plan
+
+
+def test_ohlc_windows_share_one_partitioning(spark):
+    # Both row_number directions partition on (type, hour): one shuffle,
+    # two in-partition sorts — never one shuffle per window.
+    plan = _plan(spark, "event_hourly_ohlc")
+    hash_exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "Reused" not in l
+    ]
+    assert len(hash_exchanges) <= 2, hash_exchanges
+    assert "BatchEvalPython" not in plan
+
+
+def test_quantization_error_stays_jvm_side(spark):
+    # int8 round-trip error = higher-order transforms/folds in codegen;
+    # no Python, no shuffle of vector payloads beyond the label agg.
+    plan = _plan(spark, "embedding_quantization_error")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_null_profile_is_single_scan(spark):
+    # One pass computes every column's stats; the stack unpivot must not
+    # re-scan the fact table per column (the oracle's four scans).
+    plan = _plan(spark, "events_null_profile")
+    # Formatted explain lists each operator once in the tree and once in
+    # the details section — count the numbered detail headers.
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 1, scans
