@@ -148,12 +148,47 @@ def _maintain_main(argv: list[str]) -> int:
     return 0
 
 
+def _curate_main(argv: list[str]) -> int:
+    """Corpus curation run: normalize → quality gate → exact dedup →
+    near-dup dedup → split → write + manifest, thin over
+    plans/curation.py."""
+    parser = argparse.ArgumentParser(prog="cli curate",
+                                     description="corpus curation pipeline")
+    parser.add_argument("input", help="parquet documents table")
+    parser.add_argument("out", help="output dir (curated/ rejects/ manifest.json)")
+    parser.add_argument("--id-col", default="doc_id")
+    parser.add_argument("--text-col", default="text")
+    parser.add_argument("--min-tokens", type=int, default=5)
+    parser.add_argument("--near-dup-threshold", type=float, default=0.6)
+    args = parser.parse_args(argv[1:])
+
+    from .plans.curation import CurationConfig, CurationPipeline
+
+    spark = get_spark("curate-cli")
+    cfg = CurationConfig(
+        id_col=args.id_col,
+        text_col=args.text_col,
+        min_tokens=args.min_tokens,
+        near_dup_threshold=args.near_dup_threshold,
+    )
+    manifest = CurationPipeline(spark, args.out, cfg).run(
+        spark.read.parquet(args.input)
+    )
+    for s in manifest["stages"]:
+        print(f"{s['stage']}: {s['rows']} rows")
+    print(f"splits: {manifest['splits']}")
+    print(f"manifest: {args.out}/manifest.json")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] in ("query", "list-queries"):
         return _query_main(argv)
     if argv and argv[0] == "maintain":
         return _maintain_main(argv)
+    if argv and argv[0] == "curate":
+        return _curate_main(argv)
     parser = argparse.ArgumentParser(description="Netflix catalog ETL + analytics")
     parser.add_argument("-i", "--input", required=True, help="path to the catalog CSV")
     parser.add_argument("--warehouse", default="/tmp/netflix_warehouse")

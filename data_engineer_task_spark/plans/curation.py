@@ -1,0 +1,183 @@
+"""End-to-end corpus curation pipeline — the training-data analog of
+the reference's ETL driver (``task.py:276-303``: extract → transform →
+load), re-expressed over the curation operator library: normalize →
+quality gate → exact dedup → near-dup dedup → split → write, with a
+per-stage manifest for provenance.
+
+Every stage is one of the already-tested operators; this module only
+COMPOSES them (no new kernels), so its value is the contract: a user
+of the reference who wants "run my corpus through the standard cleanup"
+calls one method and gets a partitioned curated table plus an auditable
+manifest of what each stage removed.
+
+Scale shape (SCALING.md doctrine): every stage is a scan + bounded
+shuffle — normalization and gating are map-only; exact dedup shuffles
+32-byte digests; near-dup runs the banded MinHash path (never
+all-pairs); the split is map-only md5 bucketing. The manifest counts
+ride on actions the write already needs (one count per stage — each a
+cheap column-pruned aggregate, not a second full materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import content_hash_dedup, near_duplicates
+from ..operators.graph import connected_components
+from ..operators.quality import quality_gate
+from ..operators.sampling import hash_split
+from ..operators.text import normalize_text
+
+
+@dataclass
+class CurationConfig:
+    """Knobs for the standard cleanup; defaults are the operator
+    defaults tuned for the driver's synthetic documents table."""
+
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    min_tokens: int = 5
+    max_tokens: int = 10_000
+    max_stopword_ratio: float = 1.0
+    max_punct_ratio: float = 1.0
+    near_dup_threshold: float = 0.6
+    minhash_hashes: int = 8
+    shingle_k: int = 3
+    split_cuts: tuple[tuple[str, int], ...] = (
+        ("train", 204),
+        ("val", 230),
+        ("test", 256),
+    )
+    keep_cols: tuple[str, ...] = field(default=())
+
+
+class CurationPipeline:
+    """Composable curation run over a documents DataFrame.
+
+    ``run(docs)`` executes the stages, writes the curated corpus
+    partitioned by split under ``{out_dir}/curated``, the rejected rows
+    with their rejection stage under ``{out_dir}/rejects`` (curation
+    pipelines audit what they drop — quality_gate's design note), and a
+    JSON manifest at ``{out_dir}/manifest.json``. Returns the manifest
+    dict."""
+
+    def __init__(
+        self, spark: SparkSession, out_dir: str, config: CurationConfig | None = None
+    ) -> None:
+        self.spark = spark
+        self.out_dir = out_dir
+        self.cfg = config or CurationConfig()
+
+    def run(self, docs: DataFrame) -> dict:
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        manifest: dict = {"stages": [], "config": {
+            "near_dup_threshold": cfg.near_dup_threshold,
+            "minhash_hashes": cfg.minhash_hashes,
+            "shingle_k": cfg.shingle_k,
+            "min_tokens": cfg.min_tokens,
+            "max_tokens": cfg.max_tokens,
+        }}
+
+        def stage(name: str, df: DataFrame) -> DataFrame:
+            manifest["stages"].append({"stage": name, "rows": df.count()})
+            return df
+
+        docs = stage("input", docs)
+
+        # 1. Normalize: the dedup key is the normalized text; the
+        #    original text column is preserved for the output table.
+        norm = docs.withColumn(
+            "_norm_text", normalize_text(F.col(cfg.text_col))
+        )
+
+        # 2. Quality gate (map-only stats, flag-based routing). Rejects
+        #    are kept, labeled, and written for audit.
+        gated = quality_gate(
+            norm,
+            cfg.id_col,
+            "_norm_text",
+            min_tokens=cfg.min_tokens,
+            max_tokens=cfg.max_tokens,
+            max_stopword_ratio=cfg.max_stopword_ratio,
+            max_punct_ratio=cfg.max_punct_ratio,
+        ).select(cfg.id_col, "passed")
+        with_flag = norm.join(gated, cfg.id_col)
+        passed = stage("quality_gate", with_flag.where(F.col("passed")).drop("passed"))
+        rejects_quality = with_flag.where(~F.col("passed")).drop("passed").withColumn(
+            "reject_stage", F.lit("quality_gate")
+        )
+
+        # 3. Exact dedup on the normalized content hash (shuffle carries
+        #    digests, not bodies); survivor = min id per hash.
+        survivors = content_hash_dedup(passed, cfg.id_col, "_norm_text").select(
+            cfg.id_col
+        )
+        exact = stage(
+            "exact_dedup", passed.join(survivors, cfg.id_col, "left_semi")
+        )
+        rejects_exact = passed.join(survivors, cfg.id_col, "left_anti").withColumn(
+            "reject_stage", F.lit("exact_dedup")
+        )
+
+        # 4. Near-dup dedup: banded MinHash -> exact Jaccard pairs ->
+        #    connected components -> keep the min-id representative of
+        #    each duplicate cluster.
+        pairs = near_duplicates(
+            exact,
+            cfg.id_col,
+            "_norm_text",
+            n_hashes=cfg.minhash_hashes,
+            shingle_k=cfg.shingle_k,
+            threshold=cfg.near_dup_threshold,
+        ).select("id_a", "id_b")
+        clusters = connected_components(pairs)
+        losers = clusters.where(F.col("node") != F.col("cluster")).select(
+            F.col("node").alias(cfg.id_col)
+        )
+        deduped = stage(
+            "near_dedup", exact.join(losers, cfg.id_col, "left_anti")
+        )
+        rejects_near = exact.join(losers, cfg.id_col, "left_semi").withColumn(
+            "reject_stage", F.lit("near_dedup")
+        )
+
+        # 5. Deterministic split assignment (map-only md5 bucketing).
+        final = hash_split(
+            deduped.drop("_norm_text"), cfg.id_col, cuts=cfg.split_cuts
+        )
+
+        # 6. Write: curated corpus partitioned by split; rejects with
+        #    their rejection stage for audit.
+        curated_path = os.path.join(self.out_dir, "curated")
+        rejects_path = os.path.join(self.out_dir, "rejects")
+        final.write.mode("overwrite").partitionBy("split").parquet(curated_path)
+        rejects = rejects_quality.unionByName(rejects_exact).unionByName(
+            rejects_near
+        ).drop("_norm_text")
+        rejects.write.mode("overwrite").partitionBy("reject_stage").parquet(
+            rejects_path
+        )
+
+        split_counts = {
+            r["split"]: r["n"]
+            for r in final.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        manifest["splits"] = split_counts
+        manifest["curated_path"] = curated_path
+        manifest["rejects_path"] = rejects_path
+        manifest["wall_seconds"] = round(time.perf_counter() - t0, 3)
+        with open(os.path.join(self.out_dir, "manifest.json"), "w") as fh:
+            json.dump(manifest, fh, indent=2)
+        # near_duplicates persists shared subplans for its own DAG; the
+        # pipeline is the outermost consumer, so release them here.
+        self.spark.catalog.clearCache()
+        return manifest

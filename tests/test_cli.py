@@ -67,3 +67,19 @@ def test_cli_maintain_compact_and_zorder(spark, tmp_path, capsys):
                  "--files", "4"]) == 0
     assert spark.read.parquet(out_z).count() == 2000
     assert "z-ordered" in capsys.readouterr().out
+
+
+def test_cli_curate_runs_pipeline(spark, tmp_path, capsys):
+    """`cli curate <in> <out>` drives the corpus pipeline and prints the
+    stage funnel + split counts."""
+    from data_engineer_task_spark.sources.catalog import load_table
+    from conftest import SF_SMOKE
+
+    src = str(tmp_path / "docs")
+    load_table(spark, SF_SMOKE, "documents").limit(120).write.parquet(src)
+    out = str(tmp_path / "curated_out")
+    assert main(["curate", src, out, "--near-dup-threshold", "0.5"]) == 0
+    printed = capsys.readouterr().out
+    assert "input: 120 rows" in printed
+    assert "splits:" in printed
+    assert spark.read.parquet(f"{out}/curated").count() > 0

@@ -1,0 +1,96 @@
+"""End-to-end curation pipeline: normalize → gate → exact dedup →
+near-dup dedup → split → write, with an auditable manifest."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineer_task_spark.plans.curation import CurationConfig, CurationPipeline
+from data_engineer_task_spark.sources.catalog import load_table
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Small corpus with planted exact and near duplicates: base docs,
+    verbatim copies (exact dups), and copies with one token changed
+    (near dups at high Jaccard)."""
+    base = (
+        load_table(spark, SF_SMOKE, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text", "lang", "source")
+    )
+    exact_copies = base.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source"
+    )
+    near_copies = (
+        base.where((F.col("doc_id") >= 40) & (F.col("doc_id") < 80))
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
+            "lang",
+            "source",
+        )
+    )
+    return base.unionByName(exact_copies).unionByName(near_copies)
+
+
+def _run(spark, corpus, tmp_path):
+    cfg = CurationConfig(near_dup_threshold=0.5)
+    return CurationPipeline(spark, str(tmp_path), cfg).run(corpus)
+
+
+def test_pipeline_stages_and_manifest(spark, corpus, tmp_path):
+    manifest = _run(spark, corpus, tmp_path)
+    rows = {s["stage"]: s["rows"] for s in manifest["stages"]}
+    assert rows["input"] == 280
+    # monotone non-increasing through the funnel
+    assert (
+        rows["input"]
+        >= rows["quality_gate"]
+        >= rows["exact_dedup"]
+        >= rows["near_dedup"]
+    )
+    # all 40 verbatim copies die in exact dedup (same normalized text)
+    assert rows["quality_gate"] - rows["exact_dedup"] >= 40
+    # the one-token-appended copies die in near dedup
+    assert rows["exact_dedup"] - rows["near_dedup"] >= 30
+
+    # curated table on disk: partitioned by split, counts match manifest
+    curated = spark.read.parquet(manifest["curated_path"])
+    assert curated.count() == sum(manifest["splits"].values())
+    assert set(manifest["splits"]) <= {"train", "val", "test"}
+    assert rows["near_dedup"] == sum(manifest["splits"].values())
+
+    # written manifest is the returned manifest
+    with open(os.path.join(str(tmp_path), "manifest.json")) as fh:
+        assert json.load(fh)["splits"] == manifest["splits"]
+
+    # rejects carry their rejection stage for audit
+    rejects = spark.read.parquet(manifest["rejects_path"])
+    stages = {r["reject_stage"] for r in rejects.select("reject_stage").distinct().collect()}
+    assert "exact_dedup" in stages
+    assert "near_dedup" in stages
+    # funnel conservation: every input row lands in curated or rejects
+    assert curated.count() + rejects.count() == rows["input"]
+
+
+def test_pipeline_deterministic(spark, corpus, tmp_path):
+    m1 = _run(spark, corpus, tmp_path / "a")
+    m2 = _run(spark, corpus, tmp_path / "b")
+    assert m1["splits"] == m2["splits"]
+    a = spark.read.parquet(m1["curated_path"]).select("doc_id", "split")
+    b = spark.read.parquet(m2["curated_path"]).select("doc_id", "split")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_survivor_is_min_id_representative(spark, corpus, tmp_path):
+    manifest = _run(spark, corpus, tmp_path)
+    curated = spark.read.parquet(manifest["curated_path"])
+    # planted copies (ids >= 1M) always lose to their base doc (< 200)
+    assert curated.where(F.col("doc_id") >= 1_000_000).count() == 0
