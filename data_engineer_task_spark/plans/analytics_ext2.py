@@ -11,6 +11,10 @@ first two batches did not yet cover, each paired with a DuckDB oracle:
  - column-level null/distinct table profiling (one-pass + unpivot)
  - int8 scalar quantization round-trip error for embeddings
  - class-balanced deterministic downsampling (per-language)
+ - stream-static broadcast enrichment join (real streaming run)
+ - statistical aggregates (stddev_samp / corr)
+ - chi-square contingency independence scan
+ - Shannon entropy class-balance profiling
 
 Registered into the same ``QUERIES`` / ``ORACLE`` dicts via the ``q``
 decorator. Authoring rules are the ones at the top of ``analytics.py``
@@ -653,4 +657,174 @@ def doc_balanced_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("id_checksum"),
         )
         .orderBy("lang")
+    )
+
+
+@q(
+    "stream_enriched_event_stats",
+    """
+    SELECT c_mktsegment AS segment, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2 ORDER BY segment, event_type
+    """,
+)
+def stream_enriched_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment as a REAL Structured
+    Streaming query: events stream ⋈ static customer dimension →
+    per-(segment, type) aggregate, driven through micro-batches to a
+    memory sink and verified against the plain batch-join oracle.
+    Stream-static inner joins keep NO join state (the static side is a
+    broadcast hash table probed per batch) — the canonical shape for
+    dimension enrichment at 100 TB stream volume."""
+    from ..streaming.aggregate import run_stream_static_join_once
+
+    return run_stream_static_join_once(
+        spark,
+        f"{sf_dir}/events.parquet",
+        _t(spark, sf_dir, "customer"),
+        query_name="stream_enriched",
+    )
+
+
+@q(
+    "priority_price_dispersion",
+    """
+    WITH per_order AS (
+      SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+             CAST(count(l.l_orderkey) AS BIGINT) AS n_items
+      FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_totalprice
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(stddev_samp(o_totalprice), 2) AS price_stddev,
+           round(corr(CAST(n_items AS DOUBLE), o_totalprice), 4)
+             AS items_price_corr
+    FROM per_order GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def priority_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family (stddev_samp / corr — absent from
+    the reference's COUNT-only surface, SURVEY §2.5): per priority, the
+    price dispersion and the item-count↔price correlation. The
+    per-order item count comes from one fact-key aggregate join; both
+    moments then partial-aggregate map-side (sum/sum-of-squares/
+    cross-moment decomposition is Spark's built-in implementation), so
+    the priority-level shuffle carries five doubles per group."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.join(
+            li.select("l_orderkey"),
+            orders["o_orderkey"] == li["l_orderkey"],
+            "left",
+        )
+        .groupBy("o_orderkey", "o_orderpriority", "o_totalprice")
+        .agg(F.count("l_orderkey").cast("long").alias("n_items"))
+    )
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.stddev_samp("o_totalprice"), 2).alias("price_stddev"),
+            F.round(
+                F.corr(F.col("n_items").cast("double"), F.col("o_totalprice")), 4
+            ).alias("items_price_corr"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "lang_source_chisq",
+    """
+    WITH obs AS (
+      SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT lang, source, o,
+             sum(o) OVER (PARTITION BY lang) AS row_t,
+             sum(o) OVER (PARTITION BY source) AS col_t,
+             sum(o) OVER () AS grand
+      FROM obs
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum(pow(o - row_t * col_t / grand, 2)
+                     / (row_t * col_t / grand)), 4) AS chi2
+    FROM tot
+    """,
+)
+def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence scan over the lang×source contingency
+    table — the drift/bias detector for corpus composition ("is
+    language mix independent of source?"). One aggregate collapses the
+    fact table to the CELL-count frame (|lang|×|source| rows);
+    marginals come from windows over that tiny frame, never a second
+    fact scan. Expected counts are exact integer-ratio arithmetic in
+    doubles, identical across engines; only the final sum is rounded."""
+    docs = _t(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    tot = obs.select(
+        "o",
+        F.sum("o").over(W.partitionBy("lang")).alias("row_t"),
+        F.sum("o").over(W.partitionBy("source")).alias("col_t"),
+        F.sum("o").over(W.partitionBy()).alias("grand"),
+    )
+    e = F.col("row_t") * F.col("col_t") / F.col("grand")
+    return tot.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("chi2"),
+    )
+
+
+@q(
+    "status_priority_entropy",
+    """
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    p AS (
+      SELECT o_orderstatus, n / sum(n) OVER (PARTITION BY o_orderstatus) AS p
+      FROM c
+    )
+    SELECT o_orderstatus,
+           round(-sum(p * ln(p)), 4) AS entropy_nats,
+           CAST(count(*) AS BIGINT) AS n_classes
+    FROM p GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def status_priority_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the priority distribution within each order
+    status — the information-theoretic balance metric (0 = one class
+    dominates, ln(5) ≈ 1.609 = perfectly uniform over 5 priorities)
+    used to monitor label balance in training data. Same scale shape
+    as the chi-square entry: fact collapses to the class-count frame
+    in one aggregate; probabilities and the entropy fold run over
+    that bounded frame."""
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    p = c.select(
+        "o_orderstatus",
+        (
+            F.col("n") / F.sum("n").over(W.partitionBy("o_orderstatus"))
+        ).alias("p"),
+    )
+    return (
+        p.groupBy("o_orderstatus")
+        .agg(
+            F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 4).alias(
+                "entropy_nats"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+        )
+        .orderBy("o_orderstatus")
     )

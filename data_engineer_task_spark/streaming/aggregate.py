@@ -267,3 +267,46 @@ def run_stream_once(
     return spark.sql(
         f"SELECT * FROM {query_name} ORDER BY hour, event_type"  # noqa: S608
     )
+
+
+def enriched_event_segment_counts(
+    events: DataFrame, user_dim: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment join: the events stream joined to a
+    static user dimension (here: the customer table keyed by custkey),
+    then aggregated per (market segment, event type). The static side
+    broadcasts — each micro-batch probes an executor-local hash table,
+    no stream-side shuffle for the join, no join state store at all
+    (stream-static inner joins are stateless by construction). Defined
+    once; runs identically in batch and streaming mode."""
+    dim = F.broadcast(
+        user_dim.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return (
+        events.join(dim, "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def run_stream_static_join_once(
+    spark: SparkSession,
+    events_path: str,
+    user_dim: DataFrame,
+    query_name: str = "stream_enriched",
+) -> DataFrame:
+    """Drive the stream-static enrichment as a REAL streaming query
+    (parquet file source, multiple micro-batches, memory sink) to
+    completion; complete output mode re-emits the full aggregate."""
+    st = _event_stream(spark, _as_glob(events_path))
+    agg = enriched_event_segment_counts(st, user_dim)
+    _drive_to_memory(agg, query_name, output_mode="complete")
+    return spark.sql(
+        f"SELECT * FROM {query_name} ORDER BY segment, event_type"  # noqa: S608
+    )

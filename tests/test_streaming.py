@@ -364,3 +364,28 @@ def test_merge_sink_replay_skip_and_checkpointless_restart_guard(spark, events_s
     with open(os.path.join(out, "_LATEST")) as fh:
         assert fh.read().strip() == committed
     assert read_snapshot(spark, out).count() == n_rows
+
+
+def test_stream_static_join_matches_batch_and_is_stateless(
+    spark, events_stream_dir
+):
+    """The stream-static broadcast enrichment must agree exactly with
+    the batch join over the same data, across real micro-batches."""
+    from data_engineer_task_spark.streaming.aggregate import (
+        enriched_event_segment_counts,
+        run_stream_static_join_once,
+    )
+
+    dim = load_table(spark, SF_SMOKE, "customer")
+    streamed = run_stream_static_join_once(
+        spark, events_stream_dir, dim, query_name="t_stream_enrich"
+    ).collect()
+    batch = (
+        enriched_event_segment_counts(
+            load_table(spark, SF_SMOKE, "events"), dim
+        )
+        .orderBy("segment", "event_type")
+        .collect()
+    )
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+    assert len(streamed) > 0
