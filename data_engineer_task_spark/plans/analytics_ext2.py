@@ -828,3 +828,97 @@ def status_priority_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@q(
+    "custkey_ancestry_depths",
+    """
+    WITH RECURSIVE anc AS (
+      SELECT c_custkey AS node, c_custkey AS ancestor, 0 AS depth
+      FROM customer WHERE c_custkey < 1024
+      UNION ALL
+      SELECT node, ancestor // 2, depth + 1 FROM anc WHERE ancestor >= 1
+    )
+    SELECT depth,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(node) AS BIGINT) AS node_checksum
+    FROM anc GROUP BY depth ORDER BY depth
+    """,
+)
+def custkey_ancestry_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``) — the hierarchical
+    traversal family (org charts, BOM rollups, folder trees) the
+    reference has no surface for. The testdata ships no parent-child
+    table, so the hierarchy is the synthetic binary tree
+    ``parent(k) = k div 2`` over custkeys: every customer's full
+    ancestor chain is enumerated to the root, then rolled up per
+    depth. UNION ALL recursion on a strict DAG with log2(N) depth —
+    each iteration is one broadcast-able self-extension; rows never
+    revisit a node, so the fixpoint is exactly N·log N rows."""
+    cust = _t(spark, sf_dir, "customer")
+    cust.select("c_custkey").createOrReplaceTempView("_anc_seed")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT c_custkey AS node, c_custkey AS ancestor, 0 AS depth
+          FROM _anc_seed WHERE c_custkey < 1024
+          UNION ALL
+          SELECT node, ancestor div 2, depth + 1 FROM anc WHERE ancestor >= 1
+        )
+        SELECT depth,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(node) AS BIGINT) AS node_checksum
+        FROM anc GROUP BY depth ORDER BY depth
+        """
+    )
+
+
+@q(
+    "rolling_distinct_users",
+    """
+    WITH contrib AS (
+      SELECT DISTINCT
+             CAST(date_trunc('day', ts) AS DATE) + CAST(i AS INTEGER) AS day,
+             user_id
+      FROM events, UNNEST(range(0, 7)) AS t(i)
+    ),
+    bounds AS (
+      SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS max_day FROM events
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(user_id) AS BIGINT) AS users_7d
+    FROM contrib, bounds WHERE day <= max_day
+    GROUP BY day ORDER BY day
+    """,
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct-user cardinality per day (the rolling
+    MAU/WAU family). Distinct counts can't ride a window frame, and a
+    per-day range join re-scans the fact 7×; instead each event
+    FANS OUT map-side to the ≤7 days it contributes to (in-row
+    sequence → explode), then one (day, user) distinct + one grouped
+    count — a single shuffle keyed by day, linear in events×7. The
+    trailing-window trim (days past the data's end) is a one-row
+    broadcast bound."""
+    ev = _t(spark, sf_dir, "events")
+    contrib = (
+        ev.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(6)),
+                    lambda i: F.date_add(F.col("ts").cast("date"), i),
+                )
+            ).alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    bounds = ev.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .where(F.col("day") <= F.col("max_day"))
+        .groupBy("day")
+        .agg(F.count("user_id").cast("long").alias("users_7d"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "users_7d")
+        .orderBy("day")
+    )

@@ -615,3 +615,26 @@ def test_as_of_join_payload_is_atomic_per_matched_row(spark):
         row = impl(left, right, "uid", right_value_cols=["v"]).collect()[0]
         assert str(row["ts_asof"]) == "2024-01-01 10:00:02", impl.__name__
         assert row["v_asof"] is None, impl.__name__  # NOT 'A', NOT 'PHANTOM'
+
+
+def test_approx_top_k_matches_exact_at_test_scale(spark):
+    """approx_top_k is the at-scale substitute for exact top-k token /
+    heavy-hitter queries (sketch-mergeable, bounded memory). With the
+    tracked-item budget far above the true cardinality it must be
+    EXACT — pinned here so the substitution is a drop-in at small SF
+    and a bounded-error sketch only when cardinality explodes."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    approx = ev.agg(
+        F.expr("approx_top_k(event_type, 3, 1000)").alias("tk")
+    ).select(F.explode("tk").alias("e")).select("e.*").collect()
+    exact = (
+        ev.groupBy("event_type")
+        .count()
+        .orderBy(F.desc("count"), F.asc("event_type"))
+        .limit(3)
+        .collect()
+    )
+    # set-compare: ordering of equal counts is unspecified in the sketch
+    assert {(r["item"], r["count"]) for r in approx} == {
+        (r["event_type"], r["count"]) for r in exact
+    }
