@@ -169,3 +169,97 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+) -> dict:
+    """Targeted row deletion (the GDPR / right-to-be-forgotten op):
+    delete every row matching ``predicate`` (a boolean Column over the
+    table's schema) by rewriting ONLY the files that contain matches —
+    every other file stays byte-identical on disk.
+
+    Copy-on-write DELETE, the shape every table format uses at scale:
+    1. one metadata-cheap scan finds the affected FILE list via
+       ``_metadata.file_path`` (parquet footer stats + partition
+       pruning narrow this scan exactly like any other predicate);
+    2. only those files are re-read; survivors (predicate false or
+       NULL-safe false) are rewritten as new uniquely-named files into
+       the table directory;
+    3. the old affected files are removed.
+    On a 100 TB table with a selective predicate this touches the few
+    files the keys actually live in — never the full table. Z-order /
+    range-clustered layouts (``zorder_write``) shrink the affected set
+    further by keeping each key in few files.
+
+    No transaction log here, so step 3 is not atomic for concurrent
+    readers — the versioned snapshot sink (``streaming/sink.py``) is
+    the isolation-safe alternative; this is the in-place form for
+    single-writer maintenance windows. Returns counts:
+    ``{"rows_deleted", "files_rewritten", "files_untouched"}``.
+    """
+    from pyspark.sql import functions as F
+
+    # NULL-safe: rows where the predicate is NULL are KEPT (a delete
+    # must never remove rows it can't prove match).
+    hit = F.coalesce(predicate, F.lit(False))
+
+    with_file = spark.read.parquet(path).withColumn(
+        "_src_file", F.col("_metadata.file_path")
+    )
+    affected = [
+        r["_src_file"]
+        for r in with_file.where(hit).select("_src_file").distinct().collect()
+    ]
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    n_total = len(
+        [
+            st
+            for st in fs.listStatus(root)
+            if st.isFile() and not st.getPath().getName().startswith("_")
+        ]
+    )
+    if not affected:
+        return {
+            "rows_deleted": 0,
+            "files_rewritten": 0,
+            "files_untouched": n_total,
+        }
+
+    # Re-read ONLY the affected files; split into survivors and victims.
+    sub = spark.read.parquet(*affected)
+    n_deleted = sub.where(hit).count()
+    survivors = sub.where(~hit)
+
+    # Stage the rewritten files, then move them into the table dir with
+    # unique names and drop the originals.
+    import uuid
+
+    stage = f"{path.rstrip('/')}__delete_stage_{uuid.uuid4().hex[:8]}"
+    survivors.write.mode("overwrite").parquet(stage)
+    stage_path = jvm.org.apache.hadoop.fs.Path(stage)
+    moved = 0
+    for st in fs.listStatus(stage_path):
+        name = st.getPath().getName()
+        if not st.isFile() or name.startswith("_"):
+            continue
+        dest = jvm.org.apache.hadoop.fs.Path(
+            root, f"part-del-{uuid.uuid4().hex[:8]}-{name.lstrip('part-')}"
+        )
+        fs.rename(st.getPath(), dest)
+        moved += 1
+    fs.delete(stage_path, True)
+    for f in affected:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+
+    return {
+        "rows_deleted": n_deleted,
+        "files_rewritten": moved,
+        "files_untouched": n_total - len(affected),
+    }

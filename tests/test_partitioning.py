@@ -47,3 +47,56 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     a = spark.read.parquet(src).selectExpr("sum(id)", "count(*)").collect()[0]
     b = spark.read.parquet(dst).selectExpr("sum(id)", "count(*)").collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_delete_where_rewrites_only_affected_files(spark, tmp_path):
+    """Copy-on-write DELETE: matching rows disappear, files without
+    matches stay byte-identical (same path, same mtime), and the
+    NULL-predicate rows survive."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_task_spark.sources.parquet import delete_where
+
+    tbl = str(tmp_path / "tbl")
+    # range-cluster on user_id so target keys live in FEW files
+    df = spark.createDataFrame(
+        [(i, i % 10 if i % 17 else None, f"p{i}") for i in range(1000)],
+        "id long, user_id int, payload string",
+    )
+    df.repartitionByRange(8, "user_id").write.parquet(tbl)
+
+    before = {
+        f: os.path.getmtime(os.path.join(tbl, f))
+        for f in os.listdir(tbl)
+        if f.endswith(".parquet")
+    }
+    res = delete_where(spark, tbl, F.col("user_id") == 3)
+
+    after = spark.read.parquet(tbl)
+    assert after.where(F.col("user_id") == 3).count() == 0
+    # null-predicate rows are KEPT
+    assert after.where(F.col("user_id").isNull()).count() == 59
+    expected_deleted = sum(1 for i in range(1000) if i % 17 and i % 10 == 3)
+    assert res["rows_deleted"] == expected_deleted
+    assert after.count() == 1000 - expected_deleted
+
+    # untouched files: same path and mtime as before
+    surviving = {
+        f: os.path.getmtime(os.path.join(tbl, f))
+        for f in os.listdir(tbl)
+        if f.endswith(".parquet")
+    }
+    untouched = {f for f in surviving if f in before and surviving[f] == before[f]}
+    assert len(untouched) == res["files_untouched"]
+    assert res["files_untouched"] > 0  # range clustering confined the key
+    assert res["files_rewritten"] >= 1
+
+    # idempotent second delete: nothing matches, nothing rewritten
+    res2 = delete_where(spark, tbl, F.col("user_id") == 3)
+    assert res2 == {
+        "rows_deleted": 0,
+        "files_rewritten": 0,
+        "files_untouched": len(surviving),
+    }

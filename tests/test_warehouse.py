@@ -160,3 +160,33 @@ def test_parquet_corrupt_file_skip_vs_fail(spark, tmp_path):
     with pytest.raises(Exception):
         read_parquet(spark, out).count()
     assert read_parquet(spark, out, ignore_corrupt=True).count() == 100
+
+
+def test_text_corpus_reader_deterministic_ids(spark, tmp_path):
+    """Raw text shards -> documents shape: stable content-addressed
+    ids across re-reads, blank lines dropped, per-file line ordinals
+    deterministic."""
+    from data_engineer_task_spark.sources.text import read_text_corpus
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha doc one\n\nalpha doc two\n")
+    (d / "b.txt").write_text("beta doc one\nbeta doc two\nbeta doc three")
+
+    docs = read_text_corpus(spark, str(d))
+    rows = docs.collect()
+    assert len(rows) == 5  # blank line dropped
+    assert docs.columns == ["doc_id", "text", "source", "n_chars"]
+    assert {r["source"] for r in rows} == {"a.txt", "b.txt"}
+    ids = [r["doc_id"] for r in rows]
+    assert len(set(ids)) == 5  # unique
+
+    # identical re-read: identical ids for identical (file, line)
+    again = {(r["source"], r["text"]): r["doc_id"] for r in read_text_corpus(spark, str(d)).collect()}
+    for r in rows:
+        assert again[(r["source"], r["text"])] == r["doc_id"]
+
+    # feeds straight into the curation operators (documents shape)
+    from data_engineer_task_spark.operators.dedup import content_hash_dedup
+
+    assert content_hash_dedup(docs, "doc_id", "text").count() == 5
