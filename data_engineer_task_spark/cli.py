@@ -124,6 +124,13 @@ def _maintain_main(argv: list[str]) -> int:
     p_vac.add_argument("snapshot_dir")
     p_vac.add_argument("--keep", type=int, default=2)
 
+    p_del = sub.add_parser(
+        "delete", help="copy-on-write row deletion (rewrites only hit files)"
+    )
+    p_del.add_argument("src")
+    p_del.add_argument("--where", required=True,
+                       help="SQL boolean expression over the table's columns")
+
     args = parser.parse_args(argv[1:])
     if args.op == "vacuum":
         from .streaming.sink import vacuum
@@ -133,6 +140,18 @@ def _maintain_main(argv: list[str]) -> int:
         return 0
 
     spark = get_spark("maintain-cli")
+    if args.op == "delete":
+        from pyspark.sql import functions as F
+
+        from .sources.parquet import delete_where
+
+        res = delete_where(spark, args.src, F.expr(args.where))
+        print(
+            f"deleted {res['rows_deleted']} row(s); rewrote "
+            f"{res['files_rewritten']} file(s), "
+            f"{res['files_untouched']} untouched"
+        )
+        return 0
     if args.op == "compact":
         from .sources.parquet import compact_parquet
 

@@ -83,3 +83,15 @@ def test_cli_curate_runs_pipeline(spark, tmp_path, capsys):
     assert "input: 120 rows" in printed
     assert "splits:" in printed
     assert spark.read.parquet(f"{out}/curated").count() > 0
+
+
+def test_cli_maintain_delete(spark, tmp_path, capsys):
+    tbl = str(tmp_path / "dtbl")
+    spark.range(100).selectExpr("id", "id % 5 AS k").repartitionByRange(
+        4, "k"
+    ).write.parquet(tbl)
+    assert main(["maintain", "delete", tbl, "--where", "k = 2"]) == 0
+    out = capsys.readouterr().out
+    assert "deleted 20 row(s)" in out
+    assert spark.read.parquet(tbl).where("k = 2").count() == 0
+    assert spark.read.parquet(tbl).count() == 80
