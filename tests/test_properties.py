@@ -155,3 +155,74 @@ def test_asof_window_and_cogroup_forms_agree(spark, lrows, rrows):
     cg = {r["tag"]: r["ts_asof"] for r in
           as_of_join_cogroup(left, right, "uid").collect()}
     assert win == cg
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-10.0, max_value=10.0,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=4,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_int8_quantization_error_bounded_by_half_step(spark, vecs):
+    """Round-to-nearest int8 reconstruction error can never exceed half
+    a quantization step (scale/2) on any element of any vector."""
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(e, lambda x: F.abs(x))) / F.lit(127.0)
+    out = (
+        df.select(
+            scale.alias("scale"),
+            F.array_max(
+                F.transform(
+                    e,
+                    lambda x: F.abs(
+                        x - F.round(x / scale, 0) * scale
+                    ),
+                )
+            ).alias("max_err"),
+        )
+        .where(F.col("scale") > 0)
+        .collect()
+    )
+    for r in out:
+        assert r["max_err"] <= r["scale"] / 2 + 1e-12, r
+
+
+@given(
+    grams=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=9),
+        min_size=1,
+        max_size=10,
+    ),
+    n=st.integers(min_value=2, max_value=3),
+)
+@settings(**SETTINGS)
+def test_in_row_ngrams_match_python_reference(spark, grams, n):
+    """The in-row n-gram transform must agree with the obvious Python
+    sliding window on every token list, including too-short ones."""
+    from data_engineer_task_spark.plans.analytics_ext2 import _ngrams
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(grams)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    toks = F.split(F.col("text"), r"\Q \E")
+    got = {
+        r["doc_id"]: r["gs"]
+        for r in df.select("doc_id", _ngrams(toks, n).alias("gs")).collect()
+    }
+    for i, toklist in enumerate(grams):
+        # split("") yields [''] — the engine sees one empty token
+        eff = " ".join(toklist).split(" ")
+        want = [
+            " ".join(eff[j : j + n]) for j in range(len(eff) - n + 1)
+        ]
+        assert got[i] == want, (toklist, got[i], want)
