@@ -37,15 +37,22 @@ def _tokens(col: str = "text"):
 
 
 def _ngrams(toks, n: int):
-    """In-row n-gram assembly: transform over a bounded index sequence
-    — no positional self-join, no explode before the gram is formed
+    """In-row n-gram assembly: zip the token array with its own n-1
+    shifted tails (arrays_zip + slice), then join each zipped struct —
+    no positional self-join, no explode before the gram is formed
     (SCALING.md: shingles built IN-ROW). Short docs yield an empty
-    array, not an error."""
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.expr("array()"))
+    array, not an error.
+
+    Shape note: an index-sequence transform with ``toks[i + k]`` inside
+    the lambda re-evaluates the underlying split expression per element
+    reference — measured 11× slower at sf0.1. The zip form evaluates
+    ``toks`` once per row and the lambda only touches struct fields."""
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(
+        *[F.slice(toks, k + 1, m).alias(f"t{k}") for k in range(n)]
+    )
     return F.transform(
-        idx, lambda i: F.concat_ws(" ", *[toks[i + k] for k in range(n)])
+        z, lambda s: F.concat_ws(" ", *[s[f"t{k}"] for k in range(n)])
     )
 
 
