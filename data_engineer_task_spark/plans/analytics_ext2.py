@@ -104,8 +104,8 @@ def doc_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     each document's distinct trigrams that also appear in a held-out
     "benchmark" set (here: docs with ``doc_id % 97 == 0``, a
     deterministic stand-in for an external eval suite). Trigrams are
-    built IN-ROW (transform over a bounded index sequence — no
-    positional self-join), the benchmark gram set is distinct-collapsed
+    built IN-ROW (arrays_zip of shifted tails — no positional
+    self-join), the benchmark gram set is distinct-collapsed
     and BROADCAST into the corpus-gram probe (benchmark suites are
     KB–MB scale; the corpus never shuffles on gram), and per-doc hit
     counts aggregate map-side. At 100 TB the corpus side stays a scan
@@ -928,4 +928,108 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("user_id").cast("long").alias("users_7d"))
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "users_7d")
         .orderBy("day")
+    )
+
+
+@q(
+    "order_price_winsorized",
+    """
+    WITH cuts AS (
+      SELECT quantile_cont(o_totalprice, 0.05)::DOUBLE AS lo,
+             quantile_cont(o_totalprice, 0.95)::DOUBLE AS hi
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(o_totalprice), 2) AS mean_raw,
+           round(avg(least(greatest(o_totalprice, lo), hi)), 2)
+             AS mean_winsorized,
+           CAST(sum(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM orders, cuts
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def order_price_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile clipping, the standard robust
+    preprocessing for heavy-tailed features): global p05/p95 cuts from
+    ONE exact-percentile aggregate, broadcast back as a one-row frame,
+    then a map-side clamp + per-priority stats. Two passes total —
+    never a per-row correlated percentile. At 100 TB the cuts pass
+    swaps to ``percentile_approx`` (same plan shape, sketch-merged)."""
+    orders = _t(spark, sf_dir, "orders")
+    cuts = orders.agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")
+    )
+    return (
+        orders.crossJoin(F.broadcast(cuts))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("mean_raw"),
+            F.round(F.avg(clipped), 2).alias("mean_winsorized"),
+            F.sum(
+                F.when(
+                    (F.col("o_totalprice") < F.col("lo"))
+                    | (F.col("o_totalprice") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clipped"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "event_time_rollup",
+    """
+    WITH base AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+             value
+      FROM events
+    )
+    SELECT day, hour,
+           CAST(grouping(hour) AS INT) AS is_day_level,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM base
+    GROUP BY GROUPING SETS ((day), (day, hour))
+    ORDER BY day, is_day_level DESC, hour NULLS FIRST
+    """,
+)
+def event_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup (the hypertable continuous-aggregate
+    shape): hourly AND daily aggregates of the same fact in ONE scan +
+    ONE Expand — not a union of two aggregation passes. grouping()
+    marks the level so consumers can route; at 100 TB this is the
+    materialization query behind serving both granularities from one
+    job."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        F.date_format(
+            F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH"
+        ).alias("hour"),
+        "value",
+    )
+    base.createOrReplaceTempView("_time_rollup_base")
+    return spark.sql(
+        """
+        SELECT day, hour,
+               CAST(grouping(hour) AS INT) AS is_day_level,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM _time_rollup_base
+        GROUP BY GROUPING SETS ((day), (day, hour))
+        ORDER BY day, is_day_level DESC, hour NULLS FIRST
+        """
     )
