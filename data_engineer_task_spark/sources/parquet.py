@@ -218,10 +218,25 @@ def delete_where(
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(conf)
+    statuses = list(fs.listStatus(root))
+    # Hive-partitioned layouts need partition-aware rewrite (reading a
+    # leaf file directly DROPS its partition-directory columns, so a
+    # naive rewrite would silently lose data). Refuse rather than
+    # corrupt; the snapshot sink or a partition-wise overwrite is the
+    # right tool there.
+    if any(
+        st.isDirectory() and "=" in st.getPath().getName() for st in statuses
+    ):
+        raise ValueError(
+            "delete_where does not support hive-partitioned tables: "
+            "rewriting leaf files would drop partition columns. Use the "
+            "snapshot sink (streaming/sink.py) or rewrite the affected "
+            "partitions with write_parquet(partition_by=...)."
+        )
     n_total = len(
         [
             st
-            for st in fs.listStatus(root)
+            for st in statuses
             if st.isFile() and not st.getPath().getName().startswith("_")
         ]
     )

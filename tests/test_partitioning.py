@@ -100,3 +100,21 @@ def test_delete_where_rewrites_only_affected_files(spark, tmp_path):
         "files_rewritten": 0,
         "files_untouched": len(surviving),
     }
+
+
+def test_delete_where_refuses_hive_partitioned_tables(spark, tmp_path):
+    """Rewriting a leaf file read directly would drop its partition
+    columns — delete_where must refuse instead of corrupting."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_engineer_task_spark.sources.parquet import delete_where
+
+    tbl = str(tmp_path / "ptbl")
+    spark.range(50).selectExpr("id", "id % 3 AS p").write.partitionBy(
+        "p"
+    ).parquet(tbl)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        delete_where(spark, tbl, F.col("id") == 7)
+    # table untouched
+    assert spark.read.parquet(tbl).count() == 50
