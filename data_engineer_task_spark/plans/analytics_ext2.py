@@ -1033,3 +1033,95 @@ def event_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY day, is_day_level DESC, hour NULLS FIRST
         """
     )
+
+
+@q(
+    "suppliers_with_orders_exists",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey
+        AND l.l_quantity > 45
+    )
+    ORDER BY s.s_suppkey
+    """,
+)
+def suppliers_with_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery in SQL-text form — Catalyst
+    decorrelates it to one LeftSemi join (pinned in the plan tests), so
+    the subquery never re-executes per outer row. Complements the
+    DataFrame-API semi_join operator and the NOT IN anti form: all
+    three spellings of membership land on the same physical plans."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("_ex_supplier")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_ex_lineitem")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name
+        FROM _ex_supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM _ex_lineitem l WHERE l.l_suppkey = s.s_suppkey
+            AND l.l_quantity > 45
+        )
+        ORDER BY s.s_suppkey
+        """
+    )
+
+
+@q(
+    "orders_vs_global_avg",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_above_avg,
+           round(min(o_totalprice), 2) AS min_above
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def orders_vs_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: the global average computes ONCE
+    (a one-row subquery broadcast into the filter), never per row —
+    the plan shows a single ReusedSubquery/Subquery node feeding the
+    scan filter. SQL-text form; the DataFrame spelling is the
+    crossJoin(broadcast(agg)) pattern used by the winsorized entry."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_ga_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_above_avg,
+               round(min(o_totalprice), 2) AS min_above
+        FROM _ga_orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM _ga_orders)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+@q(
+    "customer_page_two",
+    """
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey ASC
+    LIMIT 10 OFFSET 10
+    """,
+)
+def customer_page_two(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination (page 2 of the balance leaderboard)
+    with a fully deterministic sort (custkey tie-break). OFFSET in a
+    distributed engine still sorts/skips the prefix — fine for bounded
+    page depth; past a few thousand rows the scale-correct pattern is
+    KEYSET pagination (WHERE (acctbal, custkey) < last-seen, same
+    ORDER BY + LIMIT), which prunes instead of skipping."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .offset(10)
+        .limit(10)
+    )

@@ -303,3 +303,18 @@ def test_null_profile_is_single_scan(spark):
     # the details section — count the numbered detail headers.
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
     assert len(scans) == 1, scans
+
+
+def test_exists_decorrelates_to_semi_join(spark):
+    plan = _plan(spark, "suppliers_with_orders_exists")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_uncorrelated_scalar_subquery_computes_once(spark):
+    # the global-avg subquery must appear as a Subquery node feeding the
+    # filter, not a per-row re-aggregation join
+    plan = _plan(spark, "orders_vs_global_avg")
+    assert "Subquery" in plan
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) <= 2, scans  # main scan + subquery scan
