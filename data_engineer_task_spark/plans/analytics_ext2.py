@@ -15,6 +15,12 @@ first two batches did not yet cover, each paired with a DuckDB oracle:
  - statistical aggregates (stddev_samp / corr)
  - chi-square contingency independence scan
  - Shannon entropy class-balance profiling
+ - recursive CTE hierarchy rollup (WITH RECURSIVE)
+ - trailing rolling distinct cardinality (day fan-out)
+ - winsorization (percentile clipping)
+ - time-hierarchy rollup (grouping sets over hour/day)
+ - correlated EXISTS / uncorrelated scalar subquery (SQL text)
+ - LIMIT/OFFSET pagination
 
 Registered into the same ``QUERIES`` / ``ORACLE`` dicts via the ``q``
 decorator. Authoring rules are the ones at the top of ``analytics.py``

@@ -682,3 +682,36 @@ def test_normalize_text_steps_and_toggles(spark):
         normalize_text(F.col("text"), collapse_ws=False).alias("n")
     ).collect()[0]["n"]
     assert "  " in no_collapse  # collapse genuinely toggled off
+
+
+def test_multimodal_features_feed_ann_assignment(spark):
+    """Integration: the multimodal chain's output column IS the input
+    the ANN operators take — synthesize media, featurize to
+    array<double>, and route every vector to a centroid via ivf_assign.
+    The whole chain is deterministic, so assignments are stable across
+    runs."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_task_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media_column,
+    )
+    from data_engineer_task_spark.operators.similarity import ivf_assign
+
+    df = spark.createDataFrame(
+        [(i, f"media payload {i}") for i in range(40)], ["id", "text"]
+    )
+    media = synthesize_media_column(df, "id", "text")
+    feats = extract_features(media, "id", "media", dim=8)
+
+    out1 = ivf_assign(feats, "id", "features", centroid_filter=F.col("id") < 4)
+    rows1 = sorted(map(tuple, out1.collect()))
+    assert len(rows1) == 40
+    assert {r[1] for r in rows1} <= {0, 1, 2, 3}  # centroid ids
+    assert all(-1.0 <= r[2] <= 1.0 for r in rows1)
+    # centroids match themselves perfectly
+    self_rows = {r[0]: r for r in rows1 if r[0] < 4}
+    assert all(self_rows[i][1] == i and self_rows[i][2] == 1.0 for i in range(4))
+
+    out2 = ivf_assign(feats, "id", "features", centroid_filter=F.col("id") < 4)
+    assert rows1 == sorted(map(tuple, out2.collect()))
