@@ -176,3 +176,25 @@ def test_pipeline_multi_ingest_slices_and_full_path_ledger(spark, netflix_csv, t
     # forced re-ingest replaces its own slice only
     assert pipe.run(other_csv, force=True) is not None
     assert pipe.table("shows").count() == 2 * 7787
+
+
+def test_pandas_api_bridge_runs_reference_idioms(spark, netflix_csv):
+    """Migration bridge for reference users: the engine's CSV source
+    plus ``.pandas_api()`` (pandas-on-Spark) runs the reference's OWN
+    transform idioms (``task.py:76-87``: str.split -> explode ->
+    dropna -> str.strip) verbatim and reproduces the verified golden
+    cardinalities — the incremental path from single-machine pandas to
+    distributed execution without rewriting line one."""
+    import pyspark.pandas as ps  # noqa: F401  (registers the API)
+
+    from data_engineer_task_spark.sources.csv import read_csv
+
+    psdf = read_csv(spark, netflix_csv, multi_line=True).pandas_api()
+    assert psdf.shape == (7787, 12)  # ref task.py:256
+
+    c = psdf[["show_id", "cast"]].copy()
+    c["cast"] = c["cast"].str.split(",")       # task.py:76
+    exploded = c.explode("cast").dropna()      # task.py:82, 112
+    exploded["cast"] = exploded["cast"].str.strip()  # task.py:87
+    assert len(exploded) == 55955              # SURVEY §2.2 golden
+    assert exploded["cast"].nunique() == 32881  # distinct actors
