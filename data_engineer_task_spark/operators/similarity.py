@@ -242,7 +242,12 @@ def kmeans_fit(
             r["cluster"]: [round(float(r[f"c{d}"]), round_to) for d in range(dim)]
             for r in rows
         }
-        centroids = [new.get(c, centroids[c]) for c in range(k)]
+        updated = [new.get(c, centroids[c]) for c in range(k)]
+        if updated == centroids:
+            # Rounded fixpoint: every further iteration is a no-op, so
+            # stopping changes nothing but the job count.
+            break
+        centroids = updated
     final = _assign_to_centroids(base, centroids)
     # The cache served its purpose (one scan per iteration); release
     # it so repeated fits don't pin corpus copies for the session
