@@ -741,9 +741,22 @@ def priority_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_order.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.round(F.stddev_samp("o_totalprice"), 2).alias("price_stddev"),
+            # nanvl: Spark yields NaN (DuckDB: NULL) for stddev/corr on
+            # single-row or zero-variance groups — map to NULL so the
+            # engines stay identical on degenerate groups.
             F.round(
-                F.corr(F.col("n_items").cast("double"), F.col("o_totalprice")), 4
+                F.nanvl(
+                    F.stddev_samp("o_totalprice"),
+                    F.lit(None).cast("double"),
+                ),
+                2,
+            ).alias("price_stddev"),
+            F.round(
+                F.nanvl(
+                    F.corr(F.col("n_items").cast("double"), F.col("o_totalprice")),
+                    F.lit(None).cast("double"),
+                ),
+                4,
             ).alias("items_price_corr"),
         )
         .orderBy("o_orderpriority")

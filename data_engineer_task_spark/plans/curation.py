@@ -13,9 +13,10 @@ manifest of what each stage removed.
 Scale shape (SCALING.md doctrine): every stage is a scan + bounded
 shuffle — normalization and gating are map-only; exact dedup shuffles
 32-byte digests; near-dup runs the banded MinHash path (never
-all-pairs); the split is map-only md5 bucketing. The manifest counts
-ride on actions the write already needs (one count per stage — each a
-cheap column-pruned aggregate, not a second full materialization).
+all-pairs); the split is map-only md5 bucketing. The post-gate and post-dedup
+frames are persisted because the manifest counts, both reject branches,
+and the final writes all re-consume them — without the cache the
+gate+dedup lineage would re-execute per action.
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,12 +50,13 @@ class CurationConfig:
     near_dup_threshold: float = 0.6
     minhash_hashes: int = 8
     shingle_k: int = 3
+    min_avg_token_len: float = 0.0
+    max_avg_token_len: float = 1e9
     split_cuts: tuple[tuple[str, int], ...] = (
         ("train", 204),
         ("val", 230),
         ("test", 256),
     )
-    keep_cols: tuple[str, ...] = field(default=())
 
 
 class CurationPipeline:
@@ -105,12 +107,18 @@ class CurationPipeline:
             "_norm_text",
             min_tokens=cfg.min_tokens,
             max_tokens=cfg.max_tokens,
+            min_avg_token_len=cfg.min_avg_token_len,
+            max_avg_token_len=cfg.max_avg_token_len,
             max_stopword_ratio=cfg.max_stopword_ratio,
             max_punct_ratio=cfg.max_punct_ratio,
         ).select(cfg.id_col, "passed")
-        with_flag = norm.join(gated, cfg.id_col)
-        passed = stage("quality_gate", with_flag.where(F.col("passed")).drop("passed"))
-        rejects_quality = with_flag.where(~F.col("passed")).drop("passed").withColumn(
+        # NULL flags (e.g. NULL text -> NULL token stats) route to the
+        # REJECT side: three-valued logic would otherwise drop the row
+        # from BOTH branches and break funnel conservation.
+        ok = F.coalesce(F.col("passed"), F.lit(False))
+        with_flag = norm.join(gated, cfg.id_col).persist()
+        passed = stage("quality_gate", with_flag.where(ok).drop("passed"))
+        rejects_quality = with_flag.where(~ok).drop("passed").withColumn(
             "reject_stage", F.lit("quality_gate")
         )
 
@@ -119,8 +127,13 @@ class CurationPipeline:
         survivors = content_hash_dedup(passed, cfg.id_col, "_norm_text").select(
             cfg.id_col
         )
+        # Persist the survivor frame: the near-dup build, both reject
+        # branches, the final write, and the stage counts all re-consume
+        # it (without the cache the gate+dedup lineage re-executes per
+        # action).
         exact = stage(
-            "exact_dedup", passed.join(survivors, cfg.id_col, "left_semi")
+            "exact_dedup",
+            passed.join(survivors, cfg.id_col, "left_semi").persist(),
         )
         rejects_exact = passed.join(survivors, cfg.id_col, "left_anti").withColumn(
             "reject_stage", F.lit("exact_dedup")
@@ -142,7 +155,8 @@ class CurationPipeline:
             F.col("node").alias(cfg.id_col)
         )
         deduped = stage(
-            "near_dedup", exact.join(losers, cfg.id_col, "left_anti")
+            "near_dedup",
+            exact.join(losers, cfg.id_col, "left_anti").persist(),
         )
         rejects_near = exact.join(losers, cfg.id_col, "left_semi").withColumn(
             "reject_stage", F.lit("near_dedup")

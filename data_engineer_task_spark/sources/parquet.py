@@ -265,7 +265,7 @@ def delete_where(
         if not st.isFile() or name.startswith("_"):
             continue
         dest = jvm.org.apache.hadoop.fs.Path(
-            root, f"part-del-{uuid.uuid4().hex[:8]}-{name.lstrip('part-')}"
+            root, f"part-del-{uuid.uuid4().hex[:8]}-{name.removeprefix('part-')}"
         )
         fs.rename(st.getPath(), dest)
         moved += 1

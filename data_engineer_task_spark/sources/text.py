@@ -46,7 +46,10 @@ def read_text_corpus(
     )
     lines = files.select(
         "source_file",
-        F.posexplode(F.split(F.col("body"), "\n")).alias("line_no", "text"),
+        # \r?\n handles CRLF shards: stray \r would otherwise survive in
+        # text (polluting content-hash dedup keys) and make blank CRLF
+        # lines pass the min_chars filter as phantom one-char docs.
+        F.posexplode(F.split(F.col("body"), r"\r?\n")).alias("line_no", "text"),
     )
     return (
         lines.where(F.length(F.trim(F.col("text"))) >= min_chars)

@@ -37,7 +37,14 @@ def corpus(spark):
             "source",
         )
     )
-    return base.unionByName(exact_copies).unionByName(near_copies)
+    null_text = spark.createDataFrame(
+        [(9_000_000, None, "xx", "srcz")], "doc_id long, text string, lang string, source string"
+    )
+    return (
+        base.unionByName(exact_copies)
+        .unionByName(near_copies)
+        .unionByName(null_text)
+    )
 
 
 def _run(spark, corpus, tmp_path):
@@ -48,7 +55,7 @@ def _run(spark, corpus, tmp_path):
 def test_pipeline_stages_and_manifest(spark, corpus, tmp_path):
     manifest = _run(spark, corpus, tmp_path)
     rows = {s["stage"]: s["rows"] for s in manifest["stages"]}
-    assert rows["input"] == 280
+    assert rows["input"] == 281
     # monotone non-increasing through the funnel
     assert (
         rows["input"]
@@ -76,8 +83,11 @@ def test_pipeline_stages_and_manifest(spark, corpus, tmp_path):
     stages = {r["reject_stage"] for r in rejects.select("reject_stage").distinct().collect()}
     assert "exact_dedup" in stages
     assert "near_dedup" in stages
-    # funnel conservation: every input row lands in curated or rejects
+    # funnel conservation: every input row lands in curated or rejects —
+    # including the NULL-text row, whose NULL gate flag must route to
+    # rejects (not vanish under three-valued logic)
     assert curated.count() + rejects.count() == rows["input"]
+    assert rejects.where(F.col("doc_id") == 9_000_000).count() == 1
 
 
 def test_pipeline_deterministic(spark, corpus, tmp_path):

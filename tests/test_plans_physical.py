@@ -278,12 +278,10 @@ def test_ohlc_windows_share_one_partitioning(spark):
     # Both row_number directions partition on (type, hour): one shuffle,
     # two in-partition sorts — never one shuffle per window.
     plan = _plan(spark, "event_hourly_ohlc")
-    hash_exchanges = [
-        l
-        for l in plan.splitlines()
-        if "Exchange hashpartitioning" in l and "Reused" not in l
-    ]
-    assert len(hash_exchanges) <= 2, hash_exchanges
+    headers = re.findall(r"^\(\d+\) Exchange$", plan, flags=re.M)
+    n_roundrobin = plan.count("RoundRobinPartitioning")
+    # one hash shuffle for both windows + the bounded output sort
+    assert len(headers) - n_roundrobin <= 2, plan
     assert "BatchEvalPython" not in plan
 
 

@@ -171,11 +171,13 @@ def test_text_corpus_reader_deterministic_ids(spark, tmp_path):
     d = tmp_path / "shards"
     d.mkdir()
     (d / "a.txt").write_text("alpha doc one\n\nalpha doc two\n")
-    (d / "b.txt").write_text("beta doc one\nbeta doc two\nbeta doc three")
+    # CRLF shard: \r must not leak into text or create phantom docs
+    (d / "b.txt").write_text("beta doc one\r\n\r\nbeta doc two\r\nbeta doc three")
 
     docs = read_text_corpus(spark, str(d))
     rows = docs.collect()
-    assert len(rows) == 5  # blank line dropped
+    assert len(rows) == 5  # blank LF and blank CRLF lines dropped
+    assert all("\r" not in r["text"] for r in rows)
     assert docs.columns == ["doc_id", "text", "source", "n_chars"]
     assert {r["source"] for r in rows} == {"a.txt", "b.txt"}
     ids = [r["doc_id"] for r in rows]
