@@ -334,3 +334,44 @@ def normalize_text(
     if collapse_ws:
         out = F.trim(F.regexp_replace(out, r"\s+", " "))
     return out
+
+
+# PII span patterns, deliberately conservative (precision over recall —
+# a scrubber that eats ordinary prose is worse than one that misses an
+# exotic phone format). Java-regex dialect; order matters: emails are
+# scrubbed before phone shapes so a digit-bearing local-part can't be
+# half-eaten, and IPv4 before phones so dotted quads aren't read as
+# digit runs.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    (
+        "phone",
+        r"(?<![\w.])(?:\+?\d{1,2}[ .-]?)?(?:\(\d{3}\)|\d{3})[ .-]?\d{3}[ .-]?\d{4}(?!\w|\.\d)",
+        "[PHONE]",
+    ),
+)
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str,
+    *,
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+    out_col: str = "scrubbed",
+) -> DataFrame:
+    """Regex PII redaction for corpus curation: replace every match of
+    each (kind, pattern, marker) rule with its marker and append one
+    ``n_<kind>`` count column per rule (``regexp_count`` — same scan,
+    no second pass) plus the scrubbed text. Entirely codegen
+    (``regexp_replace``/``regexp_count``), map-only, no shuffle — the
+    shape that lets a scrub pass run as a pure narrow stage over 100 TB
+    and fuse with whatever filter/write follows. Counting runs against
+    the ORIGINAL text while replacement is sequential, so markers never
+    feed later rules (no marker contains a scrubbable span)."""
+    out = F.col(text_col)
+    counts = []
+    for kind, pat, marker in patterns:
+        counts.append(F.regexp_count(text_col, F.lit(pat)).alias(f"n_{kind}"))
+        out = F.regexp_replace(out, pat, marker)
+    return df.select("*", *counts, out.alias(out_col))

@@ -1144,3 +1144,7 @@ def customer_page_two(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(10)
         .limit(10)
     )
+
+
+# Fourth-batch entries register themselves into QUERIES/ORACLE on import.
+from . import analytics_ext3  # noqa: E402,F401  isort:skip

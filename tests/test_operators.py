@@ -30,6 +30,7 @@ from data_engineer_task_spark.operators.relational import (
 from data_engineer_task_spark.operators.similarity import cosine_topk
 from data_engineer_task_spark.operators.text import (
     language_scores,
+    scrub_pii,
     shingles,
     simhash16,
     token_stats,
@@ -715,3 +716,39 @@ def test_multimodal_features_feed_ann_assignment(spark):
 
     out2 = ivf_assign(feats, "id", "features", centroid_filter=F.col("id") < 4)
     assert rows1 == sorted(map(tuple, out2.collect()))
+
+
+# --- PII scrubbing ---------------------------------------------------------
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    # Constructed rows: the synthetic corpus has no PII-shaped spans,
+    # so the regex rules are pinned here (the corpus-scale denylist
+    # variant is the doc_denylist_scrub oracle entry).
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_1@ex-ample.co.uk or call +1 (555) 123-4567."),
+            (2, "server at 192.168.0.1 logged 555.867.5309 twice"),
+            (3, "no pii here, just 42 plain words and v1.2.3 tags"),
+            (4, None),
+        ],
+        "id int, text string",
+    )
+    out = {r["id"]: r for r in scrub_pii(df, "text").collect()}
+
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[1]["scrubbed"] == "mail [EMAIL] or call [PHONE]."
+    # dotted quad claimed by the IP rule, not half-eaten by phone
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_phone"] == 1
+    assert out[2]["scrubbed"] == "server at [IP] logged [PHONE] twice"
+    # precision: versions / plain numbers survive untouched
+    assert out[3]["scrubbed"] == out[3]["text"]
+    assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_phone"] == 0
+    # null text propagates nulls, never throws (ANSI mode)
+    assert out[4]["scrubbed"] is None
+
+
+def test_scrub_pii_is_map_only(spark):
+    df = spark.createDataFrame([(1, "x@y.io")], "id int, text string")
+    explained = scrub_pii(df, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in explained and "BatchEvalPython" not in explained

@@ -316,3 +316,42 @@ def test_uncorrelated_scalar_subquery_computes_once(spark):
     assert "Subquery" in plan
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
     assert len(scans) <= 2, scans  # main scan + subquery scan
+
+
+def test_regr_trend_is_single_partial_agg(spark):
+    # regr_* must decompose into one hash aggregate with map-side
+    # partial combine (two HashAggregate levels, one exchange), and the
+    # scan must prune to the two referenced columns.
+    plan = _plan(spark, "priority_price_trend")
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+    assert "BatchEvalPython" not in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_totalprice" in read_schema and "o_orderdate" in read_schema
+    assert "o_custkey" not in read_schema
+
+
+def test_bitmap_distinct_merges_partial_bitmaps(spark):
+    # both aggregate levels (per-bucket OR, per-type popcount-sum) must
+    # partial-combine: 4 HashAggregate nodes, no Python anywhere.
+    plan = _plan(spark, "event_user_bitmap_distinct")
+    assert len(re.findall(r"HashAggregate", plan)) >= 4
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_geomean_udaf_is_arrow_batched_not_row_python(spark):
+    # the custom UDAF must plan as the Arrow-batched aggregate node —
+    # never the banned row-at-a-time Python eval — with scan pruning
+    # and the positive-price filter pushed down.
+    plan = _plan(spark, "priority_geomean_price")
+    assert "ArrowAggregatePython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "GreaterThan(o_totalprice,0.0)" in plan.replace(" ", "")
+
+
+def test_denylist_scrub_is_map_only_until_rollup(spark):
+    # literal-replace scrub = pure codegen string ops; exactly one
+    # shuffle (the per-source rollup), no regex/Python nodes.
+    plan = _plan(spark, "doc_denylist_scrub")
+    assert "BatchEvalPython" not in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) <= 2, exchanges  # group rollup + final sort
