@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .analytics import _t, q
@@ -204,4 +204,174 @@ def doc_denylist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("residual_len"), 2).alias("avg_scrubbed_chars"),
         )
         .orderBy("source")
+    )
+
+
+@q(
+    "user_activity_islands",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    isl AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', day)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM days
+    ),
+    g AS (SELECT user_id, grp, count(*) AS len FROM isl GROUP BY user_id, grp)
+    SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(len) AS BIGINT) AS max_island_days
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's active days into runs of
+    consecutive days and profile run counts/lengths — the sequence
+    classic the inventory lacked (streaks, outage windows, coverage
+    runs are all this shape). The textbook form is the day_number −
+    row_number window trick (the oracle spells it that way), but that
+    plans THREE exchanges (distinct on (user,day), re-shuffle on user
+    for the window, again for the rollup). Instead: ONE shuffle —
+    ``collect_set(day)`` per user — then the whole run-length analysis
+    happens IN-ROW in codegen: sort the day array, day-gap diffs via
+    ``zip_with`` on the shifted tail, islands = 1 + #gaps>1, and the
+    longest run via an O(k) ``aggregate`` fold carrying (current,
+    best). Per-user day counts are calendar-bounded (a decade ≈ 3.7k
+    entries), so the in-row array is always small even when the event
+    fact is 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("day")).alias("days"))
+    )
+    k = F.size("days")
+    # consecutive-day gaps: diffs[i] = days[i+1] - days[i] (k-1 entries)
+    diffs = F.zip_with(
+        F.slice("days", 2, F.greatest(k - 1, F.lit(0))),
+        F.slice("days", 1, F.greatest(k - 1, F.lit(0))),
+        lambda nxt, prv: F.datediff(nxt, prv),
+    )
+    longest = F.aggregate(
+        diffs,
+        F.struct(F.lit(1).alias("cur"), F.lit(1).alias("best")),
+        lambda acc, d: F.struct(
+            F.when(d == 1, acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(d == 1, acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return (
+        per_user.select(
+            "user_id",
+            k.cast("long").alias("n_active_days"),
+            (F.lit(1) + F.size(F.filter(diffs, lambda d: d > 1)))
+            .cast("long")
+            .alias("n_islands"),
+            longest.cast("long").alias("max_island_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "stream_purchase_click_outer",
+    """
+    WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, epoch_ns(ts) // 1000 AS us
+               FROM events WHERE event_type = 'click'),
+         b AS (SELECT least((SELECT max(us) FROM p), (SELECT max(us) FROM c))
+                      - 2460000000 AS cutoff_us),
+         pf AS (SELECT p.* FROM p, b WHERE p.us <= b.cutoff_us)
+    SELECT pf.event_id AS event_id, pf.user_id AS user_id,
+           CAST(count(c.us) AS BIGINT) AS n_clicks_30m
+    FROM pf LEFT JOIN c
+      ON c.user_id = pf.user_id
+     AND c.us BETWEEN pf.us - 1800000000 AND pf.us
+    GROUP BY pf.event_id, pf.user_id
+    ORDER BY event_id
+    """,
+)
+def stream_purchase_click_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join as a REAL Structured
+    Streaming query: zero-click purchases surface with count 0, which
+    only exist in the output because the click-side watermark proved
+    their absence final (see ``run_stream_interval_outer_join_once``
+    for the emission/finality mechanics and why both sides trim to the
+    watermark boundary — 41 min here: 10 min delay + 30 min interval +
+    1 min edge margin, mirrored as the oracle's 2 460 000 000 µs)."""
+    from ..streaming.aggregate import run_stream_interval_outer_join_once
+
+    return run_stream_interval_outer_join_once(
+        spark, f"{sf_dir}/events.parquet", "stream_outer_join_out"
+    )
+
+
+_EWMA_ALPHA = 0.3
+
+
+@q(
+    "user_value_ewma",
+    f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, avg(value) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    seq AS (
+      SELECT user_id, v,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM daily
+    )
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_days,
+           round(sum(v * CASE WHEN rn = 1 THEN pow(1 - {_EWMA_ALPHA}, n - 1)
+                              ELSE {_EWMA_ALPHA} * pow(1 - {_EWMA_ALPHA}, n - rn)
+                         END), 4) AS ewma_value,
+           round(avg(v), 4) AS mean_value
+    FROM seq GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's daily mean
+    value — the recursive smoother ewma_n = α·x_n + (1−α)·ewma_{n−1}
+    unrolled into its closed weighted-sum form so it runs as ONE
+    window pass + ONE aggregate instead of a per-user sequential scan
+    (recursion is the one thing a distributed engine can't parallelize;
+    the closed form is algebraically identical with ewma_1 = x_1).
+    Weights underflow to exactly 0.0 past ~700 steps in IEEE doubles —
+    identical in both engines, so the oracle hash still matches on
+    arbitrarily long series. Day-grain series makes the per-user
+    ordering unique (no ts tie-break hazard)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.avg("value").alias("v")
+    )
+    wo = W.partitionBy("user_id").orderBy("day")
+    wall = W.partitionBy("user_id")
+    a = _EWMA_ALPHA
+    seq = daily.select(
+        "user_id",
+        "v",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    weight = (
+        F.when(F.col("rn") == 1, F.pow(F.lit(1 - a), F.col("n") - 1))
+        .otherwise(F.lit(a) * F.pow(F.lit(1 - a), F.col("n") - F.col("rn")))
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.round(F.sum(F.col("v") * weight), 4).alias("ewma_value"),
+            F.round(F.avg("v"), 4).alias("mean_value"),
+        )
+        .orderBy("user_id")
     )

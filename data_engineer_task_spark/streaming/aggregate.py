@@ -244,6 +244,82 @@ def run_stream_interval_join_once(
     )
 
 
+def run_stream_interval_outer_join_once(
+    spark: SparkSession,
+    events_path: str,
+    query_name: str = "stream_outer_join_out",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase emits,
+    with NULL click columns when no same-user click preceded it within
+    30 minutes. Outer results exercise the semantics the inner form
+    doesn't: an unmatched left row is held in join state until the
+    CLICK-side watermark proves no matching click can still arrive
+    (> p_ts, derived from the interval condition), only then emitted
+    with nulls — so emission is watermark-driven, not arrival-driven,
+    and the state buffer is provably bounded by the delay + interval.
+
+    Determinism at end-of-stream: the final no-data micro-batch
+    advances the watermark only to min(max p_ts, max c_ts) − delay, so
+    purchases newer than that boundary may still sit in state when the
+    drive stops. Both the returned frame and the declared oracle
+    therefore trim to p_ts ≤ boundary − 31 min (30 min interval + 1 min
+    margin keeps the >/≥ edge out of the comparison) — the trim is the
+    honest expression of outer-join completeness semantics, not a
+    fudge: rows above the boundary are not yet FINAL in any streaming
+    engine."""
+    glob_path = _as_glob(events_path)
+    p = (
+        _event_stream(spark, glob_path)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark_delay)
+    )
+    c = (
+        _event_stream(spark, glob_path)
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", watermark_delay)
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            "user_id = c_user AND "
+            "c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts <= p_ts"
+        ),
+        "left_outer",
+    ).select("event_id", "user_id", "p_ts", "c_ts")
+    _drive_to_memory(joined, query_name, output_mode="append")
+    # Finality boundary from the SOURCE (batch metadata pass): the
+    # stream's last-advanced watermark minus the interval + margin.
+    bounds = (
+        spark.read.parquet(glob_path)
+        .where(F.col("event_type").isin("purchase", "click"))
+    )
+    if dict(bounds.dtypes).get("ts") == "bigint":  # legacy nanos-as-long
+        bounds = bounds.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    cutoff = (
+        bounds.groupBy("event_type")
+        .agg(F.max(F.col("ts").cast("timestamp")).alias("m"))
+        .agg(F.min("m").alias("mm"))
+        .select(
+            (
+                F.col("mm")
+                - F.expr(f"INTERVAL {watermark_delay}")
+                - F.expr("INTERVAL 31 MINUTES")
+            ).alias("cutoff")
+        )
+        .collect()[0]["cutoff"]
+    )
+    return (
+        spark.table(query_name)
+        .where(F.col("p_ts") <= F.lit(cutoff))
+        .groupBy("event_id", "user_id")
+        .agg(F.count("c_ts").cast("long").alias("n_clicks_30m"))
+        .orderBy("event_id")
+    )
+
+
 def run_stream_once(
     spark: SparkSession,
     events_path: str,

@@ -355,3 +355,22 @@ def test_denylist_scrub_is_map_only_until_rollup(spark):
     assert "BatchEvalPython" not in plan
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
     assert len(exchanges) <= 2, exchanges  # group rollup + final sort
+
+
+def test_islands_fold_is_single_shuffle_in_row(spark):
+    # gaps-and-islands must run as ONE data shuffle (the per-user
+    # collect_set) + the bounded final sort — never the textbook
+    # three-exchange window cascade — with the run-length fold in
+    # codegen, not Python.
+    plan = _plan(spark, "user_activity_islands")
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) <= 2, exchanges
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ewma_scan_prunes_and_stays_jvm(spark):
+    plan = _plan(spark, "user_value_ewma")
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "value" in read_schema and "props" not in read_schema
+    assert "BatchEvalPython" not in plan

@@ -114,6 +114,80 @@ def test_stream_interval_join_matches_batch_range_join(spark, events_stream_dir)
     assert got == expected and len(got) > 0
 
 
+def test_stream_outer_interval_join_emits_watermark_proven_zeros(
+    spark, tmp_path_factory
+):
+    from data_engineer_task_spark.streaming.aggregate import (
+        run_stream_interval_outer_join_once,
+    )
+
+    # Outer emission is watermark-driven, so micro-batches must arrive
+    # in rough event-time order (as production streams do) — a random
+    # 4-way split spans the whole month per batch, which legitimately
+    # drops batches 2-4 as late under a tight delay. The file source
+    # orders batches by file MTIME, so write one time-slice per append
+    # with distinct mtimes (range-partitioning alone isn't enough — one
+    # commit stamps every file identically and the pickup order is
+    # arbitrary).
+    import time
+
+    src = str(tmp_path_factory.mktemp("events_stream_ordered"))
+    ev_all = load_table(spark, SF_SMOKE, "events")
+    lo, hi = ev_all.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    step = (hi - lo) / 4
+    for i in range(4):
+        upper = lo + step * (i + 1)
+        sl = ev_all.where(
+            (F.col("ts") >= F.lit(lo + step * i)) if i else F.lit(True)
+        ).where(F.col("ts") < F.lit(upper) if i < 3 else F.lit(True))
+        sl.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    out = run_stream_interval_outer_join_once(
+        spark, src, query_name="t_stream_outer_join"
+    ).collect()
+    got = {(r["event_id"], r["user_id"]): r["n_clicks_30m"] for r in out}
+
+    # Outer semantics: zero-click purchases ARE present — each one only
+    # because the click watermark proved its emptiness final.
+    assert len(got) > 0
+    assert any(v == 0 for v in got.values())
+
+    # Batch replica with the same finality cutoff (41 min inside the
+    # min of both sides' max ts: 10 delay + 30 interval + 1 margin).
+    ev = load_table(spark, SF_SMOKE, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    cutoff = (
+        ev.where(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg(F.expr("min(m) - INTERVAL 41 MINUTES").alias("cutoff"))
+        .collect()[0]["cutoff"]
+    )
+    expected = {
+        (r["event_id"], r["user_id"]): r["n"]
+        for r in p.where(F.col("p_ts") <= F.lit(cutoff))
+        .join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "left_outer",
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.count("c_ts").alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
 def test_checkpoint_recovery_reads_only_new_files(spark, tmp_path):
     from data_engineer_task_spark.streaming.aggregate import run_stream_once
 
