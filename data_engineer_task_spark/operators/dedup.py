@@ -17,7 +17,7 @@ SQL oracle uses, so results are bit-comparable).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from .text import shingles_from_text
@@ -263,6 +263,122 @@ def jaccard_verify(
                 )
                 / 10000.0
             ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_join_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT similarity self-join: every pair with shingle-set Jaccard
+    >= threshold, guaranteed no false negatives — the deterministic
+    counterpart of the MinHash/LSH family (which trades recall for
+    candidate count). Scale comes from PPJoin-style **prefix
+    filtering** (Xiao et al., WWW'08): order each document's shingles
+    by global rarity (document frequency asc, shingle asc — a total
+    order), keep only the first ``|S| - ceil(t*|S|) + 1`` as its
+    prefix, and generate candidates from prefix∩prefix instead of
+    set∩set. Any pair meeting the threshold MUST share a prefix
+    element under a fixed global order, so the candidate set is a
+    superset of the answer; rare-first ordering makes it a SMALL
+    superset (hot shingles fall out of every prefix, which also
+    removes the skewed keys from the candidate self-join). Exact
+    verification then computes true Jaccard in-row on the joined
+    shingle arrays. Shuffles: one on shingle for df, one on shingle
+    for the candidate join (rare keys only), one on id for arrays —
+    never an all-pairs product."""
+    from .text import token_shingle_array
+
+    arr = token_shingle_array(F.col(text_col), k=shingle_k)
+    sets = df.select(
+        F.col(id_col), F.explode(F.array_distinct(arr)).alias("shingle")
+    ).persist()
+    sets.count()  # materialize before AQE races the three consumers
+
+    dfreq = sets.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sets.join(dfreq, "shingle")
+    wsz = W.partitionBy(id_col)
+    word = W.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shingle"))
+    prefix_len = (
+        F.count(F.lit(1)).over(wsz)
+        - F.ceil(F.count(F.lit(1)).over(wsz) * F.lit(threshold))
+        + 1
+    )
+    prefix = (
+        ranked.select(
+            id_col,
+            "shingle",
+            F.row_number().over(word).alias("_rn"),
+            F.count(F.lit(1)).over(wsz).alias("_n"),
+            prefix_len.alias("_plen"),
+        )
+        .where(F.col("_rn") <= F.col("_plen"))
+        .select(id_col, "shingle", "_rn", "_n")
+    )
+    pa = prefix.select(
+        F.col(id_col).alias("id_a"),
+        "shingle",
+        F.col("_rn").alias("rn_a"),
+        F.col("_n").alias("n_a"),
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shingle").alias("shingle_b"),
+        F.col("_rn").alias("rn_b"),
+        F.col("_n").alias("n_b"),
+    )
+    t = float(threshold)
+    # PPJoin pruning predicates, applied INSIDE the candidate join so
+    # pruned pairs never reach the distinct shuffle:
+    #  - length filter: Jac(A,B) >= t forces t*|B| <= |A| (and sym.)
+    #  - positional filter: matching at prefix positions (i, j) leaves
+    #    at most 1 + min(|A|-i, |B|-j) common shingles, which must
+    #    reach the overlap bound ceil(t/(1+t)*(|A|+|B|))
+    overlap_min = F.ceil(F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b")))
+    cands = (
+        pa.join(
+            pb,
+            (pa.shingle == pb.shingle_b)
+            & (pa.id_a < pb.id_b)
+            & (F.col("n_a") >= F.lit(t) * F.col("n_b"))
+            & (F.col("n_b") >= F.lit(t) * F.col("n_a"))
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("n_a") - F.col("rn_a"), F.col("n_b") - F.col("rn_b")
+                )
+                >= overlap_min
+            ),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    arrs = sets.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("shingle")).alias("shset")
+    )
+    aa = arrs.select(
+        F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a")
+    )
+    ab = arrs.select(
+        F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(aa, "id_a")
+        .join(ab, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("n_common"),
+            # scale-then-divide rounding — see jaccard_verify above
+            (F.round(inter * 10000.0 / union) / 10000.0).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

@@ -375,3 +375,74 @@ def scrub_pii(
         counts.append(F.regexp_count(text_col, F.lit(pat)).alias(f"n_{kind}"))
         out = F.regexp_replace(out, pat, marker)
     return df.select("*", *counts, out.alias(out_col))
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+    max_df_frac: float = 0.2,
+) -> DataFrame:
+    """All document pairs with TF-IDF cosine similarity >= threshold,
+    via the inverted-index sparse formulation (Elsayed et al., ACL'08):
+    cos(a,b) = Σ_t w_a(t)·w_b(t) / (‖a‖·‖b‖) decomposes over shared
+    terms, so the pair dot products come from ONE self-join of the
+    (doc, term, weight) posting list on term + a grouped sum — never a
+    doc×doc product. The join's cost is Σ_t df(t)², which stopwords
+    dominate quadratically; ``max_df_frac`` drops terms appearing in
+    more than that fraction of documents from the weight space (the
+    standard df-pruning knob — they carry ~zero idf signal but ~all of
+    the join cost, and they are exactly the skewed shuffle keys).
+    Weights use the smoothed sklearn idf (ln((N+1)/(df+1))+1, matching
+    ``tfidf_top_terms``). Norms are computed over the SAME pruned
+    space, so similarities stay true cosines of the pruned vectors.
+    The posting list is computed once and persisted (three consumers:
+    norms + both join sides). Scale shape: shuffles on term (bounded by
+    df pruning) and on doc id — linear, skew-capped."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    kept = dfreq.where(F.col("df") <= F.lit(float(n_docs) * max_df_frac))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    # vocab-sized side: broadcast keeps the posting list from shuffling
+    # a second time on the skew-prone token key
+    posting = (
+        tf.join(F.broadcast(kept), "token")
+        .select(F.col(id_col), "token", (F.col("tf") * idf).alias("w"))
+        .persist()
+    )
+    posting.count()  # materialize before AQE races the three consumers
+    norms = posting.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    pa = posting.select(F.col(id_col).alias("doc_a"), "token", F.col("w").alias("w_a"))
+    pb = posting.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("token").alias("token_b"),
+        F.col("w").alias("w_b"),
+    )
+    dots = (
+        pa.join(pb, (pa.token == pb.token_b) & (pa.doc_a < pb.doc_b))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("norm").alias("norm_b"))
+    # norms are > 0 by construction (every posting weight is > 0: tf >= 1,
+    # smoothed idf >= 1), so the division is ANSI-total; docs with NO
+    # surviving terms have no postings and thus no pairs at all
+    cos = (
+        F.round(F.col("dot") * 10000.0 / (F.col("norm_a") * F.col("norm_b")))
+        / 10000.0
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -375,3 +375,7 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# Fifth-batch entries register themselves into QUERIES/ORACLE on import.
+from . import analytics_ext4  # noqa: E402,F401  isort:skip

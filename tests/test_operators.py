@@ -752,3 +752,71 @@ def test_scrub_pii_is_map_only(spark):
     df = spark.createDataFrame([(1, "x@y.io")], "id int, text string")
     explained = scrub_pii(df, "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in explained and "BatchEvalPython" not in explained
+
+
+# --- exact similarity joins ------------------------------------------------
+
+
+def _brute_jaccard_pairs(rows, k=3, threshold=0.5):
+    """Python reference: all pairs with k-token-shingle Jaccard >= t."""
+    def sh(text):
+        toks = text.split(" ")
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    sets = {i: sh(t) for i, t in rows}
+    out = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            jac = round(inter * 10000.0 / union) / 10000.0 if union else 0.0
+            if jac >= threshold:
+                out[(a, b)] = (inter, jac)
+    return out
+
+
+def test_jaccard_join_exact_matches_brute_force(spark):
+    from data_engineer_task_spark.operators.dedup import jaccard_join_exact
+
+    base = "the quick brown fox jumps over the lazy dog near the red barn"
+    rows = [
+        (1, base),
+        (2, base + " today"),                      # near-dup of 1
+        (3, "a completely different document about spark shuffles and joins"),
+        (4, base.replace("red", "blue")),          # near-dup of 1 and 2
+        (5, "another unrelated text mentioning quick brown things only once"),
+    ]
+    expected = _brute_jaccard_pairs(rows)
+    assert (1, 2) in expected and (3, 4) not in expected  # fixture sanity
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.jaccard)
+        for r in jaccard_join_exact(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    # prefix filtering must be lossless: exact same pair set AND values
+    assert got == expected
+
+
+def test_tfidf_cosine_pairs_discriminates_and_prunes_stopwords(spark):
+    from data_engineer_task_spark.operators.text import tfidf_cosine_pairs
+
+    rows = [
+        # 1 and 2: same rare vocabulary -> high cosine
+        (1, "zephyr quasar nebula zephyr quasar"),
+        (2, "zephyr quasar nebula nebula"),
+        # 3..12: share ONLY the ubiquitous token 'common' with each other
+        *[(i, f"common filler{i} text{i}") for i in range(3, 13)],
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r.doc_a, r.doc_b): r.cos_sim
+        for r in tfidf_cosine_pairs(
+            df, "doc_id", "text", threshold=0.3, max_df_frac=0.5
+        ).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] > 0.8
+    # 'common' appears in 10/12 docs > max_df_frac -> pruned from the
+    # weight space, so the filler docs produce NO pairs at all
+    assert all(p == (1, 2) for p in out)

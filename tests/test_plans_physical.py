@@ -374,3 +374,37 @@ def test_ewma_scan_prunes_and_stays_jvm(spark):
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "value" in read_schema and "props" not in read_schema
     assert "BatchEvalPython" not in plan
+
+
+def test_tfidf_cosine_pairs_broadcasts_df_and_stays_jvm(spark):
+    # posting-list build must broadcast the vocab-sized df table (the
+    # token key is the skewed one), and the whole pair pipeline stays
+    # codegen — no Python, no doc×doc product anywhere.
+    plan = _plan(spark, "doc_tfidf_cosine_pairs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_jaccard_exact_candidates_never_cartesian(spark):
+    # prefix filtering must express as equi-joins with pushed pruning
+    # predicates — an all-pairs product here would be the quadratic
+    # blowup the operator exists to avoid.
+    plan = _plan(spark, "doc_jaccard_join_exact")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_skyline_frontier_broadcasts_and_bounds_the_window(spark):
+    # the global window runs over the per-size frame only; the fact
+    # side joins the (tiny) frontier via broadcast.
+    plan = _plan(spark, "part_skyline_frontier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_benford_prunes_scan_to_price_column(spark):
+    plan = _plan(spark, "order_price_benford")
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_totalprice" in read_schema and "o_orderdate" not in read_schema
+    assert "BatchEvalPython" not in plan
