@@ -202,3 +202,7 @@ def order_price_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# Sixth-batch entries register themselves into QUERIES/ORACLE on import.
+from . import analytics_ext5  # noqa: E402,F401  isort:skip

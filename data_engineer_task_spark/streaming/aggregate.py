@@ -386,3 +386,58 @@ def run_stream_static_join_once(
     return spark.sql(
         f"SELECT * FROM {query_name} ORDER BY segment, event_type"  # noqa: S608
     )
+
+
+def run_stream_sessions_once(
+    spark: SparkSession,
+    events_path: str,
+    query_name: str = "stream_sessions_out",
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Per-user session windows as a REAL Structured Streaming query:
+    the NATIVE ``session_window`` aggregation (dynamic merge of
+    overlapping [ts, ts+gap) intervals inside the state store) in
+    append mode, so a session row is emitted exactly once — when the
+    watermark passes its window end (last event + gap) and the engine
+    has PROVEN no further event can extend it. This is the streaming
+    twin of the batch ``user_session_spans`` entry: same expression,
+    same closed merge interval (an event exactly gap after the last
+    one still merges), state bounded by watermark delay + open-session
+    span instead of the whole history.
+
+    Finality at end-of-stream mirrors the interval-join entries: the
+    final no-data batch advances the watermark only to max(ts) − delay,
+    so sessions ending above (max − delay − gap) may still sit open in
+    state. Both the returned frame and the declared oracle trim to
+    end ≤ max − delay − gap − 1 min margin (the margin keeps the
+    strict-< emission edge out of the comparison)."""
+    glob_path = _as_glob(events_path)
+    ev = _event_stream(spark, glob_path).withWatermark("ts", watermark_delay)
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+        )
+        .select("user_id", "n_events", "start_us", "end_us")
+    )
+    _drive_to_memory(agg, query_name, output_mode="append")
+    bounds = spark.read.parquet(glob_path)
+    if dict(bounds.dtypes).get("ts") == "bigint":  # legacy nanos-as-long
+        bounds = bounds.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    max_us = bounds.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+    ).collect()[0][0]
+    def _us(interval: str) -> int:
+        n, unit = interval.split()
+        per = {"minute": 60, "minutes": 60, "hour": 3600, "hours": 3600}[unit]
+        return int(n) * per * 1_000_000
+
+    cutoff_us = max_us - _us(watermark_delay) - _us(gap) - 60 * 1_000_000
+    return (
+        spark.table(query_name)
+        .where(F.col("end_us") <= F.lit(cutoff_us))
+        .orderBy("user_id", "start_us")
+    )
