@@ -247,3 +247,272 @@ def embedding_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("label")
     )
+
+
+@q(
+    "user_value_twap",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT user_id, value,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+               AS dt
+      FROM e
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+           CASE WHEN sum(dt) > 0
+                THEN round(sum(value * dt) * 10000.0 / sum(dt)) / 10000.0
+           END AS twap_value,
+           round(avg(value) * 10000.0) / 10000.0 AS mean_value
+    FROM d GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) of each user's value series —
+    the correct mean for IRREGULARLY sampled measurements (a value
+    holds until the next observation, so it weights by its holding
+    interval; the plain mean over-weights bursts). One window pass for
+    the lead-interval + one aggregate — same single-shuffle shape as
+    any per-key rollup. The (us, event_id) sort key makes the
+    value→interval pairing deterministic under same-microsecond ties;
+    a user's last observation carries no interval (NULL dt drops out of
+    both sums), and single-point users yield NULL TWAP on both engines
+    via the sum(dt)>0 guard."""
+    from pyspark.sql import Window as W
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"), "value")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    d = ev.select(
+        "user_id", "value", (F.lead("us").over(w) - F.col("us")).alias("dt")
+    )
+    twap = F.when(
+        F.sum("dt") > 0,
+        F.round(F.sum(F.col("value") * F.col("dt")) * 10000.0 / F.sum("dt"))
+        / 10000.0,
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            twap.alias("twap_value"),
+            (F.round(F.avg("value") * 10000.0) / 10000.0).alias("mean_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_CHUNK_W, _CHUNK_S = 50, 40  # width, stride (10-token overlap)
+
+
+@q(
+    "doc_overlap_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    n AS (
+      SELECT doc_id, toks,
+             (greatest(len(toks) - {_CHUNK_W}, 0) + {_CHUNK_S} - 1)
+               // {_CHUNK_S} + 1 AS nch
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, nch - 1)) AS chunk_id
+      FROM n
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(toks[chunk_id * {_CHUNK_S} + 1
+                         : chunk_id * {_CHUNK_S} + {_CHUNK_W}]) AS BIGINT)
+             AS chunk_len,
+           toks[chunk_id * {_CHUNK_S} + 1] AS head_token
+    FROM c ORDER BY doc_id, chunk_id
+    """,
+)
+def doc_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width token chunking (width 50, stride 40 —
+    the RAG/pretraining windowing that keeps 10 tokens of context
+    across boundaries). Entirely IN-ROW: the chunk count derives from
+    the token count, `sequence → explode` fans out one row per chunk,
+    and `slice` cuts the window from the row-local token array — no
+    shuffle at all until the output sort, and none in production where
+    chunks stream straight to a write. Contrast: `doc_fixed_chunks_udtf`
+    does fixed windows through the Python UDTF surface; this is the
+    codegen path an actual 100 TB chunker takes."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    nch = (
+        F.floor(
+            (F.greatest(F.size(toks) - _CHUNK_W, F.lit(0)) + _CHUNK_S - 1)
+            / _CHUNK_S
+        ).cast("int")
+        + 1
+    )
+    c = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), nch - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice("toks", F.col("chunk_id") * _CHUNK_S + 1, _CHUNK_W)
+    return (
+        c.select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("chunk_len"),
+            F.element_at(chunk, 1).alias("head_token"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@q(
+    "priority_customer_multiset",
+    """
+    WITH a AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+    b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+    i AS (
+      SELECT 'intersect_all' AS set_op, o_custkey
+      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    ),
+    x AS (
+      SELECT 'except_all' AS set_op, o_custkey
+      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    )
+    SELECT set_op, o_custkey, CAST(count(*) AS BIGINT) AS n_rows
+    FROM (SELECT * FROM i UNION ALL SELECT * FROM x)
+    GROUP BY set_op, o_custkey ORDER BY set_op, o_custkey
+    """,
+)
+def priority_customer_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — INTERSECT ALL keeps
+    min(count_a, count_b) copies per key, EXCEPT ALL keeps
+    count_a − count_b — via Spark's native ``intersectAll`` /
+    ``exceptAll``, completing the set-op family next to the DISTINCT
+    variants in `customer_order_cohorts`. Both plan as a single
+    aggregate-then-replicate over the union (no join), so the cost is
+    one shuffle on the compared row, exactly like the SQL spec's
+    counting semantics. Per-key output counts make duplicate
+    multiplicity visible to the oracle compare."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = orders.where(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    tagged = a.intersectAll(b).select(
+        F.lit("intersect_all").alias("set_op"), "o_custkey"
+    ).unionByName(
+        a.exceptAll(b).select(F.lit("except_all").alias("set_op"), "o_custkey")
+    )
+    return (
+        tagged.groupBy("set_op", "o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .orderBy("set_op", "o_custkey")
+    )
+
+
+@q(
+    "user_value_lag_features",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, round(avg(value), 4) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT user_id, date_diff('day', DATE '1970-01-01', day) AS day_no, v,
+           lag(v, 1) OVER w AS v_lag1,
+           lag(v, 2) OVER w AS v_lag2,
+           round(avg(v) OVER (PARTITION BY user_id ORDER BY day
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                 * 10000.0) / 10000.0 AS v_ma3
+    FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ORDER BY user_id, day_no
+    """,
+)
+def user_value_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-learning feature assembly over a per-user daily
+    series: lag-1, lag-2, and a trailing 3-row moving average in ONE
+    window specification — the point is that every derived feature
+    shares the same (partition, order), so Catalyst plans a single
+    sort+Window operator and the whole feature matrix costs one
+    shuffle, however many lags ride along. Day-grain pre-aggregation
+    makes the per-user ordering unique (no timestamp tie ambiguity)
+    and v is rounded BEFORE the derived features so lag/avg consume
+    engine-identical inputs. Output timestamps as epoch-day ints (no
+    raw timestamps, per the authoring rules)."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    w = W.partitionBy("user_id").orderBy("day")
+    ma = W.partitionBy("user_id").orderBy("day").rowsBetween(-2, 0)
+    return (
+        d.select(
+            "user_id",
+            F.datediff("day", F.lit("1970-01-01").cast("date")).alias("day_no"),
+            "v",
+            F.lag("v", 1).over(w).alias("v_lag1"),
+            F.lag("v", 2).over(w).alias("v_lag2"),
+            (F.round(F.avg("v").over(ma) * 10000.0) / 10000.0).alias("v_ma3"),
+        )
+        .orderBy("user_id", "day_no")
+    )
+
+
+@q(
+    "lang_target_encoding_loo",
+    """
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             sum(n_chars) OVER (PARTITION BY lang) AS lang_sum,
+             count(*) OVER (PARTITION BY lang) AS lang_n
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN lang_n > 1
+                THEN round((lang_sum - n_chars) * 10000.0 / (lang_n - 1))
+                     / 10000.0
+           END AS lang_loo_mean_chars
+    FROM s ORDER BY doc_id
+    """,
+)
+def lang_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the `lang` categorical against
+    the n_chars target: each row's encoding is the category mean
+    EXCLUDING the row itself — (Σ−y)/(n−1) — the standard guard
+    against target leakage (a plain category mean lets each row see
+    its own label; LOO is what production feature stores ship).
+    Computed from ONE pass of per-category windows (sum and count share
+    the partition spec — a single shuffle, no join back); singleton
+    categories yield NULL on both engines rather than a 0/0. At 100 TB
+    the same expression holds: the window state per category is two
+    running scalars, and a groupBy+broadcast-join variant is the
+    fallback only when category cardinality is tiny enough to
+    broadcast."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    wl = W.partitionBy("lang")
+    s = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.sum("n_chars").over(wl).alias("lang_sum"),
+        F.count(F.lit(1)).over(wl).alias("lang_n"),
+    )
+    enc = F.when(
+        F.col("lang_n") > 1,
+        F.round(
+            (F.col("lang_sum") - F.col("n_chars"))
+            * 10000.0
+            / (F.col("lang_n") - 1)
+        )
+        / 10000.0,
+    )
+    return s.select(
+        "doc_id", "lang", enc.alias("lang_loo_mean_chars")
+    ).orderBy("doc_id")

@@ -408,3 +408,20 @@ def test_benford_prunes_scan_to_price_column(spark):
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "o_totalprice" in read_schema and "o_orderdate" not in read_schema
     assert "BatchEvalPython" not in plan
+
+
+def test_overlap_chunks_fan_out_is_in_row(spark):
+    # chunk fan-out must be generate/explode over the row-local token
+    # array — the only Exchange allowed is the final output sort.
+    plan = _plan(spark, "doc_overlap_chunks")
+    assert "Generate" in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) <= 1, exchanges
+    assert "BatchEvalPython" not in plan
+
+
+def test_twap_is_one_window_one_aggregate(spark):
+    plan = _plan(spark, "user_value_twap")
+    assert len(re.findall(r"^\(\d+\) Window", plan, flags=re.M)) == 1
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "value" in read_schema and "props" not in read_schema

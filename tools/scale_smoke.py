@@ -102,6 +102,18 @@ def main() -> None:
     spark.catalog.clearCache()
     print(f"minhash near-dup: {time.perf_counter() - t0:.1f}s ({n_pairs} pairs)")
 
+    from data_engineer_task_spark.operators.dedup import jaccard_join_exact
+
+    t0 = time.perf_counter()
+    n_exact_pairs = jaccard_join_exact(
+        docs, "doc_id", "text", threshold=0.5
+    ).count()
+    spark.catalog.clearCache()
+    print(
+        f"exact jaccard join (ppjoin): {time.perf_counter() - t0:.1f}s "
+        f"({n_exact_pairs} pairs)"
+    )
+
     from data_engineer_task_spark.plans.curation import (
         CurationConfig,
         CurationPipeline,
