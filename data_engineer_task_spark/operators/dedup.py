@@ -292,7 +292,20 @@ def jaccard_join_exact(
     verification then computes true Jaccard in-row on the joined
     shingle arrays. Shuffles: one on shingle for df, one on shingle
     for the candidate join (rare keys only), one on id for arrays —
-    never an all-pairs product."""
+    never an all-pairs product.
+
+    The membership test is on the TRUE Jaccard (the pruning bounds
+    guarantee recall only for true J >= t; a rounded-value filter
+    would admit pairs just below t that the pruning may drop). All
+    float pruning bounds carry a 1e-9 downward slack so thresholds
+    whose binary representation rounds UP (e.g. 0.4: t/(1+t) floats
+    above 2/7) never over-tighten an exact-boundary pair away — the
+    slack can only admit a few extra candidates, never lose one.
+
+    Caching note: the shingle-set frame stays persisted after the
+    returned DataFrame is consumed (it backs its lineage); loop or
+    service callers should ``spark.catalog.clearCache()`` between
+    corpora — same constraint as ``near_duplicates``."""
     from .text import token_shingle_array
 
     arr = token_shingle_array(F.col(text_col), k=shingle_k)
@@ -307,7 +320,7 @@ def jaccard_join_exact(
     word = W.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shingle"))
     prefix_len = (
         F.count(F.lit(1)).over(wsz)
-        - F.ceil(F.count(F.lit(1)).over(wsz) * F.lit(threshold))
+        - F.ceil(F.count(F.lit(1)).over(wsz) * F.lit(threshold) - 1e-9)
         + 1
     )
     prefix = (
@@ -340,14 +353,16 @@ def jaccard_join_exact(
     #  - positional filter: matching at prefix positions (i, j) leaves
     #    at most 1 + min(|A|-i, |B|-j) common shingles, which must
     #    reach the overlap bound ceil(t/(1+t)*(|A|+|B|))
-    overlap_min = F.ceil(F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b")))
+    overlap_min = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b")) - 1e-9
+    )
     cands = (
         pa.join(
             pb,
             (pa.shingle == pb.shingle_b)
             & (pa.id_a < pb.id_b)
-            & (F.col("n_a") >= F.lit(t) * F.col("n_b"))
-            & (F.col("n_b") >= F.lit(t) * F.col("n_a"))
+            & (F.col("n_a") >= F.lit(t) * F.col("n_b") - 1e-9)
+            & (F.col("n_b") >= F.lit(t) * F.col("n_a") - 1e-9)
             & (
                 F.lit(1)
                 + F.least(
@@ -373,12 +388,14 @@ def jaccard_join_exact(
     return (
         cands.join(aa, "id_a")
         .join(ab, "id_b")
+        # membership on TRUE Jaccard (matches the pruning guarantee);
+        # the reported value uses scale-then-divide rounding — see
+        # jaccard_verify above
+        .where(inter * 1.0 / union >= F.lit(threshold))
         .select(
             "id_a",
             "id_b",
             inter.cast("long").alias("n_common"),
-            # scale-then-divide rounding — see jaccard_verify above
             (F.round(inter * 10000.0 / union) / 10000.0).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
     )

@@ -399,8 +399,11 @@ def tfidf_cosine_pairs(
     ``tfidf_top_terms``). Norms are computed over the SAME pruned
     space, so similarities stay true cosines of the pruned vectors.
     The posting list is computed once and persisted (three consumers:
-    norms + both join sides). Scale shape: shuffles on term (bounded by
-    df pruning) and on doc id — linear, skew-capped."""
+    norms + both join sides); it stays cached after the returned frame
+    is consumed (it backs its lineage), so loop/service callers should
+    ``spark.catalog.clearCache()`` between corpora — same constraint
+    as ``dedup.near_duplicates``. Scale shape: shuffles on term
+    (bounded by df pruning) and on doc id — linear, skew-capped."""
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
     )

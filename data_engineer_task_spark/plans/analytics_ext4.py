@@ -82,12 +82,13 @@ def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     j AS (
       SELECT id_a, id_b, CAST(ni AS BIGINT) AS n_common,
-             round(ni * 10000.0 / (za.n + zb.n - ni)) / 10000.0 AS jaccard
+             round(ni * 10000.0 / (za.n + zb.n - ni)) / 10000.0 AS jaccard,
+             ni * 1.0 / (za.n + zb.n - ni) AS true_jac
       FROM inter
       JOIN sizes za ON id_a = za.doc_id
       JOIN sizes zb ON id_b = zb.doc_id
     )
-    SELECT id_a, id_b, n_common, jaccard FROM j WHERE jaccard >= 0.5
+    SELECT id_a, id_b, n_common, jaccard FROM j WHERE true_jac >= 0.5
     ORDER BY id_a, id_b
     """,
 )

@@ -162,6 +162,24 @@ def _event_stream(spark: SparkSession, glob_path: str) -> DataFrame:
     return src.schema(EVENTS_SCHEMA).parquet(glob_path)
 
 
+def _event_bounds(spark: SparkSession, glob_path: str) -> DataFrame:
+    """Batch read of the events files normalized to ``ts: timestamp``
+    for watermark-cutoff computation — the batch twin of
+    ``_event_stream``'s three-way encoding probe (CLAUDE.md: never a
+    raw ``spark.read.parquet`` on events). NTZ files convert under an
+    explicitly pinned UTC session zone, so the cutoff is correct even
+    if this runs before/without the stream-side probe."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(glob_path)
+    probe = dict(df.dtypes).get("ts")
+    if probe == "bigint":  # legacy nanos-as-long
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if probe == "timestamp_ntz":  # naive micros: wall clock IS UTC
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def run_stream_dedup_once(
     spark: SparkSession,
     events_path: str,
@@ -292,12 +310,9 @@ def run_stream_interval_outer_join_once(
     _drive_to_memory(joined, query_name, output_mode="append")
     # Finality boundary from the SOURCE (batch metadata pass): the
     # stream's last-advanced watermark minus the interval + margin.
-    bounds = (
-        spark.read.parquet(glob_path)
-        .where(F.col("event_type").isin("purchase", "click"))
+    bounds = _event_bounds(spark, glob_path).where(
+        F.col("event_type").isin("purchase", "click")
     )
-    if dict(bounds.dtypes).get("ts") == "bigint":  # legacy nanos-as-long
-        bounds = bounds.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     cutoff = (
         bounds.groupBy("event_type")
         .agg(F.max(F.col("ts").cast("timestamp")).alias("m"))
@@ -424,12 +439,11 @@ def run_stream_sessions_once(
         .select("user_id", "n_events", "start_us", "end_us")
     )
     _drive_to_memory(agg, query_name, output_mode="append")
-    bounds = spark.read.parquet(glob_path)
-    if dict(bounds.dtypes).get("ts") == "bigint":  # legacy nanos-as-long
-        bounds = bounds.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    max_us = bounds.agg(
-        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
-    ).collect()[0][0]
+    max_us = (
+        _event_bounds(spark, glob_path)
+        .agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))))
+        .collect()[0][0]
+    )
     def _us(interval: str) -> int:
         n, unit = interval.split()
         per = {"minute": 60, "minutes": 60, "hour": 3600, "hours": 3600}[unit]

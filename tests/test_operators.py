@@ -771,9 +771,10 @@ def _brute_jaccard_pairs(rows, k=3, threshold=0.5):
             a, b = ids[x], ids[y]
             inter = len(sets[a] & sets[b])
             union = len(sets[a] | sets[b])
-            jac = round(inter * 10000.0 / union) / 10000.0 if union else 0.0
-            if jac >= threshold:
-                out[(a, b)] = (inter, jac)
+            # membership on the TRUE Jaccard (mirrors the operator);
+            # the reported value is the rounded form
+            if union and inter / union >= threshold:
+                out[(a, b)] = (inter, round(inter * 10000.0 / union) / 10000.0)
     return out
 
 
@@ -820,3 +821,30 @@ def test_tfidf_cosine_pairs_discriminates_and_prunes_stopwords(spark):
     # 'common' appears in 10/12 docs > max_df_frac -> pruned from the
     # weight space, so the filler docs produce NO pairs at all
     assert all(p == (1, 2) for p in out)
+
+
+def test_jaccard_join_exact_keeps_exact_boundary_pair_at_float_unsafe_threshold(spark):
+    # threshold=0.4: t/(1+t) floats strictly above 2/7, so un-slacked
+    # pruning bounds would require overlap 3 where the exact math needs
+    # 2 — and with the common shingles globally HOT (sorted last in
+    # every prefix) the positional filter would drop the pair entirely.
+    # J(A,B) = 2 common / 5 union = 0.4 exactly; it must be kept.
+    from data_engineer_task_spark.operators.dedup import jaccard_join_exact
+
+    rows = [
+        (1, "t1 t2 t3 t4 t5"),          # shingles {123, 234, 345}
+        (2, "t2 t3 t4 t5 t6 t7"),        # shingles {234, 345, 456, 567}
+        # fillers make the two common shingles the hottest in the corpus
+        (3, "t2 t3 t4"),
+        (4, "t2 t3 t4"),
+        (5, "t3 t4 t5"),
+        (6, "t3 t4 t5"),
+    ]
+    expected = _brute_jaccard_pairs(rows, threshold=0.4)
+    assert (1, 2) in expected  # fixture sanity: the boundary pair exists
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.jaccard)
+        for r in jaccard_join_exact(df, "doc_id", "text", threshold=0.4).collect()
+    }
+    assert got == expected
