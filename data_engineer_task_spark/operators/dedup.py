@@ -254,7 +254,7 @@ def jaccard_verify(
             # Scale-then-divide: round(n*1e4/union)/1e4 puts the round on a
             # double both engines compute identically (int*1e4 is exact),
             # avoiding half-way disagreements between Spark's BigDecimal
-            # half-up and DuckDB's std::round on round(x, 4).
+            # half-up and DuckDB's std::round on round((x) * 10000.0) / 10000.0.
             (
                 F.round(
                     F.col("n_inter")

@@ -151,14 +151,12 @@ def token_stats(
         *keep_cols,
         n_tok.cast("long").alias("token_count"),
         n_chars.cast("long").alias("char_count"),
-        F.round(avg_len.cast("double"), 4).alias("avg_token_len"),
-        F.round((n_stop / n_tok).cast("double"), 4).alias("stopword_ratio"),
+        (F.round((avg_len.cast("double")) * 10000.0) / 10000.0).alias("avg_token_len"),
+        (F.round(((n_stop / n_tok).cast("double")) * 10000.0) / 10000.0).alias("stopword_ratio"),
         # empty text ⇒ n_chars=0: NULL ratio, not an ANSI
         # DIVIDE_BY_ZERO crash (a quality gate must SURVIVE the rows
         # it exists to reject; n_tok is never 0 — split('') = [''])
-        F.round(
-            F.when(n_chars > 0, (n_punct / n_chars)).cast("double"), 4
-        ).alias("punct_ratio"),
+        (F.round((F.when(n_chars > 0, (n_punct / n_chars)).cast("double")) * 10000.0) / 10000.0).alias("punct_ratio"),
     )
 
 
@@ -193,9 +191,7 @@ def language_scores(
     scored = df.select(
         id_col,
         *[
-            F.round(
-                (F.size(F.filter(toks, lambda t: t.isin(*kws))) / n_tok).cast("double"), 4
-            ).alias(f"score_{lang}")
+            (F.round(((F.size(F.filter(toks, lambda t: t.isin(*kws))) / n_tok).cast("double")) * 10000.0) / 10000.0).alias(f"score_{lang}")
             for lang, kws in sorted(keyword_sets.items())
         ],
     )

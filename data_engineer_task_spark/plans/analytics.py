@@ -10,6 +10,10 @@ analysis) the 100 TB north star calls for.
 Authoring rules (keep these or the driver's hash compare breaks):
  - alias every computed column IDENTICALLY in Spark and SQL
  - round every float aggregate (both sides) — fp summation order differs
+ - ALWAYS round via scale-then-divide (round(x * 10^n) / 10^n), never
+   round(x, n): the two engines' fixed-scale rounding disagrees on
+   half-way values (Spark BigDecimal half-up vs DuckDB's scaled
+   std::round) — bit twice (v_ma3, ABC revenue) before this rule
  - cast DuckDB COUNT/SUM of ints to BIGINT (sum(int) is HUGEINT there)
  - no raw timestamps in output — format to string or extract ints
  - explicit null ordering + deterministic tie-breaks on every sort
@@ -83,11 +87,11 @@ _STRAT_BYTE = _md5_byte_sql("CAST(doc_id AS VARCHAR)", "strat:")
     """
     SELECT l_returnflag, l_linestatus,
            CAST(count(*) AS BIGINT)                                   AS n_items,
-           round(sum(l_quantity), 2)                                  AS sum_qty,
-           round(sum(l_extendedprice), 2)                             AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
-           round(avg(l_quantity), 4)                                  AS avg_qty,
-           round(avg(l_discount), 4)                                  AS avg_disc
+           round((sum(l_quantity)) * 100.0) / 100.0                                  AS sum_qty,
+           round((sum(l_extendedprice)) * 100.0) / 100.0                             AS sum_base_price,
+           round((sum(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0          AS sum_disc_price,
+           round((avg(l_quantity)) * 10000.0) / 10000.0                                  AS avg_qty,
+           round((avg(l_discount)) * 10000.0) / 10000.0                                  AS avg_disc
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01'
     GROUP BY l_returnflag, l_linestatus
@@ -104,13 +108,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            (F.round((F.sum("l_quantity")) * 100.0) / 100.0).alias("sum_qty"),
+            (F.round((F.sum("l_extendedprice")) * 100.0) / 100.0).alias("sum_base_price"),
+            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100.0) / 100.0).alias("sum_disc_price"),
+            (F.round((F.avg("l_quantity")) * 10000.0) / 10000.0).alias("avg_qty"),
+            (F.round((F.avg("l_discount")) * 10000.0) / 10000.0).alias("avg_disc"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -120,7 +122,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     """
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round((sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0) / 100.0 AS revenue,
            CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -148,9 +150,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            (F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) * 100.0) / 100.0).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
         .orderBy(F.desc_nulls_last("revenue"), F.asc("nation"))
@@ -353,8 +353,8 @@ def longest_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY year(o_orderdate)
     )
     SELECT order_year, n,
-           round((n - lag(n) OVER (ORDER BY order_year))
-                 / CAST(lag(n) OVER (ORDER BY order_year) AS DOUBLE) * 100, 4)
+           round(((n - lag(n) OVER (ORDER BY order_year))
+                 / CAST(lag(n) OVER (ORDER BY order_year) AS DOUBLE) * 100) * 10000.0) / 10000.0
              AS growth_pct
     FROM per_year
     ORDER BY order_year
@@ -372,7 +372,7 @@ def order_growth_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         yoy_growth(per_year, "order_year", "n")
         .select(
-            "order_year", "n", F.round(F.col("growth_pct"), 4).alias("growth_pct")
+            "order_year", "n", (F.round((F.col("growth_pct")) * 10000.0) / 10000.0).alias("growth_pct")
         )
         .orderBy("order_year")
     )
@@ -381,7 +381,7 @@ def order_growth_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "top_orders_per_priority",
     """
-    SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total_price
+    SELECT o_orderpriority, o_orderkey, round((o_totalprice) * 100.0) / 100.0 AS total_price
     FROM (
       SELECT o_orderpriority, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_orderpriority
@@ -404,7 +404,7 @@ def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderpriority",
             "o_orderkey",
-            F.round("o_totalprice", 2).alias("total_price"),
+            (F.round(F.col("o_totalprice") * 100.0) / 100.0).alias("total_price"),
         )
         .orderBy(
             "o_orderpriority", F.desc_nulls_last("total_price"), F.asc("o_orderkey")
@@ -417,7 +417,7 @@ def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           round((sum(o_totalprice)) * 100.0) / 100.0 AS total
     FROM orders
     GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
     ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST
@@ -433,7 +433,7 @@ def order_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            (F.round((F.sum("o_totalprice")) * 100.0) / 100.0).alias("total"),
         )
         .orderBy(
             F.asc_nulls_first("order_year"), F.asc_nulls_first("o_orderstatus")
@@ -485,8 +485,8 @@ def order_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returnflag_status_pivot",
     """
     SELECT l_returnflag,
-           round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0), 2) AS qty_open,
-           round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0), 2) AS qty_filled
+           round((coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0)) * 100.0) / 100.0 AS qty_open,
+           round((coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0)) * 100.0) / 100.0 AS qty_filled
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -529,7 +529,7 @@ def returnflag_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS total_value
+           round((sum(value)) * 100.0) / 100.0 AS total_value
     FROM events
     GROUP BY 1, 2
     ORDER BY hour, event_type
@@ -552,7 +552,7 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS total_value
+           round((sum(value)) * 100.0) / 100.0 AS total_value
     FROM events
     GROUP BY 1, 2
     ORDER BY hour, event_type
@@ -574,7 +574,7 @@ def stream_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup_event_stats",
     """
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS total_value
+           round((sum(value)) * 100.0) / 100.0 AS total_value
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -806,13 +806,13 @@ _STOP_SQL = "('the', 'a', 'an', 'and', 'of', 'to', 'in', 'is', 'it')"
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,
            CAST(length(text) AS BIGINT) AS char_count,
-           round((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
-                 / len(string_split(text, ' ')), 4) AS avg_token_len,
-           round(len(list_filter(string_split(text, ' '),
+           round(((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+                 / len(string_split(text, ' '))) * 10000.0) / 10000.0 AS avg_token_len,
+           round((len(list_filter(string_split(text, ' '),
                                  t -> t IN {_STOP_SQL}))::DOUBLE
-                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
-           round(len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
-                 / length(text), 4) AS punct_ratio
+                 / len(string_split(text, ' '))) * 10000.0) / 10000.0 AS stopword_ratio,
+           round((len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+                 / length(text)) * 10000.0) / 10000.0 AS punct_ratio
     FROM documents ORDER BY doc_id
     """,
 )
@@ -955,7 +955,7 @@ def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           round(avg(n_chars), 4) AS avg_chars,
+           round((avg(n_chars)) * 10000.0) / 10000.0 AS avg_chars,
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
     FROM documents GROUP BY lang ORDER BY lang
     """,
@@ -967,7 +967,7 @@ def language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            (F.round((F.avg("n_chars")) * 10000.0) / 10000.0).alias("avg_chars"),
             F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
         )
         .orderBy("lang")
@@ -1282,7 +1282,7 @@ _EMB_BASE = """
     qv AS (SELECT * FROM base WHERE vec_id < 20),
     pairs AS (
       SELECT qv.vec_id AS query_id, b.vec_id AS neighbor_id,
-             round(list_dot_product(qv.v, b.v) / (qv.nrm * b.nrm), 5) AS cos_sim
+             round((list_dot_product(qv.v, b.v) / (qv.nrm * b.nrm)) * 100000.0) / 100000.0 AS cos_sim
       FROM qv JOIN base b ON b.vec_id <> qv.vec_id
     )
     SELECT query_id, neighbor_id, cos_sim FROM (
@@ -1322,9 +1322,9 @@ _BUCKET_SQL = " || ".join(
       FROM embeddings
     )
     SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 5) AS cos_sim
+           round((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 100000.0) / 100000.0 AS cos_sim
     FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 5) >= 0.0
+    WHERE round((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 100000.0) / 100000.0 >= 0.0
     ORDER BY a.bucket, a.vec_id, b.vec_id
     """,
 )
@@ -1344,9 +1344,9 @@ def embedding_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT label,
            CAST(count(*) AS BIGINT) AS n_vecs,
-           round(avg(embedding[1]::DOUBLE), 5) AS avg_d1,
-           round(avg(embedding[2]::DOUBLE), 5) AS avg_d2,
-           round(avg(embedding[3]::DOUBLE), 5) AS avg_d3
+           round((avg(embedding[1]::DOUBLE)) * 100000.0) / 100000.0 AS avg_d1,
+           round((avg(embedding[2]::DOUBLE)) * 100000.0) / 100000.0 AS avg_d2,
+           round((avg(embedding[3]::DOUBLE)) * 100000.0) / 100000.0 AS avg_d3
     FROM embeddings GROUP BY label ORDER BY label
     """,
 )
@@ -1359,9 +1359,7 @@ def label_centroid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             *[
-                F.round(
-                    F.avg(F.element_at("embedding", i).cast("double")), 5
-                ).alias(f"avg_d{i}")
+                (F.round((F.avg(F.element_at("embedding", i).cast("double"))) * 100000.0) / 100000.0).alias(f"avg_d{i}")
                 for i in (1, 2, 3)
             ],
         )
@@ -1418,7 +1416,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM base WHERE vec_id < 8),
     scored AS (
       SELECT b.vec_id, c.centroid_id,
-             round(list_dot_product(c.cv, b.v) / (c.cnrm * b.nrm), 5) AS cos_sim
+             round((list_dot_product(c.cv, b.v) / (c.cnrm * b.nrm)) * 100000.0) / 100000.0 AS cos_sim
       FROM base b CROSS JOIN cents c
     )
     SELECT vec_id, centroid_id, cos_sim FROM (
@@ -1451,9 +1449,9 @@ def embedding_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 5) AS cos_sim
+           round((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 100000.0) / 100000.0 AS cos_sim
     FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 5) >= 0.35
+    WHERE round((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 100000.0) / 100000.0 >= 0.35
     ORDER BY a.vec_id, b.vec_id
     """,
 )
@@ -1477,7 +1475,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k,
+           round((avg(json_extract(props, '$.k')::BIGINT)) * 10000.0) / 10000.0 AS avg_k,
            CAST(max(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS max_k
     FROM events
     WHERE props IS NOT NULL
@@ -1497,7 +1495,7 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            (F.round((F.avg("k")) * 10000.0) / 10000.0).alias("avg_k"),
             F.max("k").alias("max_k"),
         )
         .orderBy("event_type")
@@ -1508,8 +1506,8 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_price_quantiles",
     """
     SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.5)::DOUBLE, 2) AS p50,
-           round(quantile_cont(o_totalprice, 0.9)::DOUBLE, 2) AS p90
+           round((quantile_cont(o_totalprice, 0.5)::DOUBLE) * 100.0) / 100.0 AS p50,
+           round((quantile_cont(o_totalprice, 0.9)::DOUBLE) * 100.0) / 100.0 AS p90
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
@@ -1522,8 +1520,8 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_orderpriority")
         .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+            (F.round((F.expr("percentile(o_totalprice, 0.5)")) * 100.0) / 100.0).alias("p50"),
+            (F.round((F.expr("percentile(o_totalprice, 0.9)")) * 100.0) / 100.0).alias("p90"),
         )
         .orderBy("o_orderpriority")
     )
@@ -1753,13 +1751,13 @@ def purchase_click_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT doc_id, lang,
              len(string_split(text, ' ')) AS tc,
-             round((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
-                   / len(string_split(text, ' ')), 4) AS avg_len,
-             round(len(list_filter(string_split(text, ' '),
+             round(((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+                   / len(string_split(text, ' '))) * 10000.0) / 10000.0 AS avg_len,
+             round((len(list_filter(string_split(text, ' '),
                                    t -> t IN {_STOP_SQL}))::DOUBLE
-                   / len(string_split(text, ' ')), 4) AS stop_r,
-             round(len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
-                   / length(text), 4) AS punct_r
+                   / len(string_split(text, ' '))) * 10000.0) / 10000.0 AS stop_r,
+             round((len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+                   / length(text)) * 10000.0) / 10000.0 AS punct_r
       FROM documents
     ),
     g AS (
@@ -1810,12 +1808,12 @@ _KW_SQL = {
     f"""
     WITH s AS (
       SELECT doc_id,
-             round(len(list_filter(string_split(text, ' '),
+             round((len(list_filter(string_split(text, ' '),
                                    t -> t IN {_KW_SQL["de"]}))::DOUBLE
-                   / len(string_split(text, ' ')), 4) AS score_de,
-             round(len(list_filter(string_split(text, ' '),
+                   / len(string_split(text, ' '))) * 10000.0) / 10000.0 AS score_de,
+             round((len(list_filter(string_split(text, ' '),
                                    t -> t IN {_KW_SQL["en"]}))::DOUBLE
-                   / len(string_split(text, ' ')), 4) AS score_en
+                   / len(string_split(text, ' '))) * 10000.0) / 10000.0 AS score_en
       FROM documents
     )
     SELECT doc_id, score_de, score_en,
@@ -1852,7 +1850,7 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS total_value
+           round((sum(value)) * 100.0) / 100.0 AS total_value
     FROM w GROUP BY window_start, event_type
     ORDER BY window_start, event_type
     """,
@@ -1870,7 +1868,7 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.round((F.sum("value")) * 100.0) / 100.0).alias("total_value"),
         )
         .select(
             F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm").alias(
@@ -2019,7 +2017,7 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.sum("_d2"), 2).alias("inertia"),
+            (F.round((F.sum("_d2")) * 100.0) / 100.0).alias("inertia"),
         )
         .orderBy("cluster")
     )

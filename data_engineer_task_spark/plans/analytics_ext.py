@@ -36,8 +36,8 @@ from .analytics import _SPLIT_BYTE, _md5_byte_sql, _t, q
     """
     WITH wide AS (
       SELECT p_brand,
-             round(avg(p_size), 4)        AS avg_size,
-             round(avg(p_retailprice), 2) AS avg_retail
+             round((avg(p_size)) * 10000.0) / 10000.0        AS avg_size,
+             round((avg(p_retailprice)) * 100.0) / 100.0 AS avg_retail
       FROM part GROUP BY p_brand
     )
     SELECT p_brand, 'avg_size' AS metric, avg_size AS value FROM wide
@@ -54,8 +54,8 @@ def brand_metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     table."""
     part = _t(spark, sf_dir, "part")
     wide = part.groupBy("p_brand").agg(
-        F.round(F.avg("p_size"), 4).alias("avg_size"),
-        F.round(F.avg("p_retailprice"), 2).alias("avg_retail"),
+        (F.round((F.avg("p_size")) * 10000.0) / 10000.0).alias("avg_size"),
+        (F.round((F.avg("p_retailprice")) * 100.0) / 100.0).alias("avg_retail"),
     )
     return wide.unpivot(
         ["p_brand"], ["avg_size", "avg_retail"], "metric", "value"
@@ -135,10 +135,10 @@ def bulky_orders_vs_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "segment_acctbal_ranks",
     """
     WITH ranked AS (
-      SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
+      SELECT c_mktsegment, c_custkey, round((c_acctbal) * 100.0) / 100.0 AS acctbal,
              dense_rank()   OVER w AS rnk,
-             round(percent_rank() OVER w, 6) AS pct_rank,
-             round(cume_dist()    OVER w, 6) AS cume,
+             round((percent_rank() OVER w) * 1000000.0) / 1000000.0 AS pct_rank,
+             round((cume_dist()    OVER w) * 1000000.0) / 1000000.0 AS cume,
              row_number() OVER (PARTITION BY c_mktsegment
                                 ORDER BY c_acctbal DESC, c_custkey) AS rn
       FROM customer
@@ -165,10 +165,10 @@ def segment_acctbal_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select(
             "c_mktsegment",
             "c_custkey",
-            F.round("c_acctbal", 2).alias("acctbal"),
+            (F.round(F.col("c_acctbal") * 100.0) / 100.0).alias("acctbal"),
             F.dense_rank().over(w).alias("rnk"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            (F.round((F.percent_rank().over(w)) * 1000000.0) / 1000000.0).alias("pct_rank"),
+            (F.round((F.cume_dist().over(w)) * 1000000.0) / 1000000.0).alias("cume"),
             F.row_number().over(w_det).alias("rn"),
         )
         .where(F.col("rn") <= 5)
@@ -181,11 +181,11 @@ def segment_acctbal_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
-           round(sqrt(list_dot_product(embedding::DOUBLE[],
-                                       embedding::DOUBLE[])), 5) AS l2_norm,
+           round((sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[]))) * 100000.0) / 100000.0 AS l2_norm,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
-           round(list_max(list_transform(embedding::DOUBLE[],
-                                         x -> abs(x))), 5) AS max_abs
+           round((list_max(list_transform(embedding::DOUBLE[],
+                                         x -> abs(x)))) * 100000.0) / 100000.0 AS max_abs
     FROM embeddings WHERE vec_id < 50 ORDER BY vec_id
     """,
 )
@@ -205,9 +205,9 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.size("embedding").alias("dim"),
-            F.round(F.sqrt(sq_sum), 5).alias("l2_norm"),
+            (F.round((F.sqrt(sq_sum)) * 100000.0) / 100000.0).alias("l2_norm"),
             F.size(F.filter("embedding", lambda x: x > F.lit(0.0))).alias("n_pos"),
-            F.round(F.array_max(F.transform(v, F.abs)), 5).alias("max_abs"),
+            (F.round((F.array_max(F.transform(v, F.abs))) * 100000.0) / 100000.0).alias("max_abs"),
         )
         .orderBy("vec_id")
     )
@@ -252,7 +252,7 @@ def doc_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(quarter(l_shipdate) AS INT) AS qtr,
            dayname(l_shipdate)              AS dow,
            CAST(count(*) AS BIGINT)         AS n_items,
-           round(sum(l_quantity), 2)        AS sum_qty
+           round((sum(l_quantity)) * 100.0) / 100.0        AS sum_qty
     FROM lineitem
     GROUP BY yr, qtr, dow
     ORDER BY yr, qtr, dow
@@ -273,7 +273,7 @@ def ship_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            (F.round((F.sum("l_quantity")) * 100.0) / 100.0).alias("sum_qty"),
         )
         .orderBy("yr", "qtr", "dow")
     )
@@ -284,7 +284,7 @@ def ship_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH p AS (
       SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
-             round(sum(value), 2) AS purchase_value
+             round((sum(value)) * 100.0) / 100.0 AS purchase_value
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
     ),
     k AS (
@@ -315,7 +315,7 @@ def purchase_click_user_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
-            F.round(F.sum("value"), 2).alias("purchase_value"),
+            (F.round((F.sum("value")) * 100.0) / 100.0).alias("purchase_value"),
         )
     )
     k = (
@@ -478,7 +478,7 @@ def source_lang_nullsafe_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(o_orderstatus, 'ALL')   AS status,
            grouping(o_orderpriority) + grouping(o_orderstatus) AS agg_level,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           round((sum(o_totalprice)) * 100.0) / 100.0 AS total_price
     FROM orders
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
     ORDER BY agg_level, priority, status
@@ -499,7 +499,7 @@ def order_priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.grouping("o_orderpriority") + F.grouping("o_orderstatus")
             ).alias("agg_level"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            (F.round((F.sum("o_totalprice")) * 100.0) / 100.0).alias("total_price"),
         )
         .select(
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -669,8 +669,8 @@ def hourly_event_spine_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH j AS (
       SELECT d.doc_id, d.lang, d.source,
              CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
-             round(sqrt(list_dot_product(e.embedding::DOUBLE[],
-                                         e.embedding::DOUBLE[])), 5) AS l2_norm,
+             round((sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                         e.embedding::DOUBLE[]))) * 100000.0) / 100000.0 AS l2_norm,
              {_SPLIT_BYTE} AS bucket
       FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
     )
@@ -701,7 +701,7 @@ def training_sample_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.size(F.split("text", " ")).alias("n_tokens"),
-        F.round(F.sqrt(sq_sum), 5).alias("l2_norm"),
+        (F.round((F.sqrt(sq_sum)) * 100000.0) / 100000.0).alias("l2_norm"),
     )
     return (
         hash_split(joined, "doc_id")
@@ -716,9 +716,9 @@ def training_sample_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_event_locf_fill",
     """
     SELECT user_id, event_id,
-           round(last_value(purchase_value IGNORE NULLS) OVER (
+           round((last_value(purchase_value IGNORE NULLS) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0) / 100.0
              AS last_purchase_value,
            event_type
     FROM (
@@ -749,7 +749,7 @@ def user_event_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_id",
-            F.round(F.last(pv, ignorenulls=True).over(w), 2).alias(
+            (F.round((F.last(pv, ignorenulls=True).over(w)) * 100.0) / 100.0).alias(
                 "last_purchase_value"
             ),
             "event_type",
@@ -877,7 +877,7 @@ def doc_token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(count(*) AS BIGINT)     AS n_purchases,
            CAST(count(gap_s) AS BIGINT) AS n_matched,
-           round(quantile_cont(gap_s, 0.5), 1) AS median_gap_s,
+           round((quantile_cont(gap_s, 0.5)) * 10.0) / 10.0 AS median_gap_s,
            CAST(max(gap_s) AS BIGINT)   AS max_gap_s
     FROM gaps GROUP BY user_id ORDER BY user_id
     """,
@@ -906,7 +906,7 @@ def purchase_click_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
             F.count("gap_s").alias("n_matched"),
-            F.round(F.percentile("gap_s", F.lit(0.5)), 1).alias("median_gap_s"),
+            (F.round((F.percentile("gap_s", F.lit(0.5))) * 10.0) / 10.0).alias("median_gap_s"),
             F.max("gap_s").cast("long").alias("max_gap_s"),
         )
         .orderBy("user_id")
@@ -983,7 +983,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_name, s.s_name, s.acctbal
     FROM nation n,
     LATERAL (
-      SELECT s_name, round(s_acctbal, 2) AS acctbal
+      SELECT s_name, round((s_acctbal) * 100.0) / 100.0 AS acctbal
       FROM supplier WHERE s_nationkey = n.n_nationkey
       ORDER BY s_acctbal DESC, s_name ASC LIMIT 2
     ) s
@@ -1005,7 +1005,7 @@ def lateral_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n.n_name, s.s_name, s.acctbal
         FROM lat_nation n,
         LATERAL (
-          SELECT s_name, round(s_acctbal, 2) AS acctbal
+          SELECT s_name, round((s_acctbal) * 100.0) / 100.0 AS acctbal
           FROM lat_supplier WHERE s_nationkey = n.n_nationkey
           ORDER BY s_acctbal DESC, s_name ASC LIMIT 2
         ) s
@@ -1032,8 +1032,8 @@ def lateral_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.event_type,
            CAST(count(*) AS BIGINT) AS n_anomalies,
-           round(min(d.value), 3)   AS min_anom,
-           round(max(d.value), 3)   AS max_anom
+           round((min(d.value)) * 1000.0) / 1000.0   AS min_anom,
+           round((max(d.value)) * 1000.0) / 1000.0   AS max_anom
     FROM dev d JOIN mad ON d.event_type = mad.event_type
     WHERE d.adev > 3 * mad.mad
     GROUP BY d.event_type
@@ -1068,8 +1068,8 @@ def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_anomalies"),
-            F.round(F.min("value"), 3).alias("min_anom"),
-            F.round(F.max("value"), 3).alias("max_anom"),
+            (F.round((F.min("value")) * 1000.0) / 1000.0).alias("min_anom"),
+            (F.round((F.max("value")) * 1000.0) / 1000.0).alias("max_anom"),
         )
         .orderBy("event_type")
     )
@@ -1351,7 +1351,7 @@ def doc_normalization_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     btot AS (SELECT CAST(sum(b) AS DOUBLE) AS t_bi FROM bi)
     SELECT w1, w2, b AS n_pair,
-           round((b / t_bi) / ((u1.u / t_uni) * (u2.u / t_uni)), 3) AS lift
+           round(((b / t_bi) / ((u1.u / t_uni) * (u2.u / t_uni))) * 1000.0) / 1000.0 AS lift
     FROM bi, tot, btot
     JOIN uni u1 ON u1.token = bi.w1
     JOIN uni u2 ON u2.token = bi.w2
@@ -1402,7 +1402,7 @@ def doc_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(t_bi))
         .select(
             "w1", "w2", F.col("b").alias("n_pair"),
-            F.round(lift, 3).alias("lift"),
+            (F.round((lift) * 1000.0) / 1000.0).alias("lift"),
         )
         .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
         .limit(25)
@@ -1459,7 +1459,7 @@ def full_priority_coverage_customers(spark: SparkSession, sf_dir: str) -> DataFr
       SELECT o_custkey,
              max(o_orderdate) AS last_order,
              CAST(count(*) AS BIGINT) AS frequency,
-             round(sum(o_totalprice), 2) AS monetary
+             round((sum(o_totalprice)) * 100.0) / 100.0 AS monetary
       FROM orders GROUP BY o_custkey
     ),
     scored AS (
@@ -1471,7 +1471,7 @@ def full_priority_coverage_customers(spark: SparkSession, sf_dir: str) -> DataFr
     )
     SELECT r_q, f_q, m_q,
            CAST(count(*) AS BIGINT) AS n_customers,
-           round(sum(monetary), 2) AS total_monetary
+           round((sum(monetary)) * 100.0) / 100.0 AS total_monetary
     FROM scored GROUP BY r_q, f_q, m_q
     ORDER BY r_q, f_q, m_q
     """,
@@ -1487,7 +1487,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).cast("long").alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        (F.round((F.sum("o_totalprice")) * 100.0) / 100.0).alias("monetary"),
     )
     scored = per_cust.select(
         "o_custkey", "frequency", "monetary",
@@ -1499,7 +1499,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("r_q", "f_q", "m_q")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("monetary"), 2).alias("total_monetary"),
+            (F.round((F.sum("monetary")) * 100.0) / 100.0).alias("total_monetary"),
         )
         .orderBy("r_q", "f_q", "m_q")
     )
@@ -1514,8 +1514,8 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT bucket,
-           round(bucket * 25000.0, 1)       AS lo,
-           round((bucket + 1) * 25000.0, 1) AS hi,
+           round((bucket * 25000.0) * 10.0) / 10.0       AS lo,
+           round(((bucket + 1) * 25000.0) * 10.0) / 10.0 AS hi,
            CAST(count(*) AS BIGINT)         AS n_orders
     FROM b GROUP BY bucket ORDER BY bucket
     """,
@@ -1536,8 +1536,8 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         .select(
             "bucket",
-            F.round(F.col("bucket") * 25000.0, 1).alias("lo"),
-            F.round((F.col("bucket") + 1) * 25000.0, 1).alias("hi"),
+            (F.round((F.col("bucket") * 25000.0) * 10.0) / 10.0).alias("lo"),
+            (F.round(((F.col("bucket") + 1) * 25000.0) * 10.0) / 10.0).alias("hi"),
             "n_orders",
         )
         .orderBy("bucket")

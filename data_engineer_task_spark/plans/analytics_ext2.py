@@ -100,7 +100,7 @@ _DUCK_BIGRAMS = (
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_contaminated,
-           round(avg(CAST(n_hits AS DOUBLE) / n_grams), 4) AS avg_overlap
+           round((avg(CAST(n_hits AS DOUBLE) / n_grams)) * 10000.0) / 10000.0 AS avg_overlap
     FROM hits GROUP BY source ORDER BY source
     """,
 )
@@ -147,9 +147,7 @@ def doc_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
             .cast("long")
             .alias("n_contaminated"),
-            F.round(
-                F.avg(F.col("n_hits").cast("double") / F.col("n_grams")), 4
-            ).alias("avg_overlap"),
+            (F.round((F.avg(F.col("n_hits").cast("double") / F.col("n_grams"))) * 10000.0) / 10000.0).alias("avg_overlap"),
         )
         .orderBy("source")
     )
@@ -171,8 +169,8 @@ def doc_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
-           round(avg(rep), 4) AS avg_repetition,
-           round(max(rep), 4) AS max_repetition,
+           round((avg(rep)) * 10000.0) / 10000.0 AS avg_repetition,
+           round((max(rep)) * 10000.0) / 10000.0 AS max_repetition,
            CAST(sum(CASE WHEN rep > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_repetitious
     FROM frac GROUP BY source ORDER BY source
@@ -204,8 +202,8 @@ def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.round(F.avg("rep"), 4).alias("avg_repetition"),
-            F.round(F.max("rep"), 4).alias("max_repetition"),
+            (F.round((F.avg("rep")) * 10000.0) / 10000.0).alias("avg_repetition"),
+            (F.round((F.max("rep")) * 10000.0) / 10000.0).alias("max_repetition"),
             F.sum(F.when(F.col("rep") > 0.5, 1).otherwise(0))
             .cast("long")
             .alias("n_repetitious"),
@@ -230,8 +228,8 @@ def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counts
     )
     SELECT rank, token, n,
-           round(CAST(n AS DOUBLE)
-                 / lag(n) OVER (ORDER BY rank ASC), 4) AS ratio_to_prev
+           round((CAST(n AS DOUBLE)
+                 / lag(n) OVER (ORDER BY rank ASC)) * 10000.0) / 10000.0 AS ratio_to_prev
     FROM ranked WHERE rank <= 20 ORDER BY rank
     """,
 )
@@ -279,8 +277,8 @@ def corpus_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY from_type, to_type
     )
     SELECT from_type, to_type, n,
-           round(CAST(n AS DOUBLE)
-                 / sum(n) OVER (PARTITION BY from_type), 4) AS prob
+           round((CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_type)) * 10000.0) / 10000.0 AS prob
     FROM pairs ORDER BY from_type, to_type
     """,
 )
@@ -330,8 +328,8 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(count(gap_s) AS BIGINT) AS n_gaps,
-           round(quantile_cont(gap_s, 0.5)::DOUBLE, 3) AS p50_gap_s,
-           round(quantile_cont(gap_s, 0.9)::DOUBLE, 3) AS p90_gap_s
+           round((quantile_cont(gap_s, 0.5)::DOUBLE) * 1000.0) / 1000.0 AS p50_gap_s,
+           round((quantile_cont(gap_s, 0.9)::DOUBLE) * 1000.0) / 1000.0 AS p90_gap_s
     FROM gaps WHERE gap_s IS NOT NULL
     GROUP BY event_type ORDER BY event_type
     """,
@@ -359,8 +357,8 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         gaps.groupBy("event_type")
         .agg(
             F.count("gap_s").cast("long").alias("n_gaps"),
-            F.round(F.expr("percentile(gap_s, 0.5)"), 3).alias("p50_gap_s"),
-            F.round(F.expr("percentile(gap_s, 0.9)"), 3).alias("p90_gap_s"),
+            (F.round((F.expr("percentile(gap_s, 0.5)")) * 1000.0) / 1000.0).alias("p50_gap_s"),
+            (F.round((F.expr("percentile(gap_s, 0.9)")) * 1000.0) / 1000.0).alias("p90_gap_s"),
         )
         .orderBy("event_type")
     )
@@ -381,10 +379,10 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, strftime(hr, '%Y-%m-%d %H') AS hour,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(max(CASE WHEN rn_first = 1 THEN value END), 2) AS open,
-           round(max(value), 2) AS high,
-           round(min(value), 2) AS low,
-           round(max(CASE WHEN rn_last = 1 THEN value END), 2) AS close
+           round((max(CASE WHEN rn_first = 1 THEN value END)) * 100.0) / 100.0 AS open,
+           round((max(value)) * 100.0) / 100.0 AS high,
+           round((min(value)) * 100.0) / 100.0 AS low,
+           round((max(CASE WHEN rn_last = 1 THEN value END)) * 100.0) / 100.0 AS close
     FROM ranked GROUP BY event_type, hr
     ORDER BY event_type, hour
     LIMIT 200
@@ -416,14 +414,10 @@ def event_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy("event_type", "hr")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(
-                F.max(F.when(F.col("rn_first") == 1, F.col("value"))), 2
-            ).alias("open"),
-            F.round(F.max("value"), 2).alias("high"),
-            F.round(F.min("value"), 2).alias("low"),
-            F.round(
-                F.max(F.when(F.col("rn_last") == 1, F.col("value"))), 2
-            ).alias("close"),
+            (F.round((F.max(F.when(F.col("rn_first") == 1, F.col("value")))) * 100.0) / 100.0).alias("open"),
+            (F.round((F.max("value")) * 100.0) / 100.0).alias("high"),
+            (F.round((F.min("value")) * 100.0) / 100.0).alias("low"),
+            (F.round((F.max(F.when(F.col("rn_last") == 1, F.col("value")))) * 100.0) / 100.0).alias("close"),
         )
         .select(
             "event_type",
@@ -565,9 +559,9 @@ def events_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            CAST(count(*) AS BIGINT) AS n_vectors,
-           round(avg(scale), 6) AS avg_scale,
-           round(avg(max_err), 6) AS avg_max_err,
-           round(max(max_err), 6) AS worst_err
+           round((avg(scale)) * 1000000.0) / 1000000.0 AS avg_scale,
+           round((avg(max_err)) * 1000000.0) / 1000000.0 AS avg_max_err,
+           round((max(max_err)) * 1000000.0) / 1000000.0 AS worst_err
     FROM err GROUP BY label ORDER BY label
     """,
 )
@@ -605,9 +599,9 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         err.groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
-            F.round(F.avg("scale"), 6).alias("avg_scale"),
-            F.round(F.avg("max_err"), 6).alias("avg_max_err"),
-            F.round(F.max("max_err"), 6).alias("worst_err"),
+            (F.round((F.avg("scale")) * 1000000.0) / 1000000.0).alias("avg_scale"),
+            (F.round((F.avg("max_err")) * 1000000.0) / 1000000.0).alias("avg_max_err"),
+            (F.round((F.max("max_err")) * 1000000.0) / 1000000.0).alias("worst_err"),
         )
         .orderBy("label")
     )
@@ -678,7 +672,7 @@ def doc_balanced_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment AS segment, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS total_value
+           round((sum(value)) * 100.0) / 100.0 AS total_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY 1, 2 ORDER BY segment, event_type
     """,
@@ -712,8 +706,8 @@ def stream_enriched_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(stddev_samp(o_totalprice), 2) AS price_stddev,
-           round(corr(CAST(n_items AS DOUBLE), o_totalprice), 4)
+           round((stddev_samp(o_totalprice)) * 100.0) / 100.0 AS price_stddev,
+           round((corr(CAST(n_items AS DOUBLE), o_totalprice)) * 10000.0) / 10000.0
              AS items_price_corr
     FROM per_order GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
@@ -778,8 +772,8 @@ def priority_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM obs
     )
     SELECT CAST(count(*) AS BIGINT) AS n_cells,
-           round(sum(pow(o - row_t * col_t / grand, 2)
-                     / (row_t * col_t / grand)), 4) AS chi2
+           round((sum(pow(o - row_t * col_t / grand, 2)
+                     / (row_t * col_t / grand))) * 10000.0) / 10000.0 AS chi2
     FROM tot
     """,
 )
@@ -804,7 +798,7 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.col("row_t") * F.col("col_t") / F.col("grand")
     return tot.agg(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
-        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("chi2"),
+        (F.round((F.sum(F.pow(F.col("o") - e, 2) / e)) * 10000.0) / 10000.0).alias("chi2"),
     )
 
 
@@ -821,7 +815,7 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT o_orderstatus,
-           round(-sum(p * ln(p)), 4) AS entropy_nats,
+           round((-sum(p * ln(p))) * 10000.0) / 10000.0 AS entropy_nats,
            CAST(count(*) AS BIGINT) AS n_classes
     FROM p GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
@@ -847,7 +841,7 @@ def status_priority_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.groupBy("o_orderstatus")
         .agg(
-            F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 4).alias(
+            (F.round((-F.sum(F.col("p") * F.log(F.col("p")))) * 10000.0) / 10000.0).alias(
                 "entropy_nats"
             ),
             F.count(F.lit(1)).cast("long").alias("n_classes"),
@@ -960,8 +954,8 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(avg(o_totalprice), 2) AS mean_raw,
-           round(avg(least(greatest(o_totalprice, lo), hi)), 2)
+           round((avg(o_totalprice)) * 100.0) / 100.0 AS mean_raw,
+           round((avg(least(greatest(o_totalprice, lo), hi))) * 100.0) / 100.0
              AS mean_winsorized,
            CAST(sum(CASE WHEN o_totalprice < lo OR o_totalprice > hi
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
@@ -989,8 +983,8 @@ def order_price_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 2).alias("mean_raw"),
-            F.round(F.avg(clipped), 2).alias("mean_winsorized"),
+            (F.round((F.avg("o_totalprice")) * 100.0) / 100.0).alias("mean_raw"),
+            (F.round((F.avg(clipped)) * 100.0) / 100.0).alias("mean_winsorized"),
             F.sum(
                 F.when(
                     (F.col("o_totalprice") < F.col("lo"))
@@ -1017,7 +1011,7 @@ def order_price_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT day, hour,
            CAST(grouping(hour) AS INT) AS is_day_level,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS total_value
+           round((sum(value)) * 100.0) / 100.0 AS total_value
     FROM base
     GROUP BY GROUPING SETS ((day), (day, hour))
     ORDER BY day, is_day_level DESC, hour NULLS FIRST
@@ -1046,7 +1040,7 @@ def event_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT day, hour,
                CAST(grouping(hour) AS INT) AS is_day_level,
                CAST(count(*) AS BIGINT) AS n_events,
-               round(sum(value), 2) AS total_value
+               round((sum(value)) * 100.0) / 100.0 AS total_value
         FROM _time_rollup_base
         GROUP BY GROUPING SETS ((day), (day, hour))
         ORDER BY day, is_day_level DESC, hour NULLS FIRST
@@ -1092,7 +1086,7 @@ def suppliers_with_orders_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_above_avg,
-           round(min(o_totalprice), 2) AS min_above
+           round((min(o_totalprice)) * 100.0) / 100.0 AS min_above
     FROM orders
     WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
     GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -1109,7 +1103,7 @@ def orders_vs_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS n_above_avg,
-               round(min(o_totalprice), 2) AS min_above
+               round((min(o_totalprice)) * 100.0) / 100.0 AS min_above
         FROM _ga_orders
         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM _ga_orders)
         GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -1120,7 +1114,7 @@ def orders_vs_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "customer_page_two",
     """
-    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    SELECT c_custkey, c_name, round((c_acctbal) * 100.0) / 100.0 AS acctbal
     FROM customer
     ORDER BY c_acctbal DESC, c_custkey ASC
     LIMIT 10 OFFSET 10
@@ -1138,7 +1132,7 @@ def customer_page_two(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.select(
             "c_custkey",
             "c_name",
-            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+            (F.round((F.col("c_acctbal")) * 100.0) / 100.0).alias("acctbal"),
         )
         .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
         .offset(10)

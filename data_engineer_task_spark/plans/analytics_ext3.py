@@ -36,14 +36,14 @@ from .analytics import _t, q
     SELECT o_orderpriority,
            CAST(regr_count(o_totalprice, dayofyear(o_orderdate)) AS BIGINT)
              AS n_orders,
-           round(regr_slope(o_totalprice,
-                            CAST(dayofyear(o_orderdate) AS DOUBLE)), 4)
+           round((regr_slope(o_totalprice,
+                            CAST(dayofyear(o_orderdate) AS DOUBLE))) * 10000.0) / 10000.0
              AS slope,
-           round(regr_intercept(o_totalprice,
-                                CAST(dayofyear(o_orderdate) AS DOUBLE)), 2)
+           round((regr_intercept(o_totalprice,
+                                CAST(dayofyear(o_orderdate) AS DOUBLE))) * 100.0) / 100.0
              AS intercept,
-           round(regr_r2(o_totalprice,
-                         CAST(dayofyear(o_orderdate) AS DOUBLE)), 6) AS r2
+           round((regr_r2(o_totalprice,
+                         CAST(dayofyear(o_orderdate) AS DOUBLE))) * 1000000.0) / 1000000.0 AS r2
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -63,9 +63,9 @@ def priority_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_orderpriority")
         .agg(
             F.regr_count(y, x).cast("long").alias("n_orders"),
-            F.round(F.regr_slope(y, x), 4).alias("slope"),
-            F.round(F.regr_intercept(y, x), 2).alias("intercept"),
-            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            (F.round((F.regr_slope(y, x)) * 10000.0) / 10000.0).alias("slope"),
+            (F.round((F.regr_intercept(y, x)) * 100.0) / 100.0).alias("intercept"),
+            (F.round((F.regr_r2(y, x)) * 1000000.0) / 1000000.0).alias("r2"),
         )
         .orderBy("o_orderpriority")
     )
@@ -105,7 +105,7 @@ def event_user_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "priority_geomean_price",
     """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
-           round(exp(avg(ln(o_totalprice))), 2) AS geomean_price
+           round((exp(avg(ln(o_totalprice)))) * 100.0) / 100.0 AS geomean_price
     FROM orders WHERE o_totalprice > 0
     GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
@@ -141,7 +141,7 @@ def priority_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_orderpriority")
         .agg(
             _n("o_totalprice").alias("n_orders"),
-            F.round(_geomean("o_totalprice"), 2).alias("geomean_price"),
+            (F.round((_geomean("o_totalprice")) * 100.0) / 100.0).alias("geomean_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -166,7 +166,7 @@ _DENY = (("customer", 8), ("spark", 5))  # term, length
            CAST(sum(hits) AS BIGINT) AS total_hits,
            CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_docs_hit,
-           round(avg(residual_len), 2) AS avg_scrubbed_chars
+           round((avg(residual_len)) * 100.0) / 100.0 AS avg_scrubbed_chars
     FROM s GROUP BY source ORDER BY source
     """,
 )
@@ -201,7 +201,7 @@ def doc_denylist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
             .cast("long")
             .alias("n_docs_hit"),
-            F.round(F.avg("residual_len"), 2).alias("avg_scrubbed_chars"),
+            (F.round((F.avg("residual_len")) * 100.0) / 100.0).alias("avg_scrubbed_chars"),
         )
         .orderBy("source")
     )
@@ -331,10 +331,10 @@ _EWMA_ALPHA = 0.3
       FROM daily
     )
     SELECT user_id, CAST(max(n) AS BIGINT) AS n_days,
-           round(sum(v * CASE WHEN rn = 1 THEN pow(1 - {_EWMA_ALPHA}, n - 1)
+           round((sum(v * CASE WHEN rn = 1 THEN pow(1 - {_EWMA_ALPHA}, n - 1)
                               ELSE {_EWMA_ALPHA} * pow(1 - {_EWMA_ALPHA}, n - rn)
-                         END), 4) AS ewma_value,
-           round(avg(v), 4) AS mean_value
+                         END)) * 10000.0) / 10000.0 AS ewma_value,
+           round((avg(v)) * 10000.0) / 10000.0 AS mean_value
     FROM seq GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -370,8 +370,8 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.groupBy("user_id")
         .agg(
             F.max("n").cast("long").alias("n_days"),
-            F.round(F.sum(F.col("v") * weight), 4).alias("ewma_value"),
-            F.round(F.avg("v"), 4).alias("mean_value"),
+            (F.round((F.sum(F.col("v") * weight)) * 10000.0) / 10000.0).alias("ewma_value"),
+            (F.round((F.avg("v")) * 10000.0) / 10000.0).alias("mean_value"),
         )
         .orderBy("user_id")
     )

@@ -75,10 +75,10 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_incremental_agg_merge",
     """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price,
+           round((sum(o_totalprice)) * 100.0) / 100.0 AS total_price,
            min(o_totalprice) AS min_price,
            max(o_totalprice) AS max_price,
-           round(sum(o_totalprice) / count(*), 4) AS avg_price
+           round((sum(o_totalprice) / count(*)) * 10000.0) / 10000.0 AS avg_price
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
@@ -114,10 +114,10 @@ def orders_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.sum("pn").cast("long").alias("n_orders"),
-            F.round(F.sum("ps"), 2).alias("total_price"),
+            (F.round((F.sum("ps")) * 100.0) / 100.0).alias("total_price"),
             F.min("pmin").alias("min_price"),
             F.max("pmax").alias("max_price"),
-            F.round(F.sum("ps") / F.sum("pn"), 4).alias("avg_price"),
+            (F.round((F.sum("ps") / F.sum("pn")) * 10000.0) / 10000.0).alias("avg_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -417,7 +417,7 @@ def priority_customer_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_value_lag_features",
     """
     WITH d AS (
-      SELECT user_id, CAST(ts AS DATE) AS day, round(avg(value), 4) AS v
+      SELECT user_id, CAST(ts AS DATE) AS day, round((avg(value)) * 10000.0) / 10000.0 AS v
       FROM events WHERE value IS NOT NULL
       GROUP BY user_id, CAST(ts AS DATE)
     )
@@ -447,7 +447,7 @@ def user_value_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     d = ev.groupBy(
         "user_id", F.col("ts").cast("date").alias("day")
-    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    ).agg((F.round((F.avg("value")) * 10000.0) / 10000.0).alias("v"))
     w = W.partitionBy("user_id").orderBy("day")
     ma = W.partitionBy("user_id").orderBy("day").rowsBetween(-2, 0)
     return (
@@ -516,3 +516,154 @@ def lang_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "doc_id", "lang", enc.alias("lang_loo_mean_chars")
     ).orderBy("doc_id")
+
+
+def _md5_hex_int_sql(expr: str, salt: str, n_hex: int) -> str:
+    """DuckDB spelling of conv(substr(md5(salt||expr),1,n_hex),16,10):
+    positional nibble arithmetic over the md5 hex prefix (DuckDB has no
+    base-16 string→int conversion; instr over the hex alphabet is the
+    same engine-portable trick as analytics._md5_byte_sql)."""
+    h = f"md5('{salt}' || {expr})"
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (n_hex - 1 - i)}"
+        for i in range(n_hex)
+    )
+    return f"({terms})"
+
+
+_ROW_STR = (
+    "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+    " || '|' || o_orderstatus || '|' || o_orderpriority"
+)
+
+
+@q(
+    "orders_partition_checksums",
+    f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum({_md5_hex_int_sql(_ROW_STR, "ck:", 8)}) AS BIGINT)
+             AS checksum
+    FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+    ORDER BY month
+    """,
+)
+def orders_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition table fingerprints for cross-system reconciliation:
+    each row hashes its canonical key/attribute string to a 32-bit
+    md5-prefix integer, and a partition's checksum is the SUM of its
+    row hashes — order-independent, mergeable (a partition's checksum
+    is the sum of its files' checksums), and engine-portable (md5 is
+    bit-identical everywhere; replica drift shows up as a differing
+    (month, checksum) row without shipping any data). This is how two
+    100 TB replicas compare: exchange |partitions| rows, re-sync only
+    divergent months. Floats stay OUT of the hashed string — their
+    decimal rendering is not engine-portable; the salt keeps this
+    fingerprint independent of the sampling operators' md5 buckets.
+    Map-only hash + one low-cardinality aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ck:"), row_str)), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(h).cast("long").alias("checksum"),
+        )
+        .orderBy("month")
+    )
+
+
+@q(
+    "part_abc_classification",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             round(sum(l_extendedprice * (1 - l_discount)) * 100.0) / 100.0
+               AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+      SELECT l_partkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             sum(revenue) OVER () AS total_rev
+      FROM rev
+    ),
+    k AS (
+      SELECT CASE WHEN cum_rev <= 0.80 * total_rev THEN 'A'
+                  WHEN cum_rev <= 0.95 * total_rev THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             revenue
+      FROM c
+    )
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(revenue) * 100.0) / 100.0 AS class_revenue,
+           round(sum(revenue) * 10000.0 / max(total)) / 10000.0
+             AS revenue_share
+    FROM (SELECT k.*, (SELECT max(total_rev) FROM c) AS total FROM k)
+    GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: rank by
+    revenue, A = parts inside the first 80% of cumulative revenue,
+    B = next 15%, C = the tail — the standard inventory-prioritization
+    cut. Per-part revenue is rounded to cents BEFORE ranking so the
+    (revenue desc, partkey) order — and therefore every cumulative
+    sum — is bit-identical across engines (unrounded doubles differ in
+    the last ulp by summation order, which could swap near-tied ranks).
+    The cumulative window runs over the PART-level frame (bounded by
+    the part dimension, not the fact); the fact contributes one grouped
+    aggregate. Global window noted: at extreme part cardinality the
+    rank/cumsum would shard via repartitionByRange + per-range offsets."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        (
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                * 100.0
+            )
+            / 100.0
+        ).alias("revenue")
+    )
+    wc = W.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wt = W.partitionBy()
+    c = rev.select(
+        "revenue",
+        F.sum("revenue").over(wc).alias("cum_rev"),
+        F.sum("revenue").over(wt).alias("total_rev"),
+    )
+    k = c.select(
+        F.when(F.col("cum_rev") <= 0.80 * F.col("total_rev"), "A")
+        .when(F.col("cum_rev") <= 0.95 * F.col("total_rev"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "revenue",
+        "total_rev",
+    )
+    return (
+        k.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            (F.round(F.sum("revenue") * 100.0) / 100.0).alias("class_revenue"),
+            (
+                F.round(F.sum("revenue") * 10000.0 / F.max("total_rev"))
+                / 10000.0
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )

@@ -188,7 +188,7 @@ class CurationPipeline:
         manifest["splits"] = split_counts
         manifest["curated_path"] = curated_path
         manifest["rejects_path"] = rejects_path
-        manifest["wall_seconds"] = round(time.perf_counter() - t0, 3)
+        manifest["wall_seconds"] = round((time.perf_counter() - t0) * 1000.0) / 1000.0
         with open(os.path.join(self.out_dir, "manifest.json"), "w") as fh:
             json.dump(manifest, fh, indent=2)
         # near_duplicates persists shared subplans for its own DAG; the

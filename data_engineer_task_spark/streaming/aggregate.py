@@ -96,7 +96,7 @@ def hourly_event_counts(events: DataFrame, *, watermark: str = "2 hours") -> Dat
         src.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.round((F.sum("value")) * 100.0) / 100.0).alias("total_value"),
         )
         .select(
             F.date_format(F.col("win.start"), "yyyy-MM-dd HH").alias("hour"),
@@ -214,7 +214,7 @@ def run_stream_dedup_once(
     _drive_to_memory(deduped, query_name, output_mode="append")
     return spark.sql(
         f"SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "  # noqa: S608
-        f"round(sum(value), 2) AS total_value "
+        f"round((sum(value)) * 100.0) / 100.0 AS total_value "
         f"FROM {query_name} GROUP BY event_type ORDER BY event_type"
     )
 
@@ -381,7 +381,7 @@ def enriched_event_segment_counts(
         .groupBy("segment", "event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.round((F.sum("value")) * 100.0) / 100.0).alias("total_value"),
         )
     )
 

@@ -11,6 +11,7 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from data_engineer_task_spark.operators.dedup import (
+    jaccard_join_exact as jaccard_join_exact_op,
     jaccard_verify,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -848,3 +849,28 @@ def test_jaccard_join_exact_keeps_exact_boundary_pair_at_float_unsafe_threshold(
         for r in jaccard_join_exact(df, "doc_id", "text", threshold=0.4).collect()
     }
     assert got == expected
+
+
+def test_jaccard_join_exact_randomized_corpus_matches_brute_force(spark):
+    # seeded random corpus from a small vocab (forced overlap structure),
+    # checked at two thresholds — broader evidence than the fixtures
+    # that prefix+length+positional pruning never drops a true pair.
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(18)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 12))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.3, 0.5):
+        expected = _brute_jaccard_pairs(rows, threshold=t)
+        got = {
+            (r.id_a, r.id_b): (r.n_common, r.jaccard)
+            for r in jaccard_join_exact_op(
+                df, "doc_id", "text", threshold=t
+            ).collect()
+        }
+        assert got == expected, f"threshold {t}"
+        spark.catalog.clearCache()
