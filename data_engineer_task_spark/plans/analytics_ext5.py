@@ -667,3 +667,7 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# Seventh-batch entries register themselves into QUERIES/ORACLE on import.
+from . import analytics_ext6  # noqa: E402,F401  isort:skip

@@ -425,3 +425,13 @@ def test_twap_is_one_window_one_aggregate(spark):
     assert len(re.findall(r"^\(\d+\) Window", plan, flags=re.M)) == 1
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "value" in read_schema and "props" not in read_schema
+
+
+def test_pit_join_is_keyed_equi_join_not_range_only(spark):
+    # the validity window must ride as a residual filter on the KEY
+    # equi-join — a range-only plan (BroadcastNestedLoopJoin /
+    # CartesianProduct) would go quadratic at scale.
+    plan = _plan(spark, "event_segment_pit_join")
+    assert "CartesianProduct" not in plan
+    joins = re.findall(r"^\(\d+\) (\w*HashJoin|SortMergeJoin\w*)", plan, flags=re.M)
+    assert joins, plan  # the PIT join itself must be a hash/sort-merge equi-join
