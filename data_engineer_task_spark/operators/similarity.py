@@ -29,6 +29,16 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def _round_half_away(v: "np.ndarray", round_to: int) -> "np.ndarray":
+    """Scale-then-divide rounding with the HALF-AWAY-FROM-ZERO tie rule
+    — numpy's np.round is half-EVEN, which disagrees with both Spark's
+    BigDecimal HALF_UP and DuckDB's std::round exactly on half-way
+    values (the same divergence class the plans' authoring rules ban);
+    this matches round(x * 10^n) / 10^n on both engines bit-for-bit."""
+    s = 10.0 ** round_to
+    return np.sign(v) * np.floor(np.abs(v) * s + 0.5) / s
+
+
 def _safe_cos(num: "np.ndarray", den: "np.ndarray", round_to: int) -> "np.ndarray":
     """Cosine with zero-norm degenerate pairs pinned to -1 instead of
     NaN: numpy propagates 0/0 → NaN, Spark sorts NaN ABOVE every real
@@ -37,7 +47,7 @@ def _safe_cos(num: "np.ndarray", den: "np.ndarray", round_to: int) -> "np.ndarra
     zero-norm vector hijack rank 1 of every top-k while silently
     vanishing from thresholded pair sets. -1 ranks it last and keeps
     it out of any threshold >= -1, deterministically."""
-    return np.round(
+    return _round_half_away(
         np.where(den > 0, num / np.where(den > 0, den, 1.0), -1.0), round_to
     )
 
@@ -368,7 +378,7 @@ def ivf_topk(
         # zero-norm corpus vector → -1, not NaN (Spark sorts NaN ABOVE
         # every real value on DESC, so a NaN would hijack rank 1)
         sim = np.where(den > 0, num / np.where(den > 0, den, 1.0), -1.0)
-        return pd.Series(np.round(sim, round_to))
+        return pd.Series(_round_half_away(sim, round_to))
 
     cand = assigned.join(F.broadcast(probes), "cluster")
     w = W.partitionBy("query_id").orderBy(
