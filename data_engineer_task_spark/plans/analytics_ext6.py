@@ -163,3 +163,7 @@ def lang_source_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# Eighth-batch entries register themselves into QUERIES/ORACLE on import.
+from . import analytics_ext7  # noqa: E402,F401  isort:skip
