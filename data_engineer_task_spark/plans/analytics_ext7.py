@@ -565,3 +565,7 @@ def customer_supplier_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey", "s_suppkey")
     )
+
+
+# Ninth-batch entries register themselves into QUERIES/ORACLE on import.
+from . import analytics_ext8  # noqa: E402,F401  isort:skip

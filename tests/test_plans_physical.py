@@ -435,3 +435,65 @@ def test_pit_join_is_keyed_equi_join_not_range_only(spark):
     assert "CartesianProduct" not in plan
     joins = re.findall(r"^\(\d+\) (\w*HashJoin|SortMergeJoin\w*)", plan, flags=re.M)
     assert joins, plan  # the PIT join itself must be a hash/sort-merge equi-join
+
+
+def test_perplexity_joins_stay_equi_and_jvm(spark):
+    # bigram instances re-join their corpus counts via key equi-joins
+    # (at scale the vocab is too big to broadcast — but it must NEVER
+    # be a product), and the whole LM scoring stays in codegen.
+    plan = _plan(spark, "doc_bigram_perplexity")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_basket_rules_broadcast_marginals_no_product(spark):
+    # the part dim and the brand marginal tables must broadcast onto
+    # the pair aggregate; the order-key self-join is the only big join.
+    plan = _plan(spark, "brand_basket_rules")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_grid_join_is_cell_equi_join(spark):
+    # the distance predicate must ride as a residual filter on the
+    # grid-cell equi-join — a pure-theta plan would be quadratic.
+    plan = _plan(spark, "customer_supplier_grid_join")
+    assert "CartesianProduct" not in plan
+    joins = re.findall(r"^\(\d+\) (\w*HashJoin|SortMergeJoin\w*)", plan, flags=re.M)
+    assert joins, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pagerank_iterations_broadcast_rank_vector(spark):
+    # each unrolled power iteration joins the |brands|-sized rank
+    # vector onto the edge list — those must all be broadcast joins.
+    plan = _plan(spark, "brand_copurchase_pagerank")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_attribution_single_user_window_shuffle(spark):
+    # last-touch carry-forward = ONE user-key window partitioning; the
+    # only other exchanges are the tiny channel rollup + output sort.
+    plan = _plan(spark, "purchase_attribution_last_touch")
+    assert len(re.findall(r"^\(\d+\) Window", plan, flags=re.M)) == 1
+    user_shuffles = re.findall(r"hashpartitioning\(user_id", plan)
+    assert len(user_shuffles) >= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_bm25_probes_postings_via_broadcast_query(spark):
+    # the 3-term query set must broadcast onto the (doc, token) tf
+    # table — an inverted-index probe, never a corpus-wide join.
+    plan = _plan(spark, "doc_bm25_search")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_triangle_join_never_product(spark):
+    plan = _plan(spark, "brand_copurchase_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
