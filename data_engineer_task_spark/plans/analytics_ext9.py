@@ -366,3 +366,7 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "nation")
     )
+
+
+# Eleventh-batch entries register themselves into QUERIES/ORACLE on import.
+from . import analytics_ext10  # noqa: E402,F401  isort:skip

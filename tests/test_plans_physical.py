@@ -497,3 +497,30 @@ def test_triangle_join_never_product(spark):
     plan = _plan(spark, "brand_copurchase_triangles")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_interpolation_windows_share_one_type_shuffle(spark):
+    # prev/next neighbor lookups must ride windows over ONE
+    # event_type partitioning — no extra exchanges per direction.
+    plan = _plan(spark, "event_hourly_interpolation")
+    type_shuffles = re.findall(r"hashpartitioning\(event_type", plan)
+    assert len(type_shuffles) >= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_allocation_windows_over_nation_frame_only(spark):
+    # all allocation windows run over the |nation|-bounded frame after
+    # one fact aggregate; dims broadcast onto the fact scan.
+    plan = _plan(spark, "region_budget_allocation")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_golden_record_is_single_aggregate(spark):
+    # survivorship must be ONE hash aggregate over the master key —
+    # no window cascade, no per-field self-joins.
+    plan = _plan(spark, "customer_golden_record")
+    assert "Window" not in plan
+    assert "max_by" in plan
+    assert "BatchEvalPython" not in plan
