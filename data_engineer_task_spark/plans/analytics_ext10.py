@@ -385,3 +385,7 @@ def customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("master_key")
     )
+
+
+# Twelfth-batch entries register themselves into QUERIES/ORACLE on import.
+from . import analytics_ext11  # noqa: E402,F401  isort:skip

@@ -524,3 +524,21 @@ def test_golden_record_is_single_aggregate(spark):
     assert "Window" not in plan
     assert "max_by" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_waterfall_aligns_months_via_single_outer_join(spark):
+    # the month-pair alignment must be ONE outer join of the monthly
+    # aggregate with its shifted self — never an orders×orders join.
+    plan = _plan(spark, "customer_revenue_waterfall")
+    outers = re.findall(r"FullOuter", plan)
+    assert outers, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_feature_hashing_is_one_aggregate_no_vocab_join(spark):
+    # the hashing trick's whole point: no vocabulary table is built or
+    # joined — bucketing is a map stage into one grouped aggregate.
+    plan = _plan(spark, "doc_feature_hashing")
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan

@@ -192,3 +192,31 @@ def test_text_corpus_reader_deterministic_ids(spark, tmp_path):
     from data_engineer_task_spark.operators.dedup import content_hash_dedup
 
     assert content_hash_dedup(docs, "doc_id", "text").count() == 5
+
+
+def test_xml_roundtrip_with_explicit_schema(spark, tmp_path):
+    """XML write → schema-declared read is lossless (incl. nulls),
+    via the Spark 4 native xml source; partitioned layout lands one
+    directory per key."""
+    from data_engineer_task_spark.sources.xml import read_xml, write_xml
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("kind", T.StringType(), True),
+            T.StructField("val", T.DoubleType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, "a", -0.25)],
+        "id long, kind string, val double",
+    )
+    path = str(tmp_path / "x")
+    write_xml(df, path, partition_by=["kind"], row_tag="rec")
+    back = read_xml(spark, path, schema, row_tag="rec")
+    assert sorted(map(tuple, back.select("id", "kind", "val").collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    import os
+
+    assert any(p.startswith("kind=") for p in os.listdir(path))
