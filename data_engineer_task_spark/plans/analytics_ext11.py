@@ -322,3 +322,7 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("s") / 100.0 * 100.0) / 100.0).alias("total_revenue"),
         (F.round(gini * 1000000.0) / 1000000.0).alias("gini"),
     )
+
+
+# Thirteenth-batch entries register themselves into QUERIES/ORACLE on import.
+from . import analytics_ext12  # noqa: E402,F401  isort:skip

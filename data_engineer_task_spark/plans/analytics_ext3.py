@@ -320,58 +320,75 @@ _EWMA_ALPHA = 0.3
     "user_value_ewma",
     f"""
     WITH daily AS (
-      SELECT user_id, CAST(ts AS DATE) AS day, avg(value) AS v
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             round(avg(value) * 1000000.0) / 1000000.0 AS v
       FROM events WHERE value IS NOT NULL
       GROUP BY user_id, CAST(ts AS DATE)
     ),
-    seq AS (
-      SELECT user_id, v,
-             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn,
-             count(*) OVER (PARTITION BY user_id) AS n
-      FROM daily
+    arr AS (
+      SELECT user_id, array_agg(v ORDER BY day ASC) AS vals
+      FROM daily GROUP BY user_id
     )
-    SELECT user_id, CAST(max(n) AS BIGINT) AS n_days,
-           round((sum(v * CASE WHEN rn = 1 THEN pow(1 - {_EWMA_ALPHA}, n - 1)
-                              ELSE {_EWMA_ALPHA} * pow(1 - {_EWMA_ALPHA}, n - rn)
-                         END)) * 10000.0) / 10000.0 AS ewma_value,
-           round((avg(v)) * 10000.0) / 10000.0 AS mean_value
-    FROM seq GROUP BY user_id ORDER BY user_id
+    SELECT user_id, CAST(len(vals) AS BIGINT) AS n_days,
+           round(list_reduce(vals,
+                             (acc, x) -> {_EWMA_ALPHA} * x
+                                         + {1 - _EWMA_ALPHA} * acc)
+                 * 10000.0) / 10000.0 AS ewma_value,
+           round(list_reduce(list_transform(vals, x -> round(x * 1000000.0)),
+                             (acc, x) -> acc + x)
+                 / len(vals) / 1000000.0 * 10000.0) / 10000.0 AS mean_value
+    FROM arr ORDER BY user_id
     """,
 )
 def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of each user's daily mean
-    value — the recursive smoother ewma_n = α·x_n + (1−α)·ewma_{n−1}
-    unrolled into its closed weighted-sum form so it runs as ONE
-    window pass + ONE aggregate instead of a per-user sequential scan
-    (recursion is the one thing a distributed engine can't parallelize;
-    the closed form is algebraically identical with ewma_1 = x_1).
-    Weights underflow to exactly 0.0 past ~700 steps in IEEE doubles —
-    identical in both engines, so the oracle hash still matches on
-    arbitrarily long series. Day-grain series makes the per-user
-    ordering unique (no ts tie-break hazard)."""
+    value — the recursive smoother ewma_n = α·x_n + (1−α)·ewma_{n−1},
+    run as an IN-ROW ordered fold over the user's day-sorted value
+    array (one shuffle to assemble the array, then pure codegen).
+    The fold spelling — not the algebraically-equivalent closed
+    weighted sum — is deliberate determinism engineering: a grouped
+    SUM's floating-point accumulation order varies run-to-run across
+    Spark partitions (a latent boundary flake the sweep actually
+    caught once), while a left fold visits elements in ONE defined
+    order in both engines, and it needs no pow() (whose last-ulp
+    behavior is libm-specific). Daily means are quantized to 1e-6
+    first so the fold inputs are identical constants across engines;
+    the mean re-derives from an exact integer-sum fold of those
+    quantized values. Day-grain series keeps the per-user ordering
+    unique (no ts tie-break hazard). At 100 TB per-user day arrays
+    stay small (bounded by the calendar); for unbounded series the
+    closed-form window variant trades determinism for
+    constant memory."""
+    a = _EWMA_ALPHA
     ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     daily = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
-        F.avg("value").alias("v")
+        (F.round(F.avg("value") * 1000000.0) / 1000000.0).alias("v")
     )
-    wo = W.partitionBy("user_id").orderBy("day")
-    wall = W.partitionBy("user_id")
-    a = _EWMA_ALPHA
-    seq = daily.select(
-        "user_id",
-        "v",
-        F.row_number().over(wo).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("n"),
+    arr = daily.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("s")
     )
-    weight = (
-        F.when(F.col("rn") == 1, F.pow(F.lit(1 - a), F.col("n") - 1))
-        .otherwise(F.lit(a) * F.pow(F.lit(1 - a), F.col("n") - F.col("rn")))
+    vals = F.transform(F.col("s"), lambda x: x["v"])
+    n = F.size(vals)
+    ewma = F.aggregate(
+        F.slice(vals, 2, n - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(a) * x + F.lit(1 - a) * acc,
+    )
+    mean = (
+        F.aggregate(
+            F.transform(vals, lambda x: F.round(x * 1000000.0)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / n.cast("double")
+        / 1000000.0
     )
     return (
-        seq.groupBy("user_id")
-        .agg(
-            F.max("n").cast("long").alias("n_days"),
-            (F.round((F.sum(F.col("v") * weight)) * 10000.0) / 10000.0).alias("ewma_value"),
-            (F.round((F.avg("v")) * 10000.0) / 10000.0).alias("mean_value"),
+        arr.select(
+            "user_id",
+            n.cast("long").alias("n_days"),
+            (F.round(ewma * 10000.0) / 10000.0).alias("ewma_value"),
+            (F.round(mean * 10000.0) / 10000.0).alias("mean_value"),
         )
         .orderBy("user_id")
     )

@@ -542,3 +542,22 @@ def test_feature_hashing_is_one_aggregate_no_vocab_join(spark):
     plan = _plan(spark, "doc_feature_hashing")
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ann_recall_probes_buckets_and_broadcasts_queries(spark):
+    # both rankings join the broadcast query set; no doc×doc product
+    # beyond the deliberate query×corpus ground truth.
+    plan = _plan(spark, "embedding_ann_recall")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_linkage_blocking_is_equi_join_not_product(spark):
+    # candidate generation must equi-join on the block key with the
+    # id inequality as a residual — never customers².
+    plan = _plan(spark, "customer_linkage_scores")
+    joins = re.findall(r"^\(\d+\) (\w*HashJoin|SortMergeJoin\w*)", plan, flags=re.M)
+    assert joins, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
