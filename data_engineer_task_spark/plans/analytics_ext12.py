@@ -365,3 +365,7 @@ def customer_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("score")
     )
+
+
+# Fourteenth-batch entries register themselves into QUERIES/ORACLE on import.
+from . import analytics_ext13  # noqa: E402,F401  isort:skip

@@ -561,3 +561,20 @@ def test_linkage_blocking_is_equi_join_not_product(spark):
     assert joins, plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_density_clusters_propagate_on_cell_frame_only(spark):
+    # the point table collapses to the cell grid once; propagation
+    # joins run on the dense-cell frame with no product joins.
+    plan = _plan(spark, "customer_grid_density_clusters")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_position_attribution_join_is_user_keyed(spark):
+    # the purchase×touch join must key on user_id (residual time
+    # predicate), never a global product.
+    plan = _plan(spark, "purchase_attribution_position")
+    assert "CartesianProduct" not in plan
+    joins = re.findall(r"^\(\d+\) (\w*HashJoin|SortMergeJoin\w*)", plan, flags=re.M)
+    assert joins, plan
