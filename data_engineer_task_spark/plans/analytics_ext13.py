@@ -434,3 +434,7 @@ def nation_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# Fifteenth-batch entries register themselves into QUERIES/ORACLE on import.
+from . import analytics_ext14  # noqa: E402,F401  isort:skip

@@ -578,3 +578,17 @@ def test_position_attribution_join_is_user_keyed(spark):
     assert "CartesianProduct" not in plan
     joins = re.findall(r"^\(\d+\) (\w*HashJoin|SortMergeJoin\w*)", plan, flags=re.M)
     assert joins, plan
+
+
+def test_cusum_argmax_is_integer_windows_on_daily_frame(spark):
+    # change-point selection must run on the tiny daily frame with
+    # integer windows — no float accumulation deciding the argmax.
+    plan = _plan(spark, "event_value_cusum_changepoint")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mode_imputation_broadcasts_mode_table(spark):
+    plan = _plan(spark, "customer_segment_mode_imputation")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
