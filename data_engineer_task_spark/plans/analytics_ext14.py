@@ -377,3 +377,7 @@ def customer_segment_mode_imputation(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("nationkey")
     )
+
+
+# Sixteenth-batch entries register themselves into QUERIES/ORACLE on import.
+from . import analytics_ext15  # noqa: E402,F401  isort:skip

@@ -592,3 +592,20 @@ def test_mode_imputation_broadcasts_mode_table(spark):
     plan = _plan(spark, "customer_segment_mode_imputation")
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_rake_phrase_assembly_is_in_row_with_broadcast_stats(spark):
+    # phrase runs assemble in-row; stopword and word-stat tables are
+    # dimension-sized and must broadcast onto the token stream.
+    plan = _plan(spark, "doc_rake_keyphrases")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rolling_median_fan_out_is_in_row(spark):
+    # the window fan-out must be an in-row sequence/explode, then ONE
+    # grouped percentile — no per-window fact re-scan.
+    plan = _plan(spark, "event_rolling_median")
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan
