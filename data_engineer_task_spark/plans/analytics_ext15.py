@@ -497,3 +497,7 @@ def event_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "window_day")
     )
+
+
+# Seventeenth-batch entries register themselves into QUERIES/ORACLE on import.
+from . import analytics_ext16  # noqa: E402,F401  isort:skip

@@ -609,3 +609,19 @@ def test_rolling_median_fan_out_is_in_row(spark):
     plan = _plan(spark, "event_rolling_median")
     assert "Generate" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_journey_edit_distance_blocked_never_product(spark):
+    # pair generation must equi-join on the (head, length-bucket)
+    # block key — never users².
+    plan = _plan(spark, "user_journey_edit_distance")
+    assert "CartesianProduct" not in plan
+    joins = re.findall(r"^\(\d+\) (\w*HashJoin|SortMergeJoin\w*)", plan, flags=re.M)
+    assert joins, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_modern_sql_surface_is_single_aggregate(spark):
+    plan = _plan(spark, "order_modern_sql_surface")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
