@@ -289,3 +289,7 @@ def user_journey_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+# Eighteenth-batch entries register themselves into QUERIES/ORACLE on import.
+from . import analytics_ext17  # noqa: E402,F401  isort:skip

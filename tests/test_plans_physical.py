@@ -625,3 +625,12 @@ def test_modern_sql_surface_is_single_aggregate(spark):
     plan = _plan(spark, "order_modern_sql_surface")
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ks_and_acf_run_on_collapsed_frames(spark):
+    # both diagnostics collapse the fact table once; windows/joins
+    # run on the per-value / per-day frames only.
+    for name in ("event_value_ks_test", "event_daily_acf"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
