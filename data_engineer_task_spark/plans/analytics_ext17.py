@@ -237,3 +237,7 @@ def event_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_pairs"),
         (F.round(acf * 1000000.0) / 1000000.0).alias("acf"),
     ).orderBy("event_type", "lag")
+
+
+# Nineteenth-batch entries register themselves into QUERIES/ORACLE on import.
+from . import analytics_ext18  # noqa: E402,F401  isort:skip

@@ -634,3 +634,11 @@ def test_ks_and_acf_run_on_collapsed_frames(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_ties_topk_single_window_with_group_limit_pushdown(spark):
+    plan = _plan(spark, "brand_top_parts_with_ties")
+    assert len(re.findall(r"^\(\d+\) Window$", plan, flags=re.M)) == 1
+    # rank()<=k must push down as WindowGroupLimit (partial + final)
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
