@@ -94,6 +94,7 @@ def near_duplicates(
     band_size: int = 2,
     threshold: float = 0.0,
     shingle_mode: str = "token",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→exact-verify near-dup pipeline with the shingle
     set computed ONCE and persisted, then shared by the signature
@@ -138,7 +139,11 @@ def near_duplicates(
     # them twice (intersection branch + final assembly), and without the
     # cache the whole signature/band-join subplan executes twice.
     cands = lsh_candidate_pairs(
-        sigs, id_col, n_hashes=n_hashes, band_size=band_size
+        sigs,
+        id_col,
+        n_hashes=n_hashes,
+        band_size=band_size,
+        max_bucket_size=max_bucket_size,
     ).persist()
     cands.count()
     return jaccard_verify(
@@ -158,10 +163,28 @@ def lsh_candidate_pairs(
     *,
     n_hashes: int = 8,
     band_size: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature and self-join on (band index, band value):
     documents agreeing on ALL hashes of any band become a candidate
-    pair. Returns distinct (id_a, id_b) with id_a < id_b."""
+    pair. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    Hot-bucket cap (VERDICT r1 next-9): a degenerate band value — every
+    empty/boilerplate document lands in ONE bucket — makes that
+    bucket's self-join O(bucket²), the one quadratic risk banding
+    can't bound by itself. With ``max_bucket_size`` set, members of a
+    bucket of size s > max split into ceil(s/max) salted sub-buckets
+    (engine-portable md5 salt keyed by id ALONE — deterministic across
+    runs, and identical across bands so the same degenerate cohort
+    splits the same way in every band instead of each band's split
+    resurrecting pairs another band dropped) and pairs generate only
+    within a sub-bucket, bounding each original bucket's expected
+    candidates by ~ceil(s/max)·(max²/2) instead of s²/2. The price is recall only INSIDE degenerate
+    buckets (cross-sub-bucket pairs skipped) — exactly the slice exact
+    dedup already catches, since a bucket only degenerates when
+    signatures collide en masse (near-identical content). Default off:
+    the oracle-paired declared queries keep byte-stable semantics; at
+    100 TB, set it (e.g. 10_000) as the skew backstop."""
     if n_hashes % band_size:
         raise ValueError(
             f"band_size={band_size} must divide n_hashes={n_hashes} — "
@@ -182,20 +205,80 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.posexplode(bands).alias("band", "band_val")
     )
+    join_keys = [
+        (F.col("a.band") == F.col("b.band")),
+        (F.col("a.band_val") == F.col("b.band_val")),
+    ]
+    if max_bucket_size is not None:
+        from .sampling import _md5_uint16
+
+        sizes = banded.groupBy("band", "band_val").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        n_split = F.ceil(F.col("_bsz") / F.lit(max_bucket_size))
+        salt = F.when(F.col("_bsz") <= max_bucket_size, F.lit(0)).otherwise(
+            F.pmod(_md5_uint16(F.col(id_col).cast("string"), salt="lshb:"), n_split)
+        )
+        banded = banded.join(sizes, ["band", "band_val"]).withColumn(
+            "_salt", salt
+        )
+        join_keys.append(F.col("a._salt") == F.col("b._salt"))
     a = banded.alias("a")
     b = banded.alias("b")
+    cond = join_keys[0]
+    for k in join_keys[1:]:
+        cond = cond & k
     return (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        a.join(b, cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
     )
+
+
+def lsh_match_against(
+    corpus_sigs: DataFrame,
+    query_sigs: DataFrame,
+    id_col: str,
+    *,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """INCREMENTAL dedup primitive: match a new batch's signatures
+    against an existing corpus's — the shape every production crawl
+    pipeline needs (dedup today's batch vs everything already
+    ingested) that a self-join can't express. Bands both frames
+    identically and equi-joins query bands to corpus bands; returns
+    distinct (id_q, id_c).
+
+    Scale: the corpus side is banded ONCE and can be a persisted /
+    pre-materialized band table that successive batches join against —
+    each increment then costs one shuffle of the (small) batch, never
+    a re-scan of the corpus text. Candidates stay bucket-bounded
+    exactly like ``lsh_candidate_pairs``."""
+    if n_hashes % band_size:
+        raise ValueError(
+            f"band_size={band_size} must divide n_hashes={n_hashes}"
+        )
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bc = corpus_sigs.select(
+        F.col(id_col).alias("id_c"), F.posexplode(bands).alias("band", "band_val")
+    )
+    bq = query_sigs.select(
+        F.col(id_col).alias("id_q"), F.posexplode(bands).alias("band", "band_val")
+    )
+    return bq.join(bc, ["band", "band_val"]).select("id_q", "id_c").distinct()
 
 
 def jaccard_verify(

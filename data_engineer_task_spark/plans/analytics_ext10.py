@@ -33,9 +33,9 @@ from .analytics import _t, q
       GROUP BY event_type, day
     ),
     pred AS (
-      SELECT event_type, day, v,
-             lag(v, 7) OVER (PARTITION BY event_type ORDER BY day ASC) AS p
-      FROM daily
+      SELECT a.event_type, a.day, a.v, b.v AS p
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day = a.day - 7
     )
     SELECT event_type,
            CAST(count(p) AS BIGINT) AS n_days_evaluated,
@@ -47,15 +47,20 @@ from .analytics import _t, q
 )
 def event_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast backtest of the seasonal-naive baseline: predict each
-    day's total value per event type as the value from 7 days earlier
-    (same weekday), and score MAE / MAPE over the evaluable days —
-    the no-skill baseline every real forecaster must beat, and the
-    standard way to quantify weekly seasonality strength. One fact
-    aggregate collapses to the |types|×|days| frame; the lag and the
-    error rollup are windows/aggs over that tiny frame (the fact
-    table is scanned once). MAPE is safe under ANSI division because
-    evaluated days have v > 0 by construction (a day appears only if
-    it had events; values are positive)."""
+    day's total value per event type as the value from 7 CALENDAR days
+    earlier (same weekday), and score MAE / MAPE over the evaluable
+    days — the no-skill baseline every real forecaster must beat, and
+    the standard way to quantify weekly seasonality strength. The
+    prediction comes from a day-offset SELF-JOIN (day = day − 7), not
+    `lag(v, 7)`: a 7-ROW window offset silently stops meaning "same
+    weekday" the moment the observed calendar has gaps (ADVICE r1;
+    same reasoning as event_daily_acf's day-offset join — a days
+    without a day-7 predecessor simply drop out of the backtest). One
+    fact aggregate collapses to the |types|×|days| frame; the join and
+    error rollup run over that tiny frame (the fact table is scanned
+    once). MAPE is safe under ANSI division because evaluated days
+    have v > 0 by construction (a day appears only if it had events;
+    values are positive)."""
     ev = (
         _t(spark, sf_dir, "events")
         .where(F.col("value").isNotNull())
@@ -72,10 +77,18 @@ def event_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     daily = ev.groupBy("event_type", "day").agg(F.sum("value").alias("v"))
-    w = W.partitionBy("event_type").orderBy(F.asc("day"))
-    pred = daily.select(
-        "event_type", "v", F.lag("v", 7).over(w).alias("p")
-    ).where(F.col("p").isNotNull())
+    # Alias-to-self mints fresh expression ids so the self-join keys
+    # don't collapse (CLAUDE.md cogroup/self-join pitfall).
+    prior = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("day2"),
+        F.col("v").alias("p"),
+    )
+    pred = daily.join(
+        prior,
+        (F.col("et2") == F.col("event_type"))
+        & (F.col("day2") == F.col("day") - 7),
+    ).select("event_type", "v", "p")
     return (
         pred.groupBy("event_type")
         .agg(

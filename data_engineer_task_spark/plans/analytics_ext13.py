@@ -80,9 +80,14 @@ def customer_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFram
     clusters via min-label propagation over the 8-neighborhood,
     unrolled for 3 iterations — the same fixed-iteration relational
     unrolling as `brand_copurchase_pagerank` (the full-convergence
-    variant lives in `operators/graph.py::connected_components`;
-    3 sweeps label every cluster of grid-diameter ≤ 8, and both
-    engines run the identical unrolled program either way). Scale
+    variant lives in `operators/graph.py::connected_components`).
+    Convergence bound, precisely: min-label propagation advances ONE
+    hop per sweep, so 3 sweeps fully label exactly the cells within
+    graph distance ≤ 3 of their cluster's min-cid cell; a cluster
+    whose min-label cell has eccentricity > 3 surfaces as multiple
+    deterministic split labels (ADVICE r1 — still parity-safe since
+    both engines run the identical unrolled program; delegate to
+    connected_components when exact clusters matter). Scale
     shape: the point table aggregates once to the cell grid
     (map-side combinable); everything after — adjacency (9× explode
     equi-join), propagation joins — runs on the dense-cell frame,

@@ -214,15 +214,14 @@ def event_reach_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     j AS (
       SELECT user_id, substr(full_j, 1, 30) AS journey,
-             substr(full_j, 1, 1) AS head,
-             len(substr(full_j, 1, 30)) // 10 AS lb
+             substr(full_j, 1, 4) AS pfx
       FROM seq
     ),
     pairs AS (
       SELECT a.user_id AS id_a, b.user_id AS id_b,
              levenshtein(a.journey, b.journey) AS dist
       FROM j a JOIN j b
-        ON b.head = a.head AND b.lb = a.lb AND a.user_id < b.user_id
+        ON b.pfx = a.pfx AND a.user_id < b.user_id
     )
     SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(min(id_a) AS BIGINT) AS min_id_a,
@@ -233,14 +232,17 @@ def event_reach_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_journey_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-journey similarity: each user's event sequence becomes a
     string of type initials (time-ordered, event_id tie-break,
-    capped at 30 steps), and blocked pairs — same first event, same
-    length decile — score by levenshtein edit distance, the sequence
+    capped at 30 steps), and blocked pairs — same 4-step journey
+    prefix — score by levenshtein edit distance, the sequence
     clustering primitive behind 'users who behave alike' (string
     edit distance on journeys, vs `event_path_trigrams`' fixed-width
-    n-grams). Blocking bounds the pair count exactly like the
-    linkage/LSH entries; the 30-char cap bounds each distance
-    evaluation's O(len²) cost. Output is the exact-integer distance
-    histogram."""
+    n-grams). The prefix block key's cardinality GROWS with the data
+    (alphabet^4 = 625 possible values here, realized count rising
+    with user count — asserted in test_scale_patterns) so within-
+    block pair generation stays sub-quadratic, unlike a head-char ×
+    length-decile key whose ~20 fixed blocks would go O(n²) at 100×;
+    the 30-char cap bounds each distance evaluation's O(len²) cost.
+    Output is the exact-integer distance histogram."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -259,26 +261,21 @@ def user_journey_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = seq.select(
         "user_id",
         F.substring("full_j", 1, 30).alias("journey"),
-        F.substring("full_j", 1, 1).alias("head"),
-        F.floor(F.length(F.substring("full_j", 1, 30)) / 10).alias("lb"),
+        F.substring("full_j", 1, 4).alias("pfx"),
     )
     a = j.select(
         F.col("user_id").alias("id_a"),
         F.col("journey").alias("j_a"),
-        "head",
-        "lb",
+        "pfx",
     )
     b = j.select(
         F.col("user_id").alias("id_b"),
         F.col("journey").alias("j_b"),
-        F.col("head").alias("head2"),
-        F.col("lb").alias("lb2"),
+        F.col("pfx").alias("pfx2"),
     )
     pairs = a.join(
         b,
-        (F.col("head") == F.col("head2"))
-        & (F.col("lb") == F.col("lb2"))
-        & (F.col("id_a") < F.col("id_b")),
+        (F.col("pfx") == F.col("pfx2")) & (F.col("id_a") < F.col("id_b")),
     ).select(F.levenshtein(F.col("j_a"), F.col("j_b")).alias("dist"), "id_a", "id_b")
     return (
         pairs.groupBy("dist")

@@ -7,9 +7,11 @@ CASCADE`` against Postgres (``queries.py:1-34``, ``task.py:148-151,
  - managed parquet tables in the session catalog (``saveAsTable`` /
    ``spark.sql`` DDL) — CASCADE is a no-op (no enforced FK graph;
    constraints are quality checks, operators/quality.py)
- - ``df.write.jdbc`` for actual-Postgres parity, env-gated: the JDBC
-   driver jar isn't in this image, so the function raises a clear error
-   telling the operator what to add to ``spark.jars``.
+ - ``df.write.jdbc`` for actual-database parity. Exercised end-to-end
+   against embedded Derby (whose driver ships in Spark's own jars —
+   see test_warehouse.py's round-trip); for Postgres the vendor jar
+   must be on ``spark.jars``, and the function raises a clear error
+   when no suitable driver is present.
 """
 
 from __future__ import annotations

