@@ -233,3 +233,7 @@ def brand_top_parts_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand", "price_rank", "p_partkey")
     )
+
+
+# Twentieth-batch entries register themselves into QUERIES/ORACLE on import.
+from . import analytics_ext19  # noqa: E402,F401  isort:skip

@@ -1003,3 +1003,30 @@ def test_header_decode_real_byte_formats(spark):
     )
     assert got_pandas == want
     assert got_arrow == want
+
+
+def test_lsh_match_against_finds_cross_corpus_dups(spark):
+    """Incremental dedup primitive: a batch doc near-identical to a
+    corpus doc must band-match it; an unrelated doc must not; and the
+    operator never pairs corpus-with-corpus or batch-with-batch."""
+    from data_engineer_task_spark.operators.dedup import (
+        lsh_match_against,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (3, "totally different words nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    sc = minhash_signatures(corpus, "doc_id", "text", n_hashes=8, shingle_k=3)
+    sq = minhash_signatures(batch, "doc_id", "text", n_hashes=8, shingle_k=3)
+    got = set(map(tuple, lsh_match_against(sc, sq, "doc_id").collect()))
+    assert (1, 0) in got
+    assert all(q in (1, 3) and c in (0, 2) for q, c in got)
+    assert (3, 0) not in got and (3, 2) not in got

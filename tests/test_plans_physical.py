@@ -642,3 +642,26 @@ def test_ties_topk_single_window_with_group_limit_pushdown(spark):
     # rank()<=k must push down as WindowGroupLimit (partial + final)
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_incremental_near_dup_banded_join_no_product(spark):
+    # batch-vs-corpus candidates must equi-join on (band, band_val)
+    # buckets — never batch×corpus.
+    plan = _plan(spark, "incremental_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_mixture_and_srm_entries_are_single_aggregates(spark):
+    # mixture weights / SRM collapse to tiny frames before any window;
+    # no joins, no Python row UDFs.
+    for name in ("corpus_mixture_weights", "ab_srm_check"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_matryoshka_folds_stay_jvm_side(spark):
+    plan = _plan(spark, "embedding_matryoshka_truncation")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
