@@ -368,3 +368,7 @@ def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(chi2 * 1000000.0) / 1000000.0).alias("chi2"),
         F.when(chi2 > 3.841, 1).otherwise(0).cast("long").alias("srm_flag"),
     )
+
+
+# Twenty-first-batch entries register themselves into QUERIES/ORACLE on import.
+from . import analytics_ext20  # noqa: E402,F401  isort:skip

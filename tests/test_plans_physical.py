@@ -665,3 +665,27 @@ def test_matryoshka_folds_stay_jvm_side(spark):
     plan = _plan(spark, "embedding_matryoshka_truncation")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_ngram_novelty_window_no_vocab_join(spark):
+    # novelty must come from ONE min-window over the shingle partition,
+    # never a join against a materialized vocabulary table.
+    tree = _tree(_plan(spark, "doc_ngram_novelty"))
+    assert "Window" in tree
+    assert "Join" not in tree
+    assert "BatchEvalPython" not in tree
+
+
+def test_threshold_sweep_single_candidate_pass(spark):
+    # the 5-threshold sweep must reuse one candidate/verify pipeline —
+    # the threshold frame is a literal explode, not another scan.
+    plan = _plan(spark, "near_dup_threshold_sweep")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hhi_folds_in_row_after_broadcast_star(spark):
+    plan = _plan(spark, "nation_revenue_hhi")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
