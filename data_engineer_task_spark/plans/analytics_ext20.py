@@ -203,3 +203,38 @@ def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_share"
         ),
     ).orderBy("region")
+
+
+@q(
+    "stream_sliding_event_counts",
+    """
+    WITH s AS (
+      SELECT event_type, value,
+             to_timestamp((epoch_ns(ts) // 1000000000 // 1800) * 1800) AS w0
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, value,
+             unnest([w0, w0 - INTERVAL 30 MINUTE]) AS ws
+      FROM s
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round((sum(value)) * 100.0) / 100.0 AS total_value
+    FROM w GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding-window aggregation executed as a REAL Structured
+    Streaming query (parquet file source, multiple micro-batches,
+    memory sink) — overlapping windows mean every event updates TWO
+    window states, the shape the tumbling streaming twin
+    (`stream_hourly_event_stats`) never exercises. Verified against
+    the same batch SQL oracle as `sliding_event_counts`: streaming
+    and batch must agree exactly."""
+    from ..streaming.aggregate import run_stream_sliding_once
+
+    return run_stream_sliding_once(
+        spark, f"{sf_dir}/events.parquet", query_name="stream_sliding"
+    )

@@ -455,3 +455,48 @@ def run_stream_sessions_once(
         .where(F.col("end_us") <= F.lit(cutoff_us))
         .orderBy("user_id", "start_us")
     )
+
+
+def sliding_event_counts_agg(
+    events: DataFrame, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Sliding 1-hour/30-minute window × event_type counts + value sum
+    (each event lands in exactly two windows — Spark's ``F.window``
+    expands the slide natively, map-side, before the keyed state
+    update). Works on a batch OR streaming frame; the watermark bounds
+    streaming state to ~2h of open windows per key."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.round((F.sum("value")) * 100.0) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_sliding_once(
+    spark: SparkSession,
+    events_path: str,
+    query_name: str = "stream_sliding",
+) -> DataFrame:
+    """Drive the SLIDING-window aggregation as a real streaming query
+    (parquet source, multiple micro-batches, memory sink) to
+    completion — the overlapping-window state shape ``run_stream_once``'s
+    tumbling twin never exercises (two live windows absorb every
+    event, so state updates straddle window boundaries)."""
+    agg = sliding_event_counts_agg(_event_stream(spark, _as_glob(events_path)))
+    _drive_to_memory(agg, query_name, output_mode="complete")
+    return spark.sql(
+        f"SELECT * FROM {query_name} ORDER BY window_start, event_type"  # noqa: S608
+    )
