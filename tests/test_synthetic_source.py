@@ -98,3 +98,53 @@ def test_stream_micro_batches_cover_prefix_exactly_once(spark, tmp_path):
         .collect()
     }
     assert all(tuple(r) == batch_rows[r["event_id"]] for r in got)
+
+
+def test_jsonl_manifest_sink_two_phase_commit(spark, tmp_path):
+    """Custom Python DataSource WRITER (the sink half of the BYO
+    connector surface): every task writes one JSONL shard, the driver
+    commit publishes MANIFEST.json atomically, and the manifest totals
+    must equal the written data exactly. Readers follow the manifest,
+    so uncommitted shards are invisible by contract."""
+    import json
+    import os
+
+    from data_engineer_task_spark.sources.pysink import (
+        JsonlManifestSink,
+        MANIFEST_NAME,
+        ShardCommit,
+        _JsonlShardWriter,
+        read_manifest,
+    )
+
+    spark.dataSource.register(JsonlManifestSink)
+    out = str(tmp_path / "sink")
+    df = spark.range(0, 1000).selectExpr("id", "id * 2 AS dbl").repartition(4)
+    df.write.format("jsonl_manifest").mode("append").option("path", out).save()
+
+    man = read_manifest(out)
+    assert man["n_rows"] == 1000
+    assert man["n_shards"] == 4
+    # every manifest shard exists and line counts add up
+    total_lines = 0
+    for s in man["shards"]:
+        p = os.path.join(out, s["file"])
+        with open(p) as f:
+            lines = f.readlines()
+        assert len(lines) == s["n_rows"]
+        total_lines += len(lines)
+    assert total_lines == 1000
+    # round-trip: the manifest-listed shards reproduce the data
+    back = spark.read.json([os.path.join(out, s["file"]) for s in man["shards"]])
+    assert back.count() == 1000
+    assert back.selectExpr("sum(dbl)").collect()[0][0] == sum(2 * i for i in range(1000))
+
+    # abort sweeps orphan shards and never publishes a manifest
+    out2 = str(tmp_path / "aborted")
+    w = _JsonlShardWriter(out2, overwrite=False)
+    msgs = [ShardCommit(filename="part-x.jsonl", n_rows=1, n_bytes=2)]
+    os.makedirs(out2, exist_ok=True)
+    open(os.path.join(out2, "part-x.jsonl"), "w").write("{}\n")
+    w.abort(msgs)
+    assert not os.path.exists(os.path.join(out2, "part-x.jsonl"))
+    assert not os.path.exists(os.path.join(out2, MANIFEST_NAME))
