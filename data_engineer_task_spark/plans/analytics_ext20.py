@@ -238,3 +238,196 @@ def stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_sliding_once(
         spark, f"{sf_dir}/events.parquet", query_name="stream_sliding"
     )
+
+
+@q(
+    "customer_l_diversity",
+    """
+    WITH g AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+             CAST(count(*) AS BIGINT) AS group_size,
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+      FROM customer
+      GROUP BY c_nationkey, floor(c_acctbal / 2000)
+    )
+    SELECT l,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(group_size) AS BIGINT) AS n_customers,
+           CAST(CASE WHEN l < 2 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+    FROM g GROUP BY l ORDER BY l
+    """,
+)
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the attribute-disclosure complement of
+    `customer_k_anonymity`: a quasi-identifier group (nation, coarse
+    balance bucket) that is k-anonymous can still leak its SENSITIVE
+    attribute if every member shares one value — l = distinct
+    sensitive values (market segment) per group, and l=1 groups are
+    the disclosure risk this histogram flags. One hash aggregate with
+    a distinct count over the bounded QI domain; same scale shape as
+    the k-anonymity rollup."""
+    cust = _t(spark, sf_dir, "customer")
+    g = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct("c_mktsegment").cast("long").alias("l"),
+    )
+    return (
+        g.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("group_size").cast("long").alias("n_customers"),
+        )
+        .select(
+            "l",
+            "n_groups",
+            "n_customers",
+            F.when(F.col("l") < 2, 1).otherwise(0).cast("long").alias("at_risk"),
+        )
+        .orderBy("l")
+    )
+
+
+@q(
+    "hybrid_rrf_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+      FROM toks GROUP BY doc_id, token
+    ),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+    df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+    qterms AS (SELECT token, df FROM df ORDER BY df DESC, token ASC LIMIT 3),
+    bm AS (
+      SELECT tf.doc_id,
+             round(sum(ln(1.0 + (s.n - q.df + 0.5) / (q.df + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))
+                 * 1000000.0) / 1000000.0 AS bm25
+      FROM tf
+      JOIN qterms q ON q.token = tf.token
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    bmr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_bm25
+      FROM bm
+    ),
+    base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings
+    ),
+    qv AS (SELECT * FROM base WHERE vec_id = 0),
+    cs AS (
+      SELECT b.vec_id AS doc_id,
+             round((list_dot_product(qv.v, b.v) / (qv.nrm * b.nrm))
+                   * 100000.0) / 100000.0 AS cos_sim
+      FROM base b, qv WHERE b.vec_id <> 0
+    ),
+    csr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS r_cos
+      FROM cs
+    ),
+    fused AS (
+      SELECT coalesce(bmr.doc_id, csr.doc_id) AS doc_id,
+             coalesce(1.0 / (60 + bmr.r_bm25), 0.0)
+             + coalesce(1.0 / (60 + csr.r_cos), 0.0) AS rrf,
+             coalesce(bmr.r_bm25, 0) AS r_bm25,
+             coalesce(csr.r_cos, 0) AS r_cos
+      FROM bmr FULL OUTER JOIN csr ON csr.doc_id = bmr.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(r_bm25 AS BIGINT) AS r_bm25,
+           CAST(r_cos AS BIGINT) AS r_cos,
+           round(rrf * 1000000.0) / 1000000.0 AS rrf
+    FROM fused
+    ORDER BY round(rrf * 1000000.0) / 1000000.0 DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (k=60): the BM25
+    lexical ranking (3 highest-df query terms, as `doc_bm25_search`)
+    and the dense cosine ranking against query vector 0 (as
+    `embedding_cosine_topk`'s scorer) fuse by 1/(60+rank) — the
+    standard way RAG stacks combine sparse and dense retrievers
+    without score calibration, since RRF only consumes RANKS. Both
+    ranks are row_numbers over (rounded score, id) total orders, so
+    fp noise can't permute them; the fusion sum is exact rational
+    arithmetic in doubles. Scale shape: each ranking is its own
+    bounded pipeline (inverted-index probe / broadcast query×corpus);
+    the fusion join is |ranked-lists|-sized, trivially broadcast."""
+    from ..operators.similarity import cosine_topk
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    qterms = dfreq.orderBy(F.desc("df"), F.asc("token")).limit(3)
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    bm = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            (F.round(F.sum(term_score) * 1000000.0) / 1000000.0).alias("bm25")
+        )
+    )
+    bmr = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("r_bm25"),
+    )
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    cs = cosine_topk(
+        emb, "vec_id", "embedding", query_filter=F.col("vec_id") == 0, k=600
+    ).select(F.col("neighbor_id").alias("doc_id"), "cos_sim")
+    csr = cs.select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.desc("cos_sim"), F.asc("doc_id")))
+        .alias("r_cos"),
+    )
+    fused = bmr.join(csr, "doc_id", "full_outer").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce(F.col("r_bm25"), F.lit(0)).cast("long").alias("r_bm25"),
+        F.coalesce(F.col("r_cos"), F.lit(0)).cast("long").alias("r_cos"),
+        (
+            F.coalesce(1.0 / (60 + F.col("r_bm25")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("r_cos")), F.lit(0.0))
+        ).alias("rrf_raw"),
+    )
+    rrf = F.round(F.col("rrf_raw") * 1000000.0) / 1000000.0
+    return (
+        fused.orderBy(rrf.desc(), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "r_bm25", "r_cos", rrf.alias("rrf"))
+    )
