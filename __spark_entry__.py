@@ -56,12 +56,12 @@ _WINDOW_PRIORITY = [
     "doc_feature_hashing",
     "doc_overlap_chunks",
     "doc_fixed_chunks_udtf",
-    "doc_denylist_scrub",
-    "corpus_zipf_curve",
-    "doc_repetition_profile",
-    "doc_bigram_counts",
+    "doc_ngram_novelty",
+    "near_dup_threshold_sweep",
+    "corpus_mixture_weights",
+    "incremental_near_dup",
     "doc_bigram_collocations",
-    "doc_normalization_profile",
+    "hybrid_rrf_search",
     "embedding_kmeans_clusters",
     "embedding_ivf_topk",
     "embedding_quantization_error",
@@ -81,7 +81,7 @@ _WINDOW_PRIORITY = [
     "event_daily_acf",
     "event_value_ks_test",
     "event_value_cusum_changepoint",
-    "event_transition_matrix",
+    "stream_sliding_event_counts",
     "user_funnel_counts",
     "user_weekly_retention",
 ]

@@ -431,3 +431,57 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "r_bm25", "r_cos", rrf.alias("rrf"))
     )
+
+
+def _fd_sql(fd_name: str, table: str, lhs: str, rhs: str) -> str:
+    return f"""
+      SELECT '{fd_name}' AS fd,
+             CAST(count(*) AS BIGINT) AS n_lhs_groups,
+             CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(max(d) AS BIGINT) AS max_rhs_distinct
+      FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS d
+            FROM {table} GROUP BY {lhs})"""
+
+
+@q(
+    "fd_violation_audit",
+    f"""
+    SELECT * FROM (
+    {_fd_sql("n_nationkey->n_name", "nation", "n_nationkey", "n_name")}
+    UNION ALL
+    {_fd_sql("o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey")}
+    UNION ALL
+    {_fd_sql("user_id->event_type", "events", "user_id", "event_type")}
+    ) ORDER BY fd
+    """,
+)
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling: for each candidate FD X→Y,
+    count the X-groups whose Y is not unique — the audit that
+    validates assumed keys/dependencies before a pipeline relies on
+    them (the first two FDs must hold by schema; user_id→event_type is
+    the deliberately-violated control proving the detector detects).
+    Each FD is one distinct-count aggregate collapsed to a single row;
+    the union is 3 rows. At 100 TB each check is one map-combined
+    shuffle on X — the same shape as any keyed distinct count, and
+    checks share nothing so they parallelize as independent stages."""
+
+    def fd(fd_name: str, table: str, lhs: str, rhs: str) -> DataFrame:
+        t = _t(spark, sf_dir, table)
+        g = t.groupBy(lhs).agg(F.countDistinct(rhs).alias("d"))
+        return g.agg(
+            F.lit(fd_name).alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_lhs_groups"),
+            F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            F.max("d").cast("long").alias("max_rhs_distinct"),
+        )
+
+    return (
+        fd("n_nationkey->n_name", "nation", "n_nationkey", "n_name")
+        .unionByName(fd("o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"))
+        .unionByName(fd("user_id->event_type", "events", "user_id", "event_type"))
+        .orderBy("fd")
+    )

@@ -1030,3 +1030,36 @@ def test_lsh_match_against_finds_cross_corpus_dups(spark):
     assert (1, 0) in got
     assert all(q in (1, 3) and c in (0, 2) for q, c in got)
     assert (3, 0) not in got and (3, 2) not in got
+
+
+def test_lsh_match_against_consistent_with_self_join(spark, sf_smoke_docs=None):
+    """Invariant tying the incremental primitive to the batch one: for
+    a corpus split into even/odd halves, the (even, odd) pairs from
+    the full self-join candidate generation must equal
+    lsh_match_against(corpus=even, query=odd) as unordered pairs —
+    incremental dedup finds exactly the cross-split candidates the
+    batch pipeline would."""
+    from data_engineer_task_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_match_against,
+        minhash_signatures,
+    )
+    from data_engineer_task_spark.sources.catalog import load_table
+    from conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=8, shingle_k=3)
+    self_pairs = {
+        tuple(r)
+        for r in lsh_candidate_pairs(sigs, "doc_id").collect()
+        if r["id_a"] % 2 != r["id_b"] % 2  # cross-split pairs only
+    }
+    even = sigs.where(F.col("doc_id") % 2 == 0)
+    odd = sigs.where(F.col("doc_id") % 2 == 1)
+    matches = {
+        (min(r["id_q"], r["id_c"]), max(r["id_q"], r["id_c"]))
+        for r in lsh_match_against(even, odd, "doc_id").collect()
+    }
+    normalized_self = {(min(a, b), max(a, b)) for a, b in self_pairs}
+    assert matches == normalized_self
+    assert matches, "fixture must produce at least one cross-split candidate"

@@ -114,6 +114,42 @@ def main() -> None:
         f"({n_exact_pairs} pairs)"
     )
 
+    from data_engineer_task_spark.operators.dedup import (
+        lsh_match_against,
+        minhash_signatures,
+    )
+
+    t0 = time.perf_counter()
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    n_inc = (
+        lsh_match_against(
+            minhash_signatures(corpus, "doc_id", "text"),
+            minhash_signatures(batch, "doc_id", "text"),
+            "doc_id",
+        )
+        .select("id_q")
+        .distinct()
+        .count()
+    )
+    spark.catalog.clearCache()
+    print(
+        f"incremental batch-vs-corpus dedup: {time.perf_counter() - t0:.1f}s "
+        f"({n_inc} batch docs matched)"
+    )
+
+    # hot-bucket cap engaged (the 5% verbatim copies create real
+    # signature collisions at every scale)
+    t0 = time.perf_counter()
+    n_capped = near_duplicates(
+        docs, "doc_id", "text", threshold=0.5, max_bucket_size=1000
+    ).count()
+    spark.catalog.clearCache()
+    print(
+        f"minhash near-dup (bucket cap 1000): {time.perf_counter() - t0:.1f}s "
+        f"({n_capped} pairs)"
+    )
+
     from data_engineer_task_spark.plans.curation import (
         CurationConfig,
         CurationPipeline,
