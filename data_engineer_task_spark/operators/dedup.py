@@ -157,6 +157,26 @@ def near_duplicates(
     )
 
 
+def _band_array(n_hashes: int, band_size: int):
+    """The banded-signature expression BOTH candidate generators share
+    (and the SQL oracles mirror in analytics.py::_near_dup_tail /
+    ext19's _BAND_CASE): band value = md5 of the '|'-joined member
+    hashes. One definition — the incremental-vs-batch invariant test
+    depends on these staying byte-identical."""
+    n_bands = n_hashes // band_size
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -175,11 +195,14 @@ def lsh_candidate_pairs(
     can't bound by itself. With ``max_bucket_size`` set, members of a
     bucket of size s > max split into ceil(s/max) salted sub-buckets
     (engine-portable md5 salt keyed by id ALONE — deterministic across
-    runs, and identical across bands so the same degenerate cohort
-    splits the same way in every band instead of each band's split
-    resurrecting pairs another band dropped) and pairs generate only
-    within a sub-bucket, bounding each original bucket's expected
-    candidates by ~ceil(s/max)·(max²/2) instead of s²/2. The price is recall only INSIDE degenerate
+    runs; equal-size buckets therefore split identically across
+    bands, and buckets of DIFFERING sizes split with different
+    moduli, so a pair dropped in one band can resurface in another —
+    the bound below is per bucket, and the cross-band union is at
+    most n_bands× it, still linear in n at fixed max) and pairs
+    generate only within a sub-bucket, bounding each original
+    bucket's expected candidates by ~ceil(s/max)·(max²/2) instead of
+    s²/2. The price is recall only INSIDE degenerate
     buckets (cross-sub-bucket pairs skipped) — exactly the slice exact
     dedup already catches, since a bucket only degenerates when
     signatures collide en masse (near-identical content). Default off:
@@ -191,19 +214,9 @@ def lsh_candidate_pairs(
             "otherwise the trailing hashes are computed but never banded, "
             "silently changing LSH recall"
         )
-    n_bands = n_hashes // band_size
-    bands = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
-                )
-            )
-            for b in range(n_bands)
-        ]
-    )
     banded = signatures.select(
-        F.col(id_col), F.posexplode(bands).alias("band", "band_val")
+        F.col(id_col),
+        F.posexplode(_band_array(n_hashes, band_size)).alias("band", "band_val"),
     )
     join_keys = [
         (F.col("a.band") == F.col("b.band")),
@@ -261,17 +274,7 @@ def lsh_match_against(
         raise ValueError(
             f"band_size={band_size} must divide n_hashes={n_hashes}"
         )
-    n_bands = n_hashes // band_size
-    bands = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
-                )
-            )
-            for b in range(n_bands)
-        ]
-    )
+    bands = _band_array(n_hashes, band_size)
     bc = corpus_sigs.select(
         F.col(id_col).alias("id_c"), F.posexplode(bands).alias("band", "band_val")
     )

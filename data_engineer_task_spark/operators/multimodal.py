@@ -82,6 +82,9 @@ def header_decode(payload: bytes) -> dict:
                     i += 1
                     continue
                 marker = payload[i + 1]
+                if marker == 0xFF:  # fill byte — real marker follows
+                    i += 1
+                    continue
                 if marker == 0xD9:  # EOI
                     break
                 if 0xD0 <= marker <= 0xD8 or marker == 0x01:  # no length

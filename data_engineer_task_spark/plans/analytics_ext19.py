@@ -100,10 +100,18 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
     ),
-    w AS (
-      SELECT *, pow(n_tokens, 0.7) AS raw,
-             sum(pow(n_tokens, 0.7)) OVER () AS tot
+    folded AS (
+      SELECT list(struct_pack(source := source, n_docs := n_docs,
+                              n_tokens := n_tokens) ORDER BY source) AS rows,
+             list_reduce(list_transform(
+               list(CAST(n_tokens AS DOUBLE) ORDER BY source),
+               x -> pow(x, 0.7)), (a, b) -> a + b) AS tot
       FROM s
+    ),
+    w AS (
+      SELECT u.source, u.n_docs, u.n_tokens,
+             pow(u.n_tokens, 0.7) AS raw, f.tot
+      FROM folded f, (SELECT unnest(rows, recursive := true) FROM folded) u(source, n_docs, n_tokens)
     )
     SELECT source, n_docs, n_tokens,
            round((raw / tot) * 1000000.0) / 1000000.0 AS weight,
@@ -120,9 +128,13 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ones). ``epochs_at_1m`` = how many times a source repeats when
     sampling a 1M-token budget at those weights — epochs > ~4 is the
     overfitting tripwire. One map-side-combinable aggregate over the
-    corpus → a |sources|-row frame; the window normalization runs on
-    that tiny frame. pow() over exact integer token counts keeps both
-    engines bit-identical before the display round."""
+    corpus → a |sources|-row frame. Float discipline (code-review r2
+    catch): the normalizer Σ pow(n_s, 0.7) folds IN-ROW over a
+    source-ordered list (`F.aggregate` ↔ DuckDB `list_reduce`, both
+    left folds) — a cross-row window SUM's accumulation order is
+    partition-dependent and can flip a display digit run-to-run
+    (CLAUDE.md's EWMA lesson); pow() over exact integer counts is
+    bit-identical in both engines, so the fold is too."""
     docs = _t(spark, sf_dir, "documents")
     s = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -130,15 +142,39 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
-    raw = F.pow(F.col("n_tokens"), 0.7)
-    tot = F.sum(raw).over(W.partitionBy())
-    return s.select(
+    folded = s.agg(
+        F.array_sort(
+            F.collect_list(F.struct("source", "n_docs", "n_tokens"))
+        ).alias("rows")
+    ).select(
+        "rows",
+        F.aggregate(
+            F.transform("rows", lambda x: F.pow(x["n_tokens"].cast("double"), 0.7)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("tot"),
+    )
+    w = folded.select(F.explode("rows").alias("r"), "tot").select(
+        F.col("r.source").alias("source"),
+        F.col("r.n_docs").alias("n_docs"),
+        F.col("r.n_tokens").alias("n_tokens"),
+        F.pow(F.col("r.n_tokens"), 0.7).alias("raw"),
+        "tot",
+    )
+    return w.select(
         "source",
         "n_docs",
         "n_tokens",
-        (F.round((raw / tot) * 1000000.0) / 1000000.0).alias("weight"),
-        (F.round((raw / tot * 1000000.0 / F.col("n_tokens")) * 10000.0) / 10000.0)
-        .alias("epochs_at_1m"),
+        (F.round((F.col("raw") / F.col("tot")) * 1000000.0) / 1000000.0).alias(
+            "weight"
+        ),
+        (
+            F.round(
+                (F.col("raw") / F.col("tot") * 1000000.0 / F.col("n_tokens"))
+                * 10000.0
+            )
+            / 10000.0
+        ).alias("epochs_at_1m"),
     ).orderBy("source")
 
 

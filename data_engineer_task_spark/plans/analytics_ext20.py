@@ -373,7 +373,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t_wide(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
+        "doc_id", F.explode(F.split("text", r"\Q \E")).alias("token")
     )
     tf = toks.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
@@ -407,8 +407,16 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r_bm25"),
     )
     emb = _t_wide(spark, sf_dir, "embeddings")
+    # k = INT_MAX: RRF needs the FULL cosine ranking (the oracle ranks
+    # the whole corpus) — any finite top-k cutoff silently diverges
+    # the moment the corpus outgrows it (code-review r2 catch: k=600
+    # only agreed because test corpora held 500 vectors).
     cs = cosine_topk(
-        emb, "vec_id", "embedding", query_filter=F.col("vec_id") == 0, k=600
+        emb,
+        "vec_id",
+        "embedding",
+        query_filter=F.col("vec_id") == 0,
+        k=2**31 - 1,
     ).select(F.col("neighbor_id").alias("doc_id"), "cos_sim")
     csr = cs.select(
         "doc_id",

@@ -13,10 +13,15 @@ publishes the manifest, ``abort()`` deletes the orphan shards).
 Scale notes: shards stream row-by-row from the task iterator (no
 buffering of the partition in memory); file names are uuid-unique so
 speculative/retried tasks never collide — the losing attempt's file
-is simply absent from the manifest and swept by ``abort()`` or a
-janitor. At real scale the target is an object store via fsspec-style
-URIs; this implementation keeps to local paths (the contract surface
-— message flow, manifest atomicity via rename — is identical).
+is simply absent from the manifest. Cleanup contract, precisely:
+``abort()`` sweeps only shards whose tasks REPORTED a commit message;
+a task that died mid-write (or lost a speculation race) leaves an
+orphan file that only a janitor sweep (delete files not named by the
+manifest) reclaims — readers never see it either way, because they
+follow the manifest, never the directory listing. At real scale the
+target is an object store via fsspec-style URIs; this implementation
+keeps to local paths (the contract surface — message flow, manifest
+atomicity via rename — is identical).
 
 Usage:
     spark.dataSource.register(JsonlManifestSink)

@@ -983,6 +983,12 @@ def test_header_decode_real_byte_formats(spark):
     }
     assert header_decode(b"\x00garbage")["format"] == "unknown"
     assert header_decode(b"")["format"] == "unknown"
+    # spec-legal fill bytes (0xFF padding) before a marker must not be
+    # misread as a marker with a bogus length (code-review r2 catch)
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + _tiny_jpeg(32, 16)[2:]
+    assert header_decode(padded) == {
+        "format": "jpeg", "width": 32, "height": 16, "n_frames": 1
+    }
 
     df = spark.createDataFrame(
         [(1, png), (2, jpg), (3, wav), (4, b"junk"), (5, None)],
@@ -1032,7 +1038,7 @@ def test_lsh_match_against_finds_cross_corpus_dups(spark):
     assert (3, 0) not in got and (3, 2) not in got
 
 
-def test_lsh_match_against_consistent_with_self_join(spark, sf_smoke_docs=None):
+def test_lsh_match_against_consistent_with_self_join(spark):
     """Invariant tying the incremental primitive to the batch one: for
     a corpus split into even/odd halves, the (even, odd) pairs from
     the full self-join candidate generation must equal
