@@ -226,3 +226,83 @@ def test_in_row_ngrams_match_python_reference(spark, grams, n):
             " ".join(eff[j : j + n]) for j in range(len(eff) - n + 1)
         ]
         assert got[i] == want, (toklist, got[i], want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(ids, st.integers(-99999, 999999), st.sampled_from(["A", "B", "C"])),
+        min_size=2,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**SETTINGS)
+def test_sorted_neighborhood_pair_bound_and_symmetry(spark, rows):
+    """Sorted-neighborhood candidate generation (the linkage entry's
+    core): for ANY input, pair count ≤ n·W, no self-pairs, id_a <
+    id_b, and results are deterministic across reruns."""
+    from pyspark.sql import Window as W
+
+    W_NBRS = 3
+    df = spark.createDataFrame(rows, ["id", "bal_c", "seg"]).select(
+        "id", (F.col("bal_c") / 100.0).alias("bal"), "seg"
+    )
+    w = W.partitionBy(F.floor(F.col("bal") / 2000.0)).orderBy(
+        F.col("bal").asc(), F.col("id").asc()
+    )
+    nbr = F.array(
+        *[F.lead(F.struct(F.col("id").alias("nid")), i).over(w) for i in (1, 2, 3)]
+    )
+    pairs = (
+        df.withColumn("nbrs", nbr)
+        .withColumn("nb", F.explode("nbrs"))
+        .where(F.col("nb").isNotNull())
+        .select(
+            F.least("id", F.col("nb.nid")).alias("a"),
+            F.greatest("id", F.col("nb.nid")).alias("b"),
+        )
+    )
+    got = [(r["a"], r["b"]) for r in pairs.collect()]
+    assert len(got) <= W_NBRS * len(rows)
+    assert all(a < b for a, b in got)
+    assert sorted(got) == sorted(
+        (r["a"], r["b"]) for r in pairs.collect()
+    )  # deterministic
+
+
+@given(
+    rows=st.lists(
+        st.tuples(ids, st.sampled_from(["s0", "s1", "s2"]), st.integers(1, 60)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**SETTINGS)
+def test_mixture_weights_sum_to_one_and_rank_monotone(spark, rows):
+    """Temperature-scaled mixture weights: for ANY corpus, the weights
+    sum to 1 (±fp) and ordering by weight equals ordering by token
+    count (pow is monotone)."""
+    from data_engineer_task_spark.plans.analytics import QUERIES  # noqa: F401
+
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"]).select(
+        "doc_id",
+        "source",
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.col("n_tok")), lambda i: F.lit("w")),
+            " ",
+        ).alias("text"),
+    )
+    s = df.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), r"\Q \E"))).cast("long").alias("n_tokens")
+    )
+    rows_s = s.collect()
+    tot = sum(r["n_tokens"] ** 0.7 for r in rows_s)
+    weights = {r["source"]: r["n_tokens"] ** 0.7 / tot for r in rows_s}
+    assert abs(sum(weights.values()) - 1.0) < 1e-9
+    by_w = sorted(weights, key=lambda k: weights[k])
+    by_n = sorted(
+        {r["source"]: r["n_tokens"] for r in rows_s},
+        key=lambda k: dict((r["source"], r["n_tokens"]) for r in rows_s)[k],
+    )
+    assert by_w == by_n
