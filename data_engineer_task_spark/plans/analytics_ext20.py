@@ -493,3 +493,79 @@ def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fd("user_id->event_type", "events", "user_id", "event_type"))
         .orderBy("fd")
     )
+
+
+@q(
+    "audience_overlap_matrix",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON b.user_id = a.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+           round((i.n_both * 10000.0 / (sa.n + sb.n - i.n_both))) / 10000.0
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap: for every event-type pair, the exact
+    user-set intersection and Jaccard — the 'do these segments reach
+    the same people' readout behind budget dedup and exposure
+    planning. Scale shape: ONE distinct over (user, type) — the only
+    fact-sized shuffle — then a user-key self-join whose fan-out per
+    user is bounded by the type vocabulary (≤ |types| per user, so
+    pairs ≤ n·|types|²/2, linear in users); sizes are a marginal of
+    the same distinct frame, broadcast back onto the |types|²-bounded
+    intersection counts. Jaccard uses scale-then-divide over exact
+    integer counts."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select(
+        F.col("user_id").alias("uid2"), F.col("event_type").alias("type_b")
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("uid2"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (
+                F.round(
+                    F.col("n_both")
+                    * 10000.0
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+                )
+                / 10000.0
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
