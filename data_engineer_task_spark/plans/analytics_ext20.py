@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .analytics import _SHINGLE_CTE, _near_dup_tail, _t, _t_wide, q
+from .analytics import _SHINGLE_CTE, _SPLIT_BYTE, _near_dup_tail, _t, _t_wide, q
 
 
 @q(
@@ -568,4 +568,71 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .orderBy("type_a", "type_b")
+    )
+
+
+@q(
+    "split_leakage_audit",
+    f"""
+    WITH {{shingle}},
+    {{tail}}
+    , sp AS (
+      SELECT doc_id, CASE WHEN {{byte}} < 204 THEN 'train'
+                          WHEN {{byte}} < 230 THEN 'val'
+                          ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT least(a.split, b.split) AS split_a,
+           greatest(a.split, b.split) AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN p.jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs_j50
+    FROM pairs p
+    JOIN sp a ON a.doc_id = p.id_a
+    JOIN sp b ON b.doc_id = p.id_b
+    GROUP BY least(a.split, b.split), greatest(a.split, b.split)
+    ORDER BY split_a, split_b
+    """.format(
+        shingle=_SHINGLE_CTE.strip(),
+        tail=_near_dup_tail(band_size=2, as_cte=True).strip(),
+        byte=_SPLIT_BYTE,
+    ),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: near-duplicate pairs bucketed by the
+    split pair their members land in — the contamination check every
+    eval pipeline needs, because a test doc whose near-dup sits in
+    train inflates benchmarks exactly like direct contamination
+    (`doc_contamination_overlap` checks corpus-vs-benchmark; this
+    checks WITHIN-corpus across the split boundary). Composes the two
+    existing deterministic machineries unchanged: salted-md5 split
+    assignment (map-only) and the MinHash/LSH near-dup pipeline; the
+    audit itself is a broadcast split-label join onto the (tiny)
+    verified pair list. Cross-split rows (train≠test etc.) with
+    jaccard ≥ 0.5 are the ones a production run would re-assign or
+    drop."""
+    from ..operators.dedup import near_duplicates
+    from ..operators.sampling import hash_split
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    pairs = near_duplicates(
+        docs, "doc_id", "text", n_hashes=8, shingle_k=3, band_size=2
+    )
+    sp = hash_split(docs.select("doc_id"), "doc_id").select("doc_id", "split")
+    a = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sp_a"))
+    b = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sp_b"))
+    return (
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .groupBy(
+            F.least("sp_a", "sp_b").alias("split_a"),
+            F.greatest("sp_a", "sp_b").alias("split_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pairs_j50"),
+        )
+        .orderBy("split_a", "split_b")
     )
