@@ -636,3 +636,67 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_a", "split_b")
     )
+
+
+@q(
+    "corpus_dedup_savings",
+    """
+    WITH h AS (
+      SELECT source, md5(text) AS content_hash, doc_id, n_chars
+      FROM documents
+    ),
+    keep AS (
+      SELECT source, content_hash, min(doc_id) AS keeper,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(sum(n_chars) AS BIGINT) AS bytes_all,
+             CAST(min(n_chars) AS BIGINT) AS bytes_keep
+      FROM h GROUP BY source, content_hash
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(n_copies) AS BIGINT) AS n_docs,
+           CAST(sum(n_copies) - count(*) AS BIGINT) AS n_removed,
+           CAST(sum(bytes_all - bytes_keep) AS BIGINT) AS bytes_removed,
+           round((CAST(sum(n_copies) - count(*) AS DOUBLE)
+                  * 10000.0 / sum(n_copies))) / 10000.0 AS removal_rate
+    FROM keep GROUP BY source ORDER BY source
+    """,
+)
+def corpus_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI report: per source, how many docs and bytes exact
+    content dedup removes (keep-first by min id; duplicate copies all
+    share one n_chars, so bytes_removed = Σ(bytes_all − bytes_keep)
+    exactly) — the number that justifies the dedup stage's cost to a
+    pipeline owner and flags which ingestion sources re-crawl the
+    same content. Shuffle carries (source, md5, id, length) — never
+    bodies — then two map-combinable aggregates; removal_rate is
+    exact-integer arithmetic under a display round."""
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select(
+        "source", F.md5("text").alias("content_hash"), "doc_id", "n_chars"
+    )
+    keep = h.groupBy("source", "content_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.sum("n_chars").cast("long").alias("bytes_all"),
+        F.min("n_chars").cast("long").alias("bytes_keep"),
+    )
+    return (
+        keep.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_unique"),
+            F.sum("n_copies").cast("long").alias("n_docs"),
+            (F.sum("n_copies") - F.count(F.lit(1))).cast("long").alias("n_removed"),
+            F.sum(F.col("bytes_all") - F.col("bytes_keep"))
+            .cast("long")
+            .alias("bytes_removed"),
+            (
+                F.round(
+                    (F.sum("n_copies") - F.count(F.lit(1))).cast("double")
+                    * 10000.0
+                    / F.sum("n_copies")
+                )
+                / 10000.0
+            ).alias("removal_rate"),
+        )
+        .orderBy("source")
+    )
