@@ -700,3 +700,5 @@ def corpus_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+from . import analytics_ext21  # noqa: E402,F401  isort:skip
