@@ -362,3 +362,5 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("cnts").cast("long").alias("n_distinct"),
         (F.round(ent * 10000.0) / 10000.0).alias("entropy_bits"),
     ).orderBy("doc_id")
+
+from . import analytics_ext22  # noqa: E402,F401  isort:skip
