@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators.sampling import _md5_uint16
-from .analytics import _t, q
+from .analytics import _t, _t_wide, q
 from .analytics_ext7 import _md5_u16_sql
 
 # ---------------------------------------------------------------------------
@@ -54,22 +54,47 @@ def _pois_w_col(u):
     return w
 
 
-_BOOT_U_SQL = _md5_u16_sql(
-    "'boot:' || CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)", ""
-)
+# One md5 digest = 128 bits = EIGHT independent 16-bit uniforms, so
+# B=32 replicates cost 4 hashes per row, not 32. u for replicate
+# b = 8g + j is hex window j of md5('boot:{g}:{key}').
+_REPS_PER_HASH = 8
+_N_HASH_GROUPS = _B_REPS // _REPS_PER_HASH
+
+
+def _u16_window_sql(h: str, j: int) -> str:
+    hv = lambda p: (  # noqa: E731
+        f"(instr('0123456789abcdef', substr({h}, {4 * j + p}, 1)) - 1)"
+    )
+    return f"((({hv(1)} * 16 + {hv(2)}) * 16 + {hv(3)}) * 16 + {hv(4)})"
+
+
+def _u16_window_col(h, j: int):
+    _HEX = "0123456789abcdef"
+    hv = lambda p: F.instr(F.lit(_HEX), F.substring(h, 4 * j + p, 1)) - 1  # noqa: E731
+    return ((hv(1) * 16 + hv(2)) * 16 + hv(3)) * 16 + hv(4)
 
 
 @q(
     "order_price_bootstrap_ci",
     f"""
-    WITH reps AS (
+    WITH hashed AS (
       SELECT o.o_orderkey,
              CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
-             bb.b
-      FROM orders o, (SELECT unnest(generate_series(0, {_B_REPS - 1})) AS b) bb
+             gg.g,
+             md5('boot:' || CAST(gg.g AS VARCHAR) || ':'
+                 || CAST(o.o_orderkey AS VARCHAR)) AS h
+      FROM orders o,
+           (SELECT unnest(generate_series(0, {_N_HASH_GROUPS - 1})) AS g) gg
+    ),
+    reps AS (
+      SELECT cents, g * {_REPS_PER_HASH} + jj.j AS b,
+             CASE jj.j {" ".join(f"WHEN {j} THEN {_u16_window_sql('h', j)}"
+                                 for j in range(_REPS_PER_HASH))} END AS u
+      FROM hashed,
+           (SELECT unnest(generate_series(0, {_REPS_PER_HASH - 1})) AS j) jj
     ),
     wtd AS (
-      SELECT b, cents, {_pois_w_sql(_BOOT_U_SQL)} AS w FROM reps
+      SELECT b, cents, {_pois_w_sql("u")} AS w FROM reps
     ),
     est AS (
       SELECT b,
@@ -101,31 +126,52 @@ def order_price_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent Poisson(1) weight per replicate — the large-n limit of
     multinomial resampling — so ONE scan with a B-way in-row fan-out
     serves all replicates, and the per-replicate weighted sums are
-    map-side combinable into a B-row shuffle. Determinism: the weight
-    derives from the salted portable md5 (`boot:{{b}}:` per-replicate
+    map-side combinable into a B-row shuffle. One 128-bit digest
+    yields EIGHT independent 16-bit uniforms, so the hash bill is
+    B/8 md5s per row — at 100 TB the hash IS the map-stage cost, and
+    the windowing is an 8× cut for free. Determinism: the weight
+    derives from the salted portable md5 (`boot:{{g}}:` per-hash-group
     salt, CLAUDE.md rule) through exact integer inverse-CDF cut
     points; prices are cents-quantized so replicate means are exact
     integer ratios under a display round, and the bootstrap mean folds
     IN-ROW over the b-ordered replicate list. ci90 = 2nd / 31st order
     statistics of the 32 replicate means (≈ p5 / p95); the HAVING
     sum(w)>0 guard keeps the ANSI division total (a replicate losing
-    every row is impossible in practice but must not throw)."""
-    orders = _t(spark, sf_dir, "orders")
+    every row is impossible in practice but must not throw). The
+    fan-out input loads via _t_wide: the testdata parquet is a single
+    row group, and the 32×·md5-dense map stage must not run in one
+    task (at real scale the scan is already multi-partition and the
+    repartition is a no-op choice)."""
+    orders = _t_wide(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    reps = orders.select(
+    hashed = orders.select(
         "o_orderkey",
         cents.alias("cents"),
-        F.explode(F.sequence(F.lit(0), F.lit(_B_REPS - 1))).alias("b"),
+        F.explode(F.sequence(F.lit(0), F.lit(_N_HASH_GROUPS - 1))).alias("g"),
+    ).select(
+        "cents",
+        "g",
+        F.md5(
+            F.concat(
+                F.lit("boot:"),
+                F.col("g").cast("string"),
+                F.lit(":"),
+                F.col("o_orderkey").cast("string"),
+            )
+        ).alias("h"),
     )
-    u = _md5_uint16(
-        F.concat(
-            F.lit("boot:"),
-            F.col("b").cast("string"),
-            F.lit(":"),
-            F.col("o_orderkey").cast("string"),
-        )
+    reps = hashed.select(
+        "cents",
+        "g",
+        F.posexplode(
+            F.array(*[_u16_window_col(F.col("h"), j) for j in range(_REPS_PER_HASH)])
+        ).alias("j", "u"),
+    ).select(
+        "cents",
+        (F.col("g") * _REPS_PER_HASH + F.col("j")).alias("b"),
+        "u",
     )
-    wtd = reps.select("b", "cents", _pois_w_col(u).alias("w"))
+    wtd = reps.select("b", "cents", _pois_w_col(F.col("u")).alias("w"))
     est = (
         wtd.groupBy("b")
         .agg(
