@@ -689,3 +689,65 @@ def test_hhi_folds_in_row_after_broadcast_star(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_segment_audit_window_only_no_join(spark):
+    # shared-ness comes from ONE min/max window over seg_hash —
+    # never a count-distinct join-back (double shuffle volume).
+    tree = _tree(_plan(spark, "corpus_dup_segment_audit"))
+    assert "Window" in tree
+    assert "Join" not in tree
+    assert "BatchEvalPython" not in tree
+
+
+def test_segment_rewrite_single_hash_shuffle(spark):
+    # keep-first rank + per-doc reassembly: one window on seg_hash,
+    # one doc aggregate — no join, no cartesian anywhere.
+    tree = _tree(_plan(spark, "doc_segment_dedup_rewrite"))
+    assert "Window" in tree
+    assert "Join" not in tree
+    assert "BatchEvalPython" not in tree
+
+
+def test_keep_best_argmax_is_windowed_join(spark):
+    # labels ⋈ quality on the id key, then ONE cluster window —
+    # no all-pairs anything.
+    plan = _plan(spark, "near_dup_keep_best")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_token_entropy_is_map_only(spark):
+    # the entropy fold is entirely in-row: no join, no window, no
+    # shuffle except the output sort.
+    tree = _tree(_plan(spark, "doc_token_entropy"))
+    assert "Join" not in tree
+    assert "Window" not in tree
+    assert "BatchEvalPython" not in tree
+    assert "ArrowEvalPython" not in tree
+
+
+def test_bootstrap_partial_aggregates_before_shuffle(spark):
+    # the B-way fan-out must collapse map-side: partial HashAggregate
+    # under the exchange, and the point-estimate piggyback must ride a
+    # broadcast, not a cartesian.
+    plan = _plan(spark, "order_price_bootstrap_ci")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    tree = _tree(plan)
+    assert "HashAggregate" in tree
+
+
+def test_holt_fold_stays_jvm_side(spark):
+    plan = _plan(spark, "user_value_holt_forecast")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_zorder_interleave_pure_codegen_no_join(spark):
+    # the Morton key is an unrolled integer expression: single
+    # aggregate over a project, nothing else.
+    tree = _tree(_plan(spark, "orders_zorder_locality"))
+    assert "Join" not in tree
+    assert "Window" not in tree
+    assert "BatchEvalPython" not in tree
