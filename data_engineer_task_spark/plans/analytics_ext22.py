@@ -410,3 +410,188 @@ def orders_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bucket").cast("long").alias("bucket"), "n_orders", "cust_span", "day_span")
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall evaluation and per-group OLS trend
+# ---------------------------------------------------------------------------
+
+from .analytics import _SHINGLE_CTE, _near_dup_tail  # noqa: E402
+
+
+@q(
+    "lsh_recall_vs_exact",
+    f"""
+    WITH {_SHINGLE_CTE},
+    {_near_dup_tail(band_size=2, as_cte=True)},
+    lshp AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+    einter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+      FROM sets a JOIN sets b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    ep AS (
+      SELECT id_a, id_b
+      FROM einter
+      JOIN sizes za ON id_a = za.doc_id
+      JOIN sizes zb ON id_b = zb.doc_id
+      WHERE ni * 1.0 / (za.n + zb.n - ni) >= 0.5
+    ),
+    flags AS (
+      SELECT CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_e,
+             CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_l
+      FROM ep e FULL JOIN lshp l ON e.id_a = l.id_a AND e.id_b = l.id_b
+    )
+    SELECT CAST(sum(in_e) AS BIGINT) AS n_exact,
+           CAST(sum(in_l) AS BIGINT) AS n_lsh,
+           CAST(sum(in_e * in_l) AS BIGINT) AS n_hit,
+           CASE WHEN sum(in_e) > 0
+                THEN round(sum(in_e * in_l) * 10000.0 / sum(in_e)) / 10000.0
+           END AS recall
+    FROM flags
+    """,
+)
+def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the dedup evaluation loop: MinHash→LSH banding is a
+    RECALL gamble (8 hashes × 4 bands of 2 ⇒ P[candidate] = 1−(1−j²)⁴,
+    ~0.86 at j=0.5), and this entry MEASURES the gamble against the
+    exact PPJoin similarity join at the same 0.5 threshold — the
+    number that justifies band/hash sizing in production. Because the
+    LSH pipeline exact-verifies its candidates, precision is 1.0 by
+    construction and n_lsh = n_hit ≤ n_exact: every shortfall is a
+    banding miss. Plan: both pair sets come from the existing bucketed
+    operators (never all-pairs); the comparison itself is a full-outer
+    join on the (id_a, id_b) pair key — pair-set-sized, a fraction of
+    the corpus — collapsing to a single summary row. At 100 TB you'd
+    run this on a sampled partition of the corpus; the operators are
+    the same."""
+    from ..operators.dedup import jaccard_join_exact, near_duplicates
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    exact = jaccard_join_exact(
+        docs, "doc_id", "text", threshold=0.5, shingle_k=3
+    ).select("id_a", "id_b", F.lit(1).alias("in_e"))
+    lsh = near_duplicates(
+        docs, "doc_id", "text", n_hashes=8, shingle_k=3, band_size=2,
+        threshold=0.5,
+    ).select("id_a", "id_b", F.lit(1).alias("in_l"))
+    flags = exact.join(lsh, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("in_e", F.lit(0)).alias("in_e"),
+        F.coalesce("in_l", F.lit(0)).alias("in_l"),
+    )
+    recall = F.when(
+        F.sum("in_e") > 0,
+        F.round(F.sum(F.col("in_e") * F.col("in_l")) * 10000.0 / F.sum("in_e"))
+        / 10000.0,
+    )
+    return flags.agg(
+        F.sum("in_e").cast("long").alias("n_exact"),
+        F.sum("in_l").cast("long").alias("n_lsh"),
+        F.sum(F.col("in_e") * F.col("in_l")).cast("long").alias("n_hit"),
+        recall.alias("recall"),
+    )
+
+
+_OLS_EPOCH = "1995-01-01"
+
+
+@q(
+    "nation_revenue_trend_ols",
+    f"""
+    WITH daily AS (
+      SELECT n.n_name AS nation,
+             (CAST(o.o_orderdate AS DATE) - DATE '{_OLS_EPOCH}') AS x,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT nation,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY nation HAVING count(*) >= 2
+    )
+    SELECT nation, n AS n_days,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN round((n * sxy - sx * sy) * 10000.0
+                           / (n * sxx - sx * sx)) / 10000.0
+           END AS slope_cents_per_day,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN round((CAST(sy AS DOUBLE)
+                            - (CAST(n * sxy - sx * sy AS DOUBLE)
+                               / (n * sxx - sx * sx)) * sx)
+                           * 100.0 / n) / 100.0
+           END AS intercept_cents
+    FROM s ORDER BY nation
+    """,
+)
+def nation_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: closed-form least-squares slope and
+    intercept of daily revenue against the day index — the
+    data-parallel regression shape (collapse the fact to per-group
+    sufficient statistics, solve in closed form; no iterative
+    optimizer, no driver state). Determinism engineering: x is an
+    integer day index and y an exact cents integer, so n, Σx, Σy,
+    Σxy, Σx² are all EXACT integer aggregates (map-side combinable,
+    immune to float re-association); the slope/intercept then derive
+    from those exact integers through an identical fp op sequence on
+    both engines. Magnitude check: Σxy ≤ days·maxday·maxdaily ≈
+    2.4e3·2.4e3·6e7 ≈ 3.5e14 at sf0.1 — five orders below BIGINT
+    overflow, and the day grain keeps growth linear in calendar, not
+    rows. The dims broadcast into the fact scan (star shape); the
+    daily collapse is the only fact shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.datediff("o_orderdate", F.lit(_OLS_EPOCH)).alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    s = (
+        daily.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(den != 0, F.round(num * 10000.0 / den) / 10000.0)
+    intercept = F.when(
+        den != 0,
+        F.round(
+            (
+                F.col("sy").cast("double")
+                - (num.cast("double") / den) * F.col("sx")
+            )
+            * 100.0
+            / F.col("n")
+        )
+        / 100.0,
+    )
+    return s.select(
+        "nation",
+        F.col("n").alias("n_days"),
+        slope.alias("slope_cents_per_day"),
+        intercept.alias("intercept_cents"),
+    ).orderBy("nation")

@@ -751,3 +751,18 @@ def test_zorder_interleave_pure_codegen_no_join(spark):
     assert "Join" not in tree
     assert "Window" not in tree
     assert "BatchEvalPython" not in tree
+
+
+def test_ols_trend_broadcasts_dims_single_fact_shuffle(spark):
+    plan = _plan(spark, "nation_revenue_trend_ols")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_lsh_recall_eval_no_product(spark):
+    # both pair sets come from bucketed operators; the eval join is
+    # keyed on the pair id — never a cartesian.
+    plan = _plan(spark, "lsh_recall_vs_exact")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
