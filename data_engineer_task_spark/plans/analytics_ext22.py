@@ -595,3 +595,5 @@ def nation_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_cents_per_day"),
         intercept.alias("intercept_cents"),
     ).orderBy("nation")
+
+from . import analytics_ext23  # noqa: E402,F401  isort:skip

@@ -766,3 +766,19 @@ def test_lsh_recall_eval_no_product(spark):
     plan = _plan(spark, "lsh_recall_vs_exact")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dimension_profile_single_aggregate(spark):
+    # posexplode fan-out then ONE map-side-combinable aggregate —
+    # no join, no window before the |dims|-row frame.
+    tree = _tree(_plan(spark, "embedding_dimension_profile"))
+    assert "Join" not in tree
+    assert "BatchEvalPython" not in tree
+
+
+def test_lang_confusion_no_join_back(spark):
+    # the true label rides the scoring projection — no join onto
+    # the corpus; the only window runs on the cell frame.
+    tree = _tree(_plan(spark, "lang_id_confusion"))
+    assert "Join" not in tree
+    assert "BatchEvalPython" not in tree
