@@ -741,3 +741,29 @@ def test_lsh_hot_bucket_cap_bounds_candidates(spark):
     ).count() == 1
     # determinism: salted split is md5-keyed, not rand()
     assert capped_df.count() == capped
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Dynamic partition pruning: a fact table PARTITIONED on the join
+    key must prune its partitions from the dim side's runtime filter —
+    at 100 TB the difference between scanning one priority and all of
+    them. The plan must carry a dynamicpruning subquery on the fact
+    scan, and the result must match the statically-filtered join."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    fact_path = str(tmp_path / "orders_part")
+    dim_path = str(tmp_path / "prio_dim")
+    orders.write.partitionBy("o_orderpriority").parquet(fact_path)
+    # dim filter is on a NON-join column: the fact-side partition
+    # filter can only arrive at runtime, via the DPP subquery — a
+    # static literal on the join key would be pushed statically and
+    # prove nothing.
+    orders.select("o_orderpriority").distinct().withColumn(
+        "tag", F.when(F.col("o_orderpriority") == "1-URGENT", "keep").otherwise("drop")
+    ).write.parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).where(F.col("tag") == "keep")
+    joined = fact.join(dim, "o_orderpriority")
+    physical = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in physical, physical[:2000]
+    expected = orders.where(F.col("o_orderpriority") == "1-URGENT").count()
+    assert joined.count() == expected
