@@ -485,3 +485,79 @@ def jaccard_join_exact(
             (F.round(inter * 10000.0 / union) / 10000.0).alias("jaccard"),
         )
     )
+
+
+def text_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    seg: int = 10,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fixed-window exact-substring units (Lee et al. 2022
+    approximated with non-overlapping ``seg``-token windows): one row
+    per segment with position, text, token length, and md5 hash —
+    entirely in-row (sequence → explode → slice), zero shuffle. The
+    md5 means downstream shuffles can carry the 32-char digest
+    instead of segment bodies whenever the body isn't needed."""
+    toks = F.split(text_col, " ")
+    nseg = (
+        F.floor((F.greatest(F.size(toks) - seg, F.lit(0)) + seg - 1) / seg).cast(
+            "int"
+        )
+        + 1
+    )
+    s = df.select(
+        id_col,
+        *keep_cols,
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), nseg - 1)).alias("seg_id"),
+    )
+    chunk = F.slice("_toks", F.col("seg_id") * seg + 1, seg)
+    return s.select(
+        id_col,
+        *keep_cols,
+        F.col("seg_id").cast("long").alias("seg_id"),
+        F.array_join(chunk, " ").alias("seg_text"),
+        F.size(chunk).cast("long").alias("seg_len"),
+        F.md5(F.array_join(chunk, " ")).alias("seg_hash"),
+    )
+
+
+def segment_dedup_rewrite(
+    df: DataFrame, id_col: str, text_col: str, *, seg: int = 10
+) -> DataFrame:
+    """Corpus-wide exact-substring dedup REWRITE: keep only the first
+    occurrence (ordered by (id, position) — ingestion order) of every
+    ``seg``-token segment and reassemble each document from its
+    survivors. Returns (id, n_segments, n_kept, tokens_kept,
+    rewritten_text); fully-duplicated documents come back with
+    n_kept = 0 and empty text. ONE window shuffle on seg_hash — the
+    only stage that must move segment bodies, each capped at ``seg``
+    tokens — then a per-doc aggregate whose position-sorted
+    reassembly is deterministic."""
+    segs = text_segments(df, id_col, text_col, seg=seg)
+    rn = F.row_number().over(
+        W.partitionBy("seg_hash").orderBy(id_col, "seg_id")
+    )
+    ranked = segs.select(
+        id_col, "seg_id", "seg_text", "seg_len", rn.alias("rn")
+    )
+    kept_struct = F.when(F.col("rn") == 1, F.struct("seg_id", "seg_text"))
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") == 1, F.col("seg_len")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["seg_text"],
+            ),
+            " ",
+        ).alias("rewritten_text"),
+    )

@@ -58,33 +58,14 @@ _SEGMENT_CTE = f"""
 
 
 def _segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark mirror of _SEGMENT_CTE: one row per fixed 10-token
-    segment with md5 hash — in-row fan-out (sequence → explode →
-    slice), zero shuffle. The md5 keeps the hash engine-portable
-    (CLAUDE.md) AND means downstream shuffles can carry the 32-char
-    digest instead of segment bodies when the body isn't needed."""
+    """Spark mirror of _SEGMENT_CTE via the library operator
+    ``operators/dedup.py::text_segments`` — one row per fixed
+    10-token segment with md5 hash, entirely in-row."""
+    from ..operators.dedup import text_segments
+
     docs = _t_wide(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    nseg = (
-        F.floor(
-            (F.greatest(F.size(toks) - _SEG, F.lit(0)) + _SEG - 1) / _SEG
-        ).cast("int")
-        + 1
-    )
-    s = docs.select(
-        "doc_id",
-        "source",
-        toks.alias("toks"),
-        F.explode(F.sequence(F.lit(0), nseg - 1)).alias("seg_id"),
-    )
-    chunk = F.slice("toks", F.col("seg_id") * _SEG + 1, _SEG)
-    return s.select(
-        "doc_id",
-        "source",
-        F.col("seg_id").cast("long").alias("seg_id"),
-        F.array_join(chunk, " ").alias("seg_text"),
-        F.size(chunk).cast("long").alias("seg_len"),
-        F.md5(F.array_join(chunk, " ")).alias("seg_hash"),
+    return text_segments(
+        docs, "doc_id", "text", seg=_SEG, keep_cols=("source",)
     )
 
 
@@ -187,33 +168,17 @@ def doc_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (seg_id, text) structs ↔ string_agg ORDER BY). At 100 TB this is
     the canonical two-pass dedup shape; the keep-first rule needs no
     global coordination beyond the hash partition itself."""
-    segs = _segments(spark, sf_dir)
-    rn = F.row_number().over(
-        W.partitionBy("seg_hash").orderBy("doc_id", "seg_id")
-    )
-    ranked = segs.select("doc_id", "seg_id", "seg_text", "seg_len", rn.alias("rn"))
-    kept_struct = F.when(
-        F.col("rn") == 1, F.struct("seg_id", "seg_text")
-    )  # NULL (skipped by collect_list) when dropped
+    from ..operators.dedup import segment_dedup_rewrite
+
+    docs = _t_wide(spark, sf_dir, "documents")
     return (
-        ranked.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_segments"),
-            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_kept"),
-            F.sum(F.when(F.col("rn") == 1, F.col("seg_len")).otherwise(0))
-            .cast("long")
-            .alias("tokens_kept"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(kept_struct)),
-                        lambda s: s["seg_text"],
-                    ),
-                    " ",
-                )
-            ).alias("rewritten_md5"),
+        segment_dedup_rewrite(docs, "doc_id", "text", seg=_SEG)
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_kept",
+            "tokens_kept",
+            F.md5("rewritten_text").alias("rewritten_md5"),
         )
         .orderBy("doc_id")
     )

@@ -150,6 +150,23 @@ def main() -> None:
         f"({n_capped} pairs)"
     )
 
+    from data_engineer_task_spark.operators.dedup import segment_dedup_rewrite
+
+    t0 = time.perf_counter()
+    rw = segment_dedup_rewrite(docs, "doc_id", "text", seg=10)
+    n_docs_out, n_tok_kept, n_seg, n_seg_kept = rw.agg(
+        F.count(F.lit(1)),
+        F.sum("tokens_kept"),
+        F.sum("n_segments"),
+        F.sum("n_kept"),
+    ).first()
+    spark.catalog.clearCache()
+    print(
+        f"segment dedup rewrite: {time.perf_counter() - t0:.1f}s "
+        f"({n_docs_out} docs, {n_seg - n_seg_kept}/{n_seg} segments dropped, "
+        f"{n_tok_kept} tokens kept)"
+    )
+
     from data_engineer_task_spark.plans.curation import (
         CurationConfig,
         CurationPipeline,
