@@ -31,8 +31,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # per round. Round 1 proved the relational core (CORRECTNESS_r01.json:
 # 50/50 green); this round rotates the not-yet-driver-checked
 # LLM-pipeline capstones (dedup/ANN/text/streaming/curation) plus the
-# two re-blocked pairwise entries into the window. Registration order
-# in plans/ is unchanged — only this contract surface reorders.
+# two re-blocked pairwise entries into the window, including the new
+# round-2 families (exact-substring segment dedup, keep-best survivor
+# selection, LSH recall eval, Poisson bootstrap, Holt forecasting).
+# Registration order in plans/ is unchanged — only this contract
+# surface reorders.
 _WINDOW_PRIORITY = [
     "doc_jaccard_join_exact",
     "embedding_ann_recall",
@@ -77,13 +80,13 @@ _WINDOW_PRIORITY = [
     "ab_test_purchase_lift",
     "ab_cuped_adjustment",
     "ab_did_estimate",
-    "event_seasonal_naive_backtest",
-    "event_daily_acf",
-    "event_value_ks_test",
-    "event_value_cusum_changepoint",
+    "corpus_dup_segment_audit",
+    "doc_segment_dedup_rewrite",
+    "near_dup_keep_best",
+    "lsh_recall_vs_exact",
+    "order_price_bootstrap_ci",
+    "user_value_holt_forecast",
     "stream_sliding_event_counts",
-    "user_funnel_counts",
-    "user_weekly_retention",
 ]
 
 
