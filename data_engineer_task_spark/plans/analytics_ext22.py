@@ -247,7 +247,7 @@ _HOLT_AB1 = 1 - _HOLT_AB
       SELECT user_id, CAST(len(vals) AS BIGINT) AS n_days,
              list_reduce(
                list_prepend(
-                 [vals[1], vals[2] - vals[1]],
+                 [vals[2], vals[2] - vals[1]],
                  list_transform(vals[3:], x -> [x, 0.0])),
                (acc, e) -> [
                  {_HOLT_A} * e[1] + {1 - _HOLT_A} * (acc[1] + acc[2]),
@@ -273,8 +273,11 @@ def user_value_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_t = β(l_t−l)+(1−β)b runs as an ordered LEFT FOLD over a
     two-slot [level, trend] ARRAY accumulator (F.aggregate ↔ DuckDB
     list_reduce — the vector state is what separates this from a
-    scalar fold), initialized the textbook way (l₁=x₁, b₁=x₂−x₁, so
-    users need ≥2 days). Daily means are 1e-6-quantized first so fold
+    scalar fold), initialized the textbook way (l₂=x₂, b₂=x₂−x₁ —
+    anchored at the SECOND point so the first fold step consumes x₃
+    with an in-sync state; a property test proves the recursion then
+    tracks an exactly-linear series exactly. Users need ≥2 days).
+    Daily means are 1e-6-quantized first so fold
     inputs are identical constants across engines, and the fp op
     sequence inside the lambda is written identically on both sides
     using the algebraic trend form b' = αβ(x−l) + (1−αβ)b — see the
@@ -298,7 +301,7 @@ def user_value_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = F.transform(F.col("s"), lambda x: x["v"])
     n = F.size(vals)
     init = F.array(
-        F.element_at(vals, 1),
+        F.element_at(vals, 2),
         F.element_at(vals, 2) - F.element_at(vals, 1),
     )
     st = F.aggregate(

@@ -306,3 +306,121 @@ def test_mixture_weights_sum_to_one_and_rank_monotone(spark, rows):
         key=lambda k: dict((r["source"], r["n_tokens"]) for r in rows_s)[k],
     )
     assert by_w == by_n
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=25).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_segment_rewrite_conservation_and_keep_first(spark, texts):
+    from data_engineer_task_spark.operators.dedup import (
+        segment_dedup_rewrite,
+        text_segments,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in segment_dedup_rewrite(df, "doc_id", "text", seg=3).collect()}
+    # every document survives as a row, and counts reconcile
+    assert set(out) == set(range(len(texts)))
+    segs = text_segments(df, "doc_id", "text", seg=3).collect()
+    n_by_doc = {}
+    for r in segs:
+        n_by_doc[r["doc_id"]] = n_by_doc.get(r["doc_id"], 0) + 1
+    for d, r in out.items():
+        assert r["n_segments"] == n_by_doc[d]
+        assert 0 <= r["n_kept"] <= r["n_segments"]
+    # keep-first: across the corpus each distinct segment is kept
+    # exactly once, and the EARLIEST (doc_id, seg_id) occurrence wins —
+    # so doc 0 survives verbatim whenever its own segments are unique
+    first = texts[0]
+    doc0_hashes = [r["seg_hash"] for r in segs if r["doc_id"] == 0]
+    if len(doc0_hashes) == len(set(doc0_hashes)):
+        assert out[0]["rewritten_text"] == first
+    total_kept = sum(r["n_kept"] for r in out.values())
+    assert total_kept == len({r["seg_hash"] for r in segs})
+    # a verbatim duplicate of doc 0 appearing later is fully emptied
+    # (when its text is a duplicate and segment boundaries align)
+    dup_ids = [i for i, t in enumerate(texts) if i > 0 and t == first]
+    for d in dup_ids:
+        assert out[d]["n_kept"] == 0
+        assert out[d]["rewritten_text"] == ""
+
+
+@given(
+    const=st.integers(-50, 50),
+    slope=st.integers(-5, 5),
+    n=st.integers(3, 10),
+)
+@settings(**SETTINGS)
+def test_holt_tracks_linear_series_exactly(spark, const, slope, n):
+    """On exactly-linear input x_t = c + s·t the Holt recursion with
+    textbook init reproduces level = last point and trend = slope, so
+    forecast_1 extrapolates the line exactly — for ANY smoothing
+    constants (induction from l₁=x₁, b₁=x₂−x₁)."""
+    import datetime
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1 + t, 12, 0, 0), float(const + slope * t))
+        for t in range(n)
+    ]
+    from data_engineer_task_spark.plans.analytics_ext22 import (
+        _HOLT_A,
+        _HOLT_AB,
+        _HOLT_AB1,
+    )
+
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    daily = df.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        (F.round(F.avg("value") * 1e6) / 1e6).alias("v")
+    )
+    arr = daily.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("s")
+    )
+    vals = F.transform(F.col("s"), lambda x: x["v"])
+    st_col = F.aggregate(
+        F.slice(vals, 3, F.greatest(F.size(vals) - 2, F.lit(0))),
+        F.array(
+            F.element_at(vals, 2), F.element_at(vals, 2) - F.element_at(vals, 1)
+        ),
+        lambda acc, x: F.array(
+            F.lit(_HOLT_A) * x
+            + F.lit(1 - _HOLT_A)
+            * (F.element_at(acc, 1) + F.element_at(acc, 2)),
+            F.lit(_HOLT_AB) * (x - F.element_at(acc, 1))
+            + F.lit(_HOLT_AB1) * F.element_at(acc, 2),
+        ),
+    )
+    l, b = arr.select(st_col.alias("st")).first()["st"]
+    assert abs(l - (const + slope * (n - 1))) < 1e-6
+    assert abs(b - slope) < 1e-6
+
+
+def test_zorder_interleave_bijective_and_decodable(spark):
+    """The Morton key must be invertible: de-interleaving even/odd
+    bits recovers (x, y) exactly, and distinct grid cells map to
+    distinct keys — the property that makes per-file min/max ranges
+    meaningful on both dimensions."""
+    from data_engineer_task_spark.plans.analytics_ext22 import _z_col
+
+    df = spark.range(0, 1024).select(
+        (F.col("id") % 32).alias("x"),
+        (F.col("id") / 32).cast("long").alias("y"),
+    )
+    rows = df.select("x", "y", _z_col(F.col("x"), F.col("y")).alias("z")).collect()
+    seen = set()
+    for r in rows:
+        z, x, y = r["z"], 0, 0
+        for i in range(16):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r["x"], r["y"])
+        seen.add(z)
+    assert len(seen) == 1024
