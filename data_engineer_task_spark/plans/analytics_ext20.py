@@ -606,11 +606,12 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`doc_contamination_overlap` checks corpus-vs-benchmark; this
     checks WITHIN-corpus across the split boundary). Composes the two
     existing deterministic machineries unchanged: salted-md5 split
-    assignment (map-only) and the MinHash/LSH near-dup pipeline; the
-    audit itself is a broadcast split-label join onto the (tiny)
-    verified pair list. Cross-split rows (train≠test etc.) with
-    jaccard ≥ 0.5 are the ones a production run would re-assign or
-    drop."""
+    assignment and the MinHash/LSH near-dup pipeline — and because
+    the split label is a PURE FUNCTION of the id, it's re-derived
+    in-row on the pair frame directly (no label-table join at all; a
+    corpus-sized label table couldn't broadcast at 100 TB). Cross-
+    split rows (train≠test etc.) with jaccard ≥ 0.5 are the ones a
+    production run would re-assign or drop."""
     from ..operators.dedup import near_duplicates
     from ..operators.sampling import hash_split
 
@@ -618,13 +619,13 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = near_duplicates(
         docs, "doc_id", "text", n_hashes=8, shingle_k=3, band_size=2
     )
-    sp = hash_split(docs.select("doc_id"), "doc_id").select("doc_id", "split")
-    a = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sp_a"))
-    b = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sp_b"))
+    lab = (
+        hash_split(hash_split(pairs, "id_a").withColumnRenamed("split", "sp_a"),
+                   "id_b")
+        .withColumnRenamed("split", "sp_b")
+    )
     return (
-        pairs.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
-        .groupBy(
+        lab.groupBy(
             F.least("sp_a", "sp_b").alias("split_a"),
             F.greatest("sp_a", "sp_b").alias("split_b"),
         )
