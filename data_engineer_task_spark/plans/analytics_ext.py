@@ -1396,8 +1396,12 @@ def doc_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("u1") / F.col("t_uni")) * (F.col("u2") / F.col("t_uni"))
     )
     return (
-        bigrams.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        # vocabulary joins stay UNHINTED key-shuffle equi-joins (the
+        # bigram-LM perplexity entry's rule: a 100 TB corpus's vocab
+        # is too big to force-broadcast); only the one-row totals ride
+        # broadcasts.
+        bigrams.join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(t_uni))
         .crossJoin(F.broadcast(t_bi))
         .select(

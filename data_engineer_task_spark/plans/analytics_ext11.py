@@ -225,11 +225,13 @@ def daily_new_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever activity that day) vs returning, plus the cumulative
     audience curve (running sum of new) — the first product metric
     any events pipeline ships, and the acquisition-side complement
-    of `user_weekly_retention`. Per-user first days are one
-    aggregate broadcast back onto the distinct (user, day) activity
-    set; the cumulative window runs over the |days|-bounded daily
-    frame, never the fact table. All integers — exact in both
-    engines."""
+    of `user_weekly_retention`. NO per-user join anywhere: new-user
+    counts come from aggregating the first-day table BY DAY and
+    joining day-grain to day-grain (two calendar-bounded frames — a
+    per-user label join, broadcast or not, would move corpus-scale
+    rows for a |days|-sized answer); the cumulative window runs over
+    the |days|-bounded daily frame, never the fact table. All
+    integers — exact in both engines."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
     ).select(
@@ -240,15 +242,16 @@ def daily_new_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first_day = ev.groupBy("user_id").agg(F.min("day").alias("fd"))
     active = ev.distinct()
-    daily = (
-        active.join(F.broadcast(first_day), "user_id")
-        .groupBy("day")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_active"),
-            F.sum(F.when(F.col("fd") == F.col("day"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_new"),
-        )
+    daily_active = active.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    new_by_day = first_day.groupBy(F.col("fd").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    daily = daily_active.join(F.broadcast(new_by_day), "day", "left").select(
+        "day",
+        "n_active",
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
     )
     wcum = W.orderBy(F.asc("day")).rowsBetween(W.unboundedPreceding, W.currentRow)
     return daily.select(

@@ -238,7 +238,10 @@ def user_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = e.agg(F.max("wk").alias("mw"))
     wrev = (
         e.where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
-        .join(F.broadcast(cohort), "user_id")
+        # user-keyed equi-join, NOT broadcast-hinted: the cohort table
+        # is per-user (corpus-scale at 100 TB) — let AQE pick the
+        # strategy at actual sizes.
+        .join(cohort, "user_id")
         .groupBy("cw", (F.col("wk") - F.col("cw")).alias("age"))
         .agg(F.sum("value").alias("rev"))
     )
