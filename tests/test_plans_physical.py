@@ -782,3 +782,49 @@ def test_lang_confusion_no_join_back(spark):
     tree = _tree(_plan(spark, "lang_id_confusion"))
     assert "Join" not in tree
     assert "BatchEvalPython" not in tree
+
+
+def test_no_cartesian_or_row_udfs_in_any_declared_entry(spark):
+    """Blanket plan audit over the ENTIRE declared inventory: no
+    unintended cartesian products (broadcast-scalar piggybacks
+    compile to BroadcastNestedLoopJoin, so a CartesianProduct node
+    always means a missing join key) and no row-at-a-time Python
+    UDFs anywhere. Arrow stages (mapInPandas/cogroup kernels) are
+    allowed — they're the sanctioned Python escape hatch — but only
+    in the entries documented to use them. Plans are built, not
+    executed, so the sweep stays cheap."""
+    arrow_ok = {
+        # documented Arrow-kernel entries (dense vector math /
+        # merge_asof cogroup / multimodal decode)
+        "embedding_kmeans_clusters",
+        "embedding_ivf_topk",
+        "embedding_ivf_assign",
+        "embedding_cosine_topk",
+        "hybrid_rrf_search",
+        "purchase_asof_click",
+        "multimodal_decode",
+        "purchase_click_cogroup_stats",
+        "embedding_ann_recall",
+    }
+    # the Python UDTF API-surface demo is the ONE sanctioned
+    # BatchEvalPython site (its codegen twin doc_overlap_chunks is
+    # the production path)
+    udtf_ok = {"doc_fixed_chunks_udtf"}
+    offenders = []
+    for name, fn in QUERIES.items():
+        try:
+            plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # pragma: no cover - diagnostic
+            offenders.append((name, f"plan build failed: {ex}"))
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if name not in udtf_ok and "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+        if name not in arrow_ok and (
+            "ArrowEvalPython" in plan
+            or "MapInPandas" in plan
+            or "FlatMapCoGroupsInPandas" in plan
+        ):
+            offenders.append((name, "undocumented Arrow stage"))
+    assert not offenders, offenders
