@@ -173,3 +173,106 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_actual"
         ),
     ).orderBy("actual_lang", "predicted_lang")
+
+
+# ---------------------------------------------------------------------------
+# Quality × duplication interaction
+# ---------------------------------------------------------------------------
+
+from .analytics import _SHINGLE_CTE, _STOP_SQL, _near_dup_tail  # noqa: E402
+
+
+@q(
+    "quality_dup_interaction",
+    f"""
+    WITH {_SHINGLE_CTE},
+    {_near_dup_tail(band_size=2, as_cte=True)},
+    dup AS (
+      SELECT DISTINCT id FROM (
+        SELECT id_a AS id FROM pairs WHERE jaccard >= 0.5
+        UNION ALL
+        SELECT id_b AS id FROM pairs WHERE jaccard >= 0.5
+      )
+    ),
+    s AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS tc,
+             round(((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+                   / len(string_split(text, ' '))) * 10000.0) / 10000.0
+               AS avg_len,
+             round((len(list_filter(string_split(text, ' '),
+                                   t -> t IN {_STOP_SQL}))::DOUBLE
+                   / len(string_split(text, ' '))) * 10000.0) / 10000.0
+               AS stop_r,
+             round((len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+                   / length(text)) * 10000.0) / 10000.0 AS punct_r
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN tc BETWEEN 30 AND 80
+                   AND avg_len BETWEEN 2.0 AND 12.0
+                   AND stop_r <= 0.12 AND punct_r <= 0.2
+                  THEN 1 ELSE 0 END AS passed
+      FROM s
+    ),
+    f AS (
+      SELECT g.passed,
+             CASE WHEN d.id IS NOT NULL THEN 1 ELSE 0 END AS is_near_dup
+      FROM g LEFT JOIN dup d ON d.id = g.doc_id
+    )
+    SELECT passed, is_near_dup,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) * 10000.0
+                 / sum(count(*)) OVER (PARTITION BY passed)) / 10000.0
+             AS share_of_quality_class
+    FROM f GROUP BY passed, is_near_dup ORDER BY passed, is_near_dup
+    """,
+)
+def quality_dup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family curation audit: does LOW-quality content
+    near-duplicate more often than high-quality content? (It usually
+    does — template spam both fails quality rules and re-crawls — and
+    the answer decides filter ORDER: run the cheap gate first only if
+    it doesn't starve the dedup stage of its true positives.) The 2×2
+    (quality verdict × near-dup membership) table with row-normalized
+    shares composes two existing machineries unchanged: the map-only
+    quality gate and the banded near-dup pipeline; membership is a
+    LEFT join of the corpus against the (tiny) dup-id set — keyed on
+    id, unhinted, AQE picks the strategy. Shares are exact integer
+    ratios under a display round via a window over the 4-cell frame."""
+    from ..operators.dedup import near_duplicates
+    from ..operators.quality import quality_gate
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    gated = quality_gate(docs, "doc_id", "text").select(
+        "doc_id", F.col("passed").cast("int").alias("passed")
+    )
+    pairs = near_duplicates(
+        docs, "doc_id", "text", n_hashes=8, shingle_k=3, band_size=2,
+        threshold=0.5,
+    )
+    dup = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    f = gated.join(dup, gated.doc_id == dup.id, "left").select(
+        "passed",
+        F.when(F.col("_d").isNotNull(), 1).otherwise(0).alias("is_near_dup"),
+    )
+    from pyspark.sql import Window as W
+
+    cell = f.groupBy("passed", "is_near_dup").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = F.sum("n_docs").over(W.partitionBy("passed"))
+    return cell.select(
+        "passed",
+        "is_near_dup",
+        "n_docs",
+        (F.round(F.col("n_docs") * 10000.0 / tot) / 10000.0).alias(
+            "share_of_quality_class"
+        ),
+    ).orderBy("passed", "is_near_dup")

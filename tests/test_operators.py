@@ -1069,3 +1069,29 @@ def test_lsh_match_against_consistent_with_self_join(spark):
     normalized_self = {(min(a, b), max(a, b)) for a, b in self_pairs}
     assert matches == normalized_self
     assert matches, "fixture must produce at least one cross-split candidate"
+
+
+def test_poisson_bootstrap_weights_match_poisson1(spark):
+    """The md5-derived replicate weights must actually BE Poisson(1):
+    empirical mean ~1, zero-fraction ~e^-1, across a 10k-id sample —
+    pins the inverse-CDF cut points against regression."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_task_spark.plans.analytics_ext22 import (
+        _pois_w_col,
+        _u16_window_col,
+    )
+
+    ids = spark.range(10_000)
+    h = F.md5(F.concat(F.lit("boot:0:"), F.col("id").cast("string")))
+    w = _pois_w_col(_u16_window_col(h, 3))
+    row = ids.select(w.alias("w")).agg(
+        F.avg("w").alias("mean_w"),
+        F.avg(F.when(F.col("w") == 0, 1.0).otherwise(0.0)).alias("p0"),
+        F.max("w").alias("max_w"),
+    ).first()
+    assert abs(row["mean_w"] - 1.0) < 0.04
+    assert abs(row["p0"] - math.exp(-1)) < 0.02
+    assert row["max_w"] <= 8
