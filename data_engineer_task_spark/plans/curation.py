@@ -26,7 +26,7 @@ import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators.dedup import content_hash_dedup, near_duplicates
@@ -48,6 +48,11 @@ class CurationConfig:
     max_stopword_ratio: float = 1.0
     max_punct_ratio: float = 1.0
     near_dup_threshold: float = 0.6
+    # "first" keeps the min-id member of each near-dup cluster;
+    # "best" keeps the LONGEST member (raw text length, min-id
+    # tie-break) — the rule real curation prefers, since the longest
+    # near-duplicate is usually the un-truncated original.
+    near_dup_keep: str = "first"
     minhash_hashes: int = 8
     shingle_k: int = 3
     min_avg_token_len: float = 0.0
@@ -151,9 +156,31 @@ class CurationPipeline:
             threshold=cfg.near_dup_threshold,
         ).select("id_a", "id_b")
         clusters = connected_components(pairs)
-        losers = clusters.where(F.col("node") != F.col("cluster")).select(
-            F.col("node").alias(cfg.id_col)
-        )
+        if cfg.near_dup_keep == "best":
+            # survivor = longest member (text length, min-id tie-break):
+            # a cluster-keyed window argmax; any scalar quality model
+            # slots into the ORDER BY (see near_dup_keep_best entry).
+            scored = clusters.join(
+                exact.select(
+                    F.col(cfg.id_col).alias("node"),
+                    F.length(cfg.text_col).alias("_q"),
+                ),
+                "node",
+            )
+            rn = F.row_number().over(
+                W.partitionBy("cluster").orderBy(
+                    F.col("_q").desc(), F.col("node").asc()
+                )
+            )
+            losers = (
+                scored.select("node", rn.alias("_rn"))
+                .where(F.col("_rn") != 1)
+                .select(F.col("node").alias(cfg.id_col))
+            )
+        else:
+            losers = clusters.where(F.col("node") != F.col("cluster")).select(
+                F.col("node").alias(cfg.id_col)
+            )
         deduped = stage(
             "near_dedup",
             exact.join(losers, cfg.id_col, "left_anti").persist(),

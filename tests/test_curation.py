@@ -104,3 +104,30 @@ def test_survivor_is_min_id_representative(spark, corpus, tmp_path):
     curated = spark.read.parquet(manifest["curated_path"])
     # planted copies (ids >= 1M) always lose to their base doc (< 200)
     assert curated.where(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_survivor_keep_best_prefers_longest(spark, corpus, tmp_path):
+    cfg = CurationConfig(near_dup_threshold=0.5, near_dup_keep="best")
+    manifest = CurationPipeline(spark, str(tmp_path), cfg).run(corpus)
+    curated = spark.read.parquet(manifest["curated_path"])
+    # exact copies (ids 1M+) still die — identical text falls to
+    # exact dedup's keep-first before survivor selection runs
+    assert curated.where(
+        (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000)
+    ).count() == 0
+    # but the one-token-APPENDED near copies (ids 2M+) are LONGER than
+    # their base docs, so keep-best flips the survivor: copies that
+    # cleared the quality gate live, and their shorter bases die
+    survivors_2m = {
+        r["doc_id"]
+        for r in curated.where(F.col("doc_id") >= 2_000_000).collect()
+    }
+    assert survivors_2m, "keep-best must keep the longer near-dup copies"
+    dead_bases = {d - 2_000_000 for d in survivors_2m}
+    alive = {
+        r["doc_id"]
+        for r in curated.where(F.col("doc_id") < 200).collect()
+    }
+    assert not (dead_bases & alive), (
+        "a base doc and its longer near-copy both survived"
+    )
