@@ -179,6 +179,8 @@ def _curate_main(argv: list[str]) -> int:
     parser.add_argument("--text-col", default="text")
     parser.add_argument("--min-tokens", type=int, default=5)
     parser.add_argument("--near-dup-threshold", type=float, default=0.6)
+    parser.add_argument("--keep", choices=["first", "best"], default="first",
+                        help="near-dup survivor rule: min-id or longest member")
     args = parser.parse_args(argv[1:])
 
     from .plans.curation import CurationConfig, CurationPipeline
@@ -189,6 +191,7 @@ def _curate_main(argv: list[str]) -> int:
         text_col=args.text_col,
         min_tokens=args.min_tokens,
         near_dup_threshold=args.near_dup_threshold,
+        near_dup_keep=args.keep,
     )
     manifest = CurationPipeline(spark, args.out, cfg).run(
         spark.read.parquet(args.input)
