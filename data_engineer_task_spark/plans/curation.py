@@ -29,7 +29,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..operators.dedup import content_hash_dedup, near_duplicates
+from ..operators.dedup import (
+    content_hash_dedup,
+    near_duplicates,
+    segment_dedup_rewrite,
+)
 from ..operators.graph import connected_components
 from ..operators.quality import quality_gate
 from ..operators.sampling import hash_split
@@ -53,6 +57,11 @@ class CurationConfig:
     # tie-break) — the rule real curation prefers, since the longest
     # near-duplicate is usually the un-truncated original.
     near_dup_keep: str = "first"
+    # optional exact-substring dedup stage between exact and near-dup:
+    # keep the first corpus-wide occurrence of every segment_len-token
+    # window and rewrite documents from the survivors.
+    segment_dedup: bool = False
+    segment_len: int = 10
     minhash_hashes: int = 8
     shingle_k: int = 3
     min_avg_token_len: float = 0.0
@@ -90,6 +99,9 @@ class CurationPipeline:
             "shingle_k": cfg.shingle_k,
             "min_tokens": cfg.min_tokens,
             "max_tokens": cfg.max_tokens,
+            "near_dup_keep": cfg.near_dup_keep,
+            "segment_dedup": cfg.segment_dedup,
+            "segment_len": cfg.segment_len,
         }}
 
         def stage(name: str, df: DataFrame) -> DataFrame:
@@ -143,6 +155,36 @@ class CurationPipeline:
         rejects_exact = passed.join(survivors, cfg.id_col, "left_anti").withColumn(
             "reject_stage", F.lit("exact_dedup")
         )
+
+        # 3b. Optional exact-substring (segment) dedup: rewrite every
+        #     document keeping only the first corpus-wide occurrence of
+        #     each fixed-width token segment (Lee et al. 2022 style —
+        #     kills shared boilerplate BEFORE near-dup, so the fuzzy
+        #     stage measures real content overlap, not template glue).
+        #     Documents emptied entirely are rejected with their own
+        #     stage label; survivors carry the rewritten text forward
+        #     as the dedup key.
+        rejects_segment = None
+        if cfg.segment_dedup:
+            rw = segment_dedup_rewrite(
+                exact.select(cfg.id_col, "_norm_text"),
+                cfg.id_col,
+                "_norm_text",
+                seg=cfg.segment_len,
+            ).select(cfg.id_col, "n_kept", "rewritten_text")
+            joined = exact.join(rw, cfg.id_col).persist()
+            exact = stage(
+                "segment_dedup",
+                joined.where(F.col("n_kept") > 0)
+                .withColumn("_norm_text", F.col("rewritten_text"))
+                .drop("n_kept", "rewritten_text")
+                .persist(),
+            )
+            rejects_segment = (
+                joined.where(F.col("n_kept") == 0)
+                .drop("n_kept", "rewritten_text")
+                .withColumn("reject_stage", F.lit("segment_dedup"))
+            )
 
         # 4. Near-dup dedup: banded MinHash -> exact Jaccard pairs ->
         #    connected components -> keep the min-id representative of
@@ -201,7 +243,10 @@ class CurationPipeline:
         final.write.mode("overwrite").partitionBy("split").parquet(curated_path)
         rejects = rejects_quality.unionByName(rejects_exact).unionByName(
             rejects_near
-        ).drop("_norm_text")
+        )
+        if rejects_segment is not None:
+            rejects = rejects.unionByName(rejects_segment)
+        rejects = rejects.drop("_norm_text")
         rejects.write.mode("overwrite").partitionBy("reject_stage").parquet(
             rejects_path
         )

@@ -131,3 +131,16 @@ def test_survivor_keep_best_prefers_longest(spark, corpus, tmp_path):
     assert not (dead_bases & alive), (
         "a base doc and its longer near-copy both survived"
     )
+
+
+def test_segment_dedup_stage_conserves_and_rejects_empties(spark, corpus, tmp_path):
+    cfg = CurationConfig(near_dup_threshold=0.5, segment_dedup=True)
+    manifest = CurationPipeline(spark, str(tmp_path), cfg).run(corpus)
+    stages = {s["stage"]: s["rows"] for s in manifest["stages"]}
+    assert "segment_dedup" in stages
+    assert stages["exact_dedup"] >= stages["segment_dedup"] >= stages["near_dedup"]
+    curated = spark.read.parquet(manifest["curated_path"])
+    rejects = spark.read.parquet(manifest["rejects_path"])
+    # funnel conservation still holds with the extra stage
+    assert curated.count() + rejects.count() == stages["input"]
+    assert manifest["config"]["segment_dedup"] is True
