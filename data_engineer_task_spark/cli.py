@@ -181,6 +181,8 @@ def _curate_main(argv: list[str]) -> int:
     parser.add_argument("--near-dup-threshold", type=float, default=0.6)
     parser.add_argument("--keep", choices=["first", "best"], default="first",
                         help="near-dup survivor rule: min-id or longest member")
+    parser.add_argument("--segment-dedup", action="store_true",
+                        help="enable exact-substring (10-token segment) dedup stage")
     args = parser.parse_args(argv[1:])
 
     from .plans.curation import CurationConfig, CurationPipeline
@@ -192,6 +194,7 @@ def _curate_main(argv: list[str]) -> int:
         min_tokens=args.min_tokens,
         near_dup_threshold=args.near_dup_threshold,
         near_dup_keep=args.keep,
+        segment_dedup=args.segment_dedup,
     )
     manifest = CurationPipeline(spark, args.out, cfg).run(
         spark.read.parquet(args.input)
