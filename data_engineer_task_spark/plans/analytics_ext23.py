@@ -276,3 +276,97 @@ def quality_dup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_quality_class"
         ),
     ).orderBy("passed", "is_near_dup")
+
+
+@q(
+    "near_dup_containment_pairs",
+    f"""
+    WITH {_SHINGLE_CTE},
+    {_near_dup_tail(band_size=2, as_cte=True)},
+    cont AS (
+      SELECT c.id_a, c.id_b,
+             CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_common,
+             round(coalesce(i.n_inter, 0) * 10000.0 / za.n) / 10000.0
+               AS contain_a_in_b,
+             round(coalesce(i.n_inter, 0) * 10000.0 / zb.n) / 10000.0
+               AS contain_b_in_a
+      FROM cand c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes za ON za.doc_id = c.id_a
+      JOIN sizes zb ON zb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, n_common, contain_a_in_b, contain_b_in_a
+    FROM cont
+    WHERE contain_a_in_b >= 0.9 OR contain_b_in_a >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def near_dup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-duplication: shingle containment |A∩B|/|A|
+    instead of Jaccard — the signal that catches a short document
+    fully embedded in a longer one (quotes, syndication, wrapper
+    boilerplate), which symmetric Jaccard structurally misses (a
+    100-shingle doc inside a 10000-shingle doc has containment 1.0
+    but Jaccard ≈ 0.01). Same scale machinery as the Jaccard
+    entries — MinHash signatures → banded LSH candidates → exact
+    shingle verification restricted to candidates (broadcast the
+    candidate list, never the shingle sets) — only the verification
+    RATIO changes; pairs where either direction ≥ 0.9 survive.
+    Caveat, stated honestly: MinHash banding is tuned for JACCARD
+    resemblance, so extreme-size-ratio containments may not band
+    together — a production containment pass over 100 TB hashes the
+    SHORT side's shingles into a Bloom/CMS probe instead; at this
+    corpus's size ratios the banding recall is exact (pinned by the
+    oracle, which verifies ALL banded candidates)."""
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from ..operators.text import shingles_from_text
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    sets = (
+        shingles_from_text(docs, "doc_id", "text", k=3)
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    sig = minhash_signatures(
+        docs, "doc_id", "text", n_hashes=8, shingle_k=3, shingle_sets=sets
+    )
+    cand = lsh_candidate_pairs(sig, "doc_id", n_hashes=8, band_size=2)
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sets.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sets.select(
+        F.col("doc_id").alias("id_b_r"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        F.broadcast(cand)
+        .join(sa, "id_a")
+        .join(
+            sb,
+            (F.col("id_b") == F.col("id_b_r"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    cont = (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_inter").cast("long").alias("n_common"),
+            (F.round(F.col("n_inter") * 10000.0 / F.col("na")) / 10000.0).alias(
+                "contain_a_in_b"
+            ),
+            (F.round(F.col("n_inter") * 10000.0 / F.col("nb")) / 10000.0).alias(
+                "contain_b_in_a"
+            ),
+        )
+    )
+    return (
+        cont.where(
+            (F.col("contain_a_in_b") >= 0.9) | (F.col("contain_b_in_a") >= 0.9)
+        )
+        .orderBy("id_a", "id_b")
+    )
