@@ -424,3 +424,40 @@ def test_zorder_interleave_bijective_and_decodable(spark):
         assert (x, y) == (r["x"], r["y"])
         seen.add(z)
     assert len(seen) == 1024
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "d"]), min_size=1, max_size=35
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    seg=st.integers(2, 7),
+)
+@settings(**SETTINGS)
+def test_text_segments_partition_the_document_exactly(spark, texts, seg):
+    """Non-overlapping segmentation is a PARTITION of the token
+    stream: concatenating a doc's segments in position order must
+    reproduce the original text byte-for-byte, segment lengths must
+    sum to the token count, and only the tail segment may be short —
+    pins the ceil-division fan-out arithmetic for every length ÷ seg
+    remainder class."""
+    from data_engineer_task_spark.operators.dedup import text_segments
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    segs = text_segments(df, "doc_id", "text", seg=seg).collect()
+    by_doc: dict[int, list] = {}
+    for r in segs:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        rows = sorted(by_doc[i], key=lambda r: r["seg_id"])
+        assert " ".join(r["seg_text"] for r in rows) == t
+        n_tokens = len(t.split(" "))
+        assert sum(r["seg_len"] for r in rows) == n_tokens
+        assert all(r["seg_len"] == seg for r in rows[:-1])
+        assert 1 <= rows[-1]["seg_len"] <= seg
