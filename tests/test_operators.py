@@ -1095,3 +1095,45 @@ def test_poisson_bootstrap_weights_match_poisson1(spark):
     assert abs(row["mean_w"] - 1.0) < 0.04
     assert abs(row["p0"] - math.exp(-1)) < 0.02
     assert row["max_w"] <= 8
+
+
+def test_core_operators_tolerate_empty_input(spark):
+    """An empty micro-batch / fully-filtered partition is a routine
+    input at scale — every core operator must return an empty,
+    correctly-schemaed frame instead of throwing."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from data_engineer_task_spark.operators.dedup import (
+        content_hash_dedup,
+        jaccard_join_exact,
+        near_duplicates,
+        segment_dedup_rewrite,
+        text_segments,
+    )
+    from data_engineer_task_spark.operators.quality import quality_gate
+    from data_engineer_task_spark.operators.sampling import hash_split
+
+    empty = spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+            ]
+        ),
+    )
+    assert content_hash_dedup(empty, "doc_id", "text").count() == 0
+    assert text_segments(empty, "doc_id", "text").count() == 0
+    rw = segment_dedup_rewrite(empty, "doc_id", "text")
+    assert rw.count() == 0
+    assert "rewritten_text" in rw.columns
+    assert near_duplicates(empty, "doc_id", "text").count() == 0
+    assert jaccard_join_exact(empty, "doc_id", "text", threshold=0.5).count() == 0
+    assert quality_gate(empty, "doc_id", "text").count() == 0
+    assert hash_split(empty, "doc_id").count() == 0
