@@ -370,3 +370,119 @@ def near_dup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+_BATCH = 8  # docs per padded batch
+_LEN_BUCKET = 16  # token-length band width for the bucketed policy
+
+
+@q(
+    "doc_padding_waste_by_bucketing",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    fifo AS (
+      SELECT source, n_tok,
+             (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+               // {_BATCH} AS batch
+      FROM d
+    ),
+    fifo_b AS (
+      SELECT source, batch, max(n_tok) AS mx, count(*) AS c,
+             sum(n_tok) AS s
+      FROM fifo GROUP BY source, batch
+    ),
+    buck AS (
+      SELECT source, n_tok, n_tok // {_LEN_BUCKET} AS lb,
+             (row_number() OVER (PARTITION BY source, n_tok // {_LEN_BUCKET}
+                                 ORDER BY doc_id) - 1) // {_BATCH} AS batch
+      FROM d
+    ),
+    buck_b AS (
+      SELECT source, lb, batch, max(n_tok) AS mx, count(*) AS c,
+             sum(n_tok) AS s
+      FROM buck GROUP BY source, lb, batch
+    ),
+    pol AS (
+      SELECT 'fifo' AS policy,
+             CAST(count(*) AS BIGINT) AS n_batches,
+             CAST(sum(s) AS BIGINT) AS total_tokens,
+             CAST(sum(mx * c) AS BIGINT) AS padded_tokens
+      FROM fifo_b
+      UNION ALL
+      SELECT 'length_bucketed' AS policy,
+             CAST(count(*) AS BIGINT) AS n_batches,
+             CAST(sum(s) AS BIGINT) AS total_tokens,
+             CAST(sum(mx * c) AS BIGINT) AS padded_tokens
+      FROM buck_b
+    )
+    SELECT policy, n_batches, total_tokens, padded_tokens,
+           round((padded_tokens - total_tokens) * 10000.0
+                 / padded_tokens) / 10000.0 AS waste_frac
+    FROM pol ORDER BY policy
+    """,
+)
+def doc_padding_waste_by_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padded-batch efficiency audit — the FINE-TUNING counterpart of
+    `doc_pack_chunks` (which concat-packs for pretraining): when
+    examples are padded to the longest member of each {_BATCH}-doc
+    batch, what fraction of compute is padding under (a) arrival-order
+    batching vs (b) length-bucketed batching (SortishSampler /
+    bucket-by-sequence-length, the standard fix)? Batches form
+    deterministically in doc_id order WITHIN source — the shard key a
+    real loader batches inside, which also keeps every window
+    partition-bounded (no global sort; the 100 TB plan is identical).
+    Everything is exact integer arithmetic: per-batch max·count and
+    token sums, one window + two aggregates per policy, and the
+    waste fraction is an integer ratio under a display round."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    d = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+
+    def policy(name: str, part_cols):
+        w = W.partitionBy(*part_cols).orderBy("doc_id")
+        batched = d.withColumn(
+            "lb", (F.col("n_tok") / _LEN_BUCKET).cast("long")
+        ).select(
+            "source",
+            "n_tok",
+            "lb",
+            F.floor((F.row_number().over(w) - 1) / _BATCH).alias("batch"),
+        )
+        per_batch = batched.groupBy(*part_cols, "batch").agg(
+            F.max("n_tok").alias("mx"),
+            F.count(F.lit(1)).alias("c"),
+            F.sum("n_tok").alias("s"),
+        )
+        return per_batch.agg(
+            F.lit(name).alias("policy"),
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("s").cast("long").alias("total_tokens"),
+            F.sum(F.col("mx") * F.col("c")).cast("long").alias("padded_tokens"),
+        )
+
+    # the window's partition cols must exist on d before the
+    # row_number runs, so lb is computed inside policy() for both
+    fifo = policy("fifo", ["source"])
+    buck = policy("length_bucketed", ["source", "lb"])
+    pol = fifo.unionByName(buck)
+    return pol.select(
+        "policy",
+        "n_batches",
+        "total_tokens",
+        "padded_tokens",
+        (
+            F.round(
+                (F.col("padded_tokens") - F.col("total_tokens"))
+                * 10000.0
+                / F.col("padded_tokens")
+            )
+            / 10000.0
+        ).alias("waste_frac"),
+    ).orderBy("policy")
