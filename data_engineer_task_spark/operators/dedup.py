@@ -46,6 +46,33 @@ def content_hash_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return exact_dedup(hashed, ["content_hash"], id_col)
 
 
+def shingle_set(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    shingle_mode: str = "token",
+) -> DataFrame:
+    """The canonical (id, shingle) set frame: per-document shingles
+    deduplicated IN-ROW (``array_distinct`` before the explode — a
+    document's shingles are row-local, so a global ``.distinct()``
+    would shuffle the widest frame in the pipeline to do what a
+    map-side array op does for free). Returned UNPERSISTED: callers
+    that feed it to multiple consumers persist + eagerly count it
+    themselves (AQE launches consumer stages concurrently and racing
+    writers would each recompute the subplan)."""
+    from .text import char_shingle_array, token_shingle_array
+
+    arr = {
+        "token": lambda c: token_shingle_array(c, k=shingle_k),
+        "char": lambda c: char_shingle_array(c, k=shingle_k),
+    }[shingle_mode](F.col(text_col))
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(arr)).alias("shingle")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -95,6 +122,7 @@ def near_duplicates(
     threshold: float = 0.0,
     shingle_mode: str = "token",
     max_bucket_size: int | None = None,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→exact-verify near-dup pipeline with the shingle
     set computed ONCE and persisted, then shared by the signature
@@ -115,20 +143,21 @@ def near_duplicates(
     so the operator cannot unpersist them itself. One-shot pipelines
     are unaffected; loop/service callers should
     ``spark.catalog.clearCache()`` between corpora."""
-    from .text import char_shingle_array, token_shingle_array
-
-    arr = {
-        "token": lambda c: token_shingle_array(c, k=shingle_k),
-        "char": lambda c: char_shingle_array(c, k=shingle_k),
-    }[shingle_mode](F.col(text_col))
-    sets = df.select(
-        F.col(id_col), F.explode(F.array_distinct(arr)).alias("shingle")
-    ).persist()
-    # Materialize the cache eagerly: the downstream plan references
-    # `sets` four times (signatures, both verify sides, sizes) and AQE
-    # launches those stages concurrently — racing writers would each
-    # recompute the full shingle subplan instead of hitting the cache.
-    sets.count()
+    if shingle_sets is not None:
+        # caller supplies an (id, shingle) frame it already persisted —
+        # the cross-operator sharing path (e.g. the LSH-recall eval
+        # runs this AND the exact join on one shingle build).
+        sets = shingle_sets
+    else:
+        sets = shingle_set(
+            df, id_col, text_col, shingle_k=shingle_k, shingle_mode=shingle_mode
+        ).persist()
+        # Materialize the cache eagerly: the downstream plan references
+        # `sets` four times (signatures, both verify sides, sizes) and
+        # AQE launches those stages concurrently — racing writers would
+        # each recompute the full shingle subplan instead of hitting
+        # the cache.
+        sets.count()
     # Persist the (narrow: id + n_hashes digests) signature frame too:
     # the LSH band self-join consumes it on BOTH sides, and without the
     # cache each side re-runs the 8-way md5-min aggregation.
@@ -361,6 +390,7 @@ def jaccard_join_exact(
     *,
     threshold: float = 0.5,
     shingle_k: int = 3,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT similarity self-join: every pair with shingle-set Jaccard
     >= threshold, guaranteed no false negatives — the deterministic
@@ -392,13 +422,11 @@ def jaccard_join_exact(
     returned DataFrame is consumed (it backs its lineage); loop or
     service callers should ``spark.catalog.clearCache()`` between
     corpora — same constraint as ``near_duplicates``."""
-    from .text import token_shingle_array
-
-    arr = token_shingle_array(F.col(text_col), k=shingle_k)
-    sets = df.select(
-        F.col(id_col), F.explode(F.array_distinct(arr)).alias("shingle")
-    ).persist()
-    sets.count()  # materialize before AQE races the three consumers
+    if shingle_sets is not None:
+        sets = shingle_sets  # caller-persisted shared frame
+    else:
+        sets = shingle_set(df, id_col, text_col, shingle_k=shingle_k).persist()
+        sets.count()  # materialize before AQE races the three consumers
 
     dfreq = sets.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sets.join(dfreq, "shingle")
@@ -560,4 +588,53 @@ def segment_dedup_rewrite(
             ),
             " ",
         ).alias("rewritten_text"),
+    )
+
+
+def containment_verify(
+    candidates: DataFrame,
+    shingle_sets: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Exact shingle-set CONTAINMENT for candidate pairs — the
+    asymmetric companion of ``jaccard_verify``: |A∩B|/|A| and
+    |A∩B|/|B| (rounded 1e-4) instead of the symmetric ratio, which is
+    what detects a short document embedded in a longer one. Same join
+    shape: the (tiny, banding-bounded) candidate list broadcasts into
+    the caller-persisted (id, shingle) frame — never all-pairs, and
+    the shingle frame is shared with signature generation. Output:
+    id_a, id_b, n_common, contain_a_in_b, contain_b_in_a."""
+    sets = shingle_sets
+    sizes = sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sets.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sets.select(
+        F.col(id_col).alias("id_b_r"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        F.broadcast(candidates)
+        .join(sa, "id_a")
+        .join(
+            sb,
+            (F.col("id_b") == F.col("id_b_r"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_inter").cast("long").alias("n_common"),
+            (F.round(F.col("n_inter") * 10000.0 / F.col("na")) / 10000.0).alias(
+                "contain_a_in_b"
+            ),
+            (F.round(F.col("n_inter") * 10000.0 / F.col("nb")) / 10000.0).alias(
+                "contain_b_in_a"
+            ),
+        )
     )

@@ -19,12 +19,10 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sampling import _md5_uint16
 from .analytics import _t, _t_wide, q
-from .analytics_ext7 import _md5_u16_sql
 
 # ---------------------------------------------------------------------------
 # Poisson bootstrap
@@ -390,7 +388,13 @@ def orders_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the standard curve resolution trade-off."""
     keyed = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("ck"),
-        F.datediff(F.col("o_orderdate"), F.lit(_Z_EPOCH)).alias("dy"),
+        # LONG, not the datediff default int: a date before the epoch
+        # sets bit 15 after the mask, and (1 << 31) in 32-bit Java
+        # arithmetic wraps negative while DuckDB's DATE−DATE math is
+        # BIGINT — the interleave must run in 64-bit on both engines.
+        F.datediff(F.col("o_orderdate"), F.lit(_Z_EPOCH))
+        .cast("long")
+        .alias("dy"),
     )
     z = keyed.select(
         "ck",
@@ -469,15 +473,24 @@ def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus — collapsing to a single summary row. At 100 TB you'd
     run this on a sampled partition of the corpus; the operators are
     the same."""
-    from ..operators.dedup import jaccard_join_exact, near_duplicates
+    from ..operators.dedup import (
+        jaccard_join_exact,
+        near_duplicates,
+        shingle_set,
+    )
 
     docs = _t_wide(spark, sf_dir, "documents")
+    # ONE shingle build persisted and shared by both pipelines — each
+    # operator would otherwise build + persist its own copy of the
+    # widest frame (code-review r2 catch).
+    sets = shingle_set(docs, "doc_id", "text", shingle_k=3).persist()
+    sets.count()
     exact = jaccard_join_exact(
-        docs, "doc_id", "text", threshold=0.5, shingle_k=3
+        docs, "doc_id", "text", threshold=0.5, shingle_k=3, shingle_sets=sets
     ).select("id_a", "id_b", F.lit(1).alias("in_e"))
     lsh = near_duplicates(
         docs, "doc_id", "text", n_hashes=8, shingle_k=3, band_size=2,
-        threshold=0.5,
+        threshold=0.5, shingle_sets=sets,
     ).select("id_a", "id_b", F.lit(1).alias("in_l"))
     flags = exact.join(lsh, ["id_a", "id_b"], "full_outer").select(
         F.coalesce("in_e", F.lit(0)).alias("in_e"),
@@ -554,7 +567,9 @@ def nation_revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     daily = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is CORPUS-scale (grows with SF) — unhinted, AQE
+        # picks the strategy; only the 25-row nation dim is forced.
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),

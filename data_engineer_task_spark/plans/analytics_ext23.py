@@ -39,8 +39,10 @@ from .analytics import _LANG_KEYWORDS, _KW_SQL, _t, _t_wide, q
     )
     SELECT CAST(dim AS BIGINT) AS dim, n_vecs,
            round(sq * 10000.0 / n_vecs / 1000000.0) / 10000.0 AS mean_v,
-           round(sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n_vecs)
-                      / n_vecs) / 1000000.0 * 10000.0) / 10000.0 AS sd_v,
+           round(sqrt(greatest((CAST(sqq AS DOUBLE)
+                                - CAST(sq AS DOUBLE) * sq / n_vecs)
+                               / n_vecs, 0.0))
+                 / 1000000.0 * 10000.0) / 10000.0 AS sd_v,
            round(mn * 10000.0 / 1000000.0) / 10000.0 AS min_v,
            round(mx * 10000.0 / 1000000.0) / 10000.0 AS max_v
     FROM s ORDER BY dim
@@ -75,12 +77,20 @@ def embedding_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("q").cast("long").alias("mn"),
         F.max("q").cast("long").alias("mx"),
     )
+    # the greatest(…, 0) clamp is load-bearing: sq² exceeds 2^53 for a
+    # near-constant dimension, and fp cancellation can leave the true-
+    # zero variance a hair NEGATIVE — DuckDB's sqrt throws on that
+    # while Spark returns NaN, so without a symmetric clamp the gate
+    # crashes exactly on the dead dimensions this entry exists to find.
     sd = F.sqrt(
-        (
-            F.col("sqq").cast("double")
-            - F.col("sq").cast("double") * F.col("sq") / F.col("n_vecs")
+        F.greatest(
+            (
+                F.col("sqq").cast("double")
+                - F.col("sq").cast("double") * F.col("sq") / F.col("n_vecs")
+            )
+            / F.col("n_vecs"),
+            F.lit(0.0),
         )
-        / F.col("n_vecs")
     )
     return s.select(
         F.col("dim").cast("long").alias("dim"),
@@ -318,52 +328,25 @@ def near_dup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SHORT side's shingles into a Bloom/CMS probe instead; at this
     corpus's size ratios the banding recall is exact (pinned by the
     oracle, which verifies ALL banded candidates)."""
-    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
-    from ..operators.text import shingles_from_text
+    from ..operators.dedup import (
+        containment_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_set,
+    )
 
     docs = _t_wide(spark, sf_dir, "documents")
-    sets = (
-        shingles_from_text(docs, "doc_id", "text", k=3)
-        .select("doc_id", "shingle")
-        .distinct()
-    )
+    # in-row-distinct shingle frame, persisted ONCE and shared by the
+    # signature aggregation and both verification sides (code-review
+    # r2 catch: the first cut global-distinct'd the widest frame and
+    # recomputed it per consumer).
+    sets = shingle_set(docs, "doc_id", "text", shingle_k=3).persist()
+    sets.count()
     sig = minhash_signatures(
-        docs, "doc_id", "text", n_hashes=8, shingle_k=3, shingle_sets=sets
+        docs, "doc_id", "text", n_hashes=8, shingle_sets=sets
     )
     cand = lsh_candidate_pairs(sig, "doc_id", n_hashes=8, band_size=2)
-    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sets.select(F.col("doc_id").alias("id_a"), "shingle")
-    sb = sets.select(
-        F.col("doc_id").alias("id_b_r"), F.col("shingle").alias("shingle_b")
-    )
-    inter = (
-        F.broadcast(cand)
-        .join(sa, "id_a")
-        .join(
-            sb,
-            (F.col("id_b") == F.col("id_b_r"))
-            & (F.col("shingle") == F.col("shingle_b")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
-    cont = (
-        inter.join(za, "id_a")
-        .join(zb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.col("n_inter").cast("long").alias("n_common"),
-            (F.round(F.col("n_inter") * 10000.0 / F.col("na")) / 10000.0).alias(
-                "contain_a_in_b"
-            ),
-            (F.round(F.col("n_inter") * 10000.0 / F.col("nb")) / 10000.0).alias(
-                "contain_b_in_a"
-            ),
-        )
-    )
+    cont = containment_verify(cand, sets, "doc_id")
     return (
         cont.where(
             (F.col("contain_a_in_b") >= 0.9) | (F.col("contain_b_in_a") >= 0.9)

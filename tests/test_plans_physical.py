@@ -754,8 +754,11 @@ def test_zorder_interleave_pure_codegen_no_join(spark):
 
 
 def test_ols_trend_broadcasts_dims_single_fact_shuffle(spark):
+    # the nation dim is force-broadcast; the customer join is
+    # deliberately UNHINTED (corpus-scale side — AQE decides), so
+    # only >= 1 broadcast is pinned.
     plan = _plan(spark, "nation_revenue_trend_ols")
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
 

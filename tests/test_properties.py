@@ -410,9 +410,12 @@ def test_zorder_interleave_bijective_and_decodable(spark):
     meaningful on both dimensions."""
     from data_engineer_task_spark.plans.analytics_ext22 import _z_col
 
+    # strided coordinates cover the full 16-bit range INCLUDING bit 15
+    # — the high bit whose (1 << 31) interleave term wraps negative in
+    # 32-bit arithmetic (the overflow class the long cast guards)
     df = spark.range(0, 1024).select(
-        (F.col("id") % 32).alias("x"),
-        (F.col("id") / 32).cast("long").alias("y"),
+        ((F.col("id") * 2047) % 65536).alias("x"),
+        ((F.col("id") * 1031 + 40000) % 65536).alias("y"),
     )
     rows = df.select("x", "y", _z_col(F.col("x"), F.col("y")).alias("z")).collect()
     seen = set()
