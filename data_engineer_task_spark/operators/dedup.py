@@ -286,6 +286,7 @@ def lsh_match_against(
     *,
     n_hashes: int = 8,
     band_size: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL dedup primitive: match a new batch's signatures
     against an existing corpus's — the shape every production crawl
@@ -297,8 +298,21 @@ def lsh_match_against(
     Scale: the corpus side is banded ONCE and can be a persisted /
     pre-materialized band table that successive batches join against —
     each increment then costs one shuffle of the (small) batch, never
-    a re-scan of the corpus text. Candidates stay bucket-bounded
-    exactly like ``lsh_candidate_pairs``."""
+    a re-scan of the corpus text.
+
+    Hot-bucket cap: with ``max_bucket_size`` set, a degenerate band
+    value (empty/boilerplate docs massed in BOTH corpus and batch)
+    can't make the query × corpus bucket join quadratic: corpus
+    members of a bucket of size s > max split into ceil(s/max)
+    md5-salted sub-buckets (salt keyed by id alone, same scheme as
+    ``lsh_candidate_pairs``), and each QUERY member is salted with the
+    SAME modulus — derived from the CORPUS bucket size, so the two
+    sides agree — landing it in exactly one sub-bucket. Each query row
+    then meets ~max corpus rows per degenerate band instead of s. The
+    recall price is cross-sub-bucket matches inside degenerate buckets
+    only — the near-identical-content slice exact dedup already
+    catches. Default off: byte-stable semantics for oracle-paired
+    entries; at 100 TB set it (e.g. 10_000) as the skew backstop."""
     if n_hashes % band_size:
         raise ValueError(
             f"band_size={band_size} must divide n_hashes={n_hashes}"
@@ -310,7 +324,32 @@ def lsh_match_against(
     bq = query_sigs.select(
         F.col(id_col).alias("id_q"), F.posexplode(bands).alias("band", "band_val")
     )
-    return bq.join(bc, ["band", "band_val"]).select("id_q", "id_c").distinct()
+    join_keys = ["band", "band_val"]
+    if max_bucket_size is not None:
+        from .sampling import _md5_uint16
+
+        sizes = bc.groupBy("band", "band_val").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        n_split = F.ceil(F.col("_bsz") / F.lit(max_bucket_size))
+
+        def _salt(idc):
+            return F.when(
+                F.col("_bsz") <= max_bucket_size, F.lit(0)
+            ).otherwise(
+                F.pmod(_md5_uint16(F.col(idc).cast("string"), salt="lshb:"), n_split)
+            )
+
+        bc = bc.join(sizes, ["band", "band_val"]).withColumn(
+            "_salt", _salt("id_c")
+        )
+        # inner join: a query band value absent from the corpus has no
+        # matches anyway, so dropping it loses nothing.
+        bq = bq.join(sizes, ["band", "band_val"]).withColumn(
+            "_salt", _salt("id_q")
+        )
+        join_keys.append("_salt")
+    return bq.join(bc, join_keys).select("id_q", "id_c").distinct()
 
 
 def jaccard_verify(

@@ -55,13 +55,12 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-cap filter) bounds them; the window itself only computes min,
     so AQE's skew split applies cleanly."""
     docs = _t_wide(spark, sf_dir, "documents")
-    from ..operators.text import shingles_from_text
+    from ..operators.dedup import shingle_set
 
-    sets = (
-        shingles_from_text(docs, "doc_id", "text", k=3)
-        .select("doc_id", "shingle")
-        .distinct()
-    )
+    # in-row array_distinct → explode (CLAUDE.md shingle-frame rule):
+    # a doc's shingles are row-local, so a global .distinct() would
+    # shuffle the widest frame in the pipeline for nothing.
+    sets = shingle_set(docs, "doc_id", "text", shingle_k=3)
     nov = sets.withColumn(
         "first_doc", F.min("doc_id").over(W.partitionBy("shingle"))
     )

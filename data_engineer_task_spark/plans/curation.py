@@ -92,6 +92,14 @@ class CurationPipeline:
 
     def run(self, docs: DataFrame) -> dict:
         cfg = self.cfg
+        if cfg.near_dup_keep not in ("first", "best"):
+            # A typo from a programmatic caller (the CLI's choices= guard
+            # doesn't cover library use) would otherwise fall through to
+            # the keep-first branch and silently change which documents
+            # survive.
+            raise ValueError(
+                f"near_dup_keep={cfg.near_dup_keep!r} — must be 'first' or 'best'"
+            )
         t0 = time.perf_counter()
         manifest: dict = {"stages": [], "config": {
             "near_dup_threshold": cfg.near_dup_threshold,

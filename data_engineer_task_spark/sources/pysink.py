@@ -79,17 +79,28 @@ class _JsonlShardWriter(DataSourceWriter):
             for m in messages
             if m is not None
         ]
+        if not self.overwrite:
+            # append semantics: the new manifest must keep naming every
+            # previously committed shard, or manifest-following readers
+            # silently lose the earlier jobs' rows.  Merge the existing
+            # shard list in (dedup by file name — a file appears at most
+            # once since names are uuid-unique).
+            try:
+                with open(os.path.join(self.path, MANIFEST_NAME)) as f:
+                    prior = json.load(f).get("shards", [])
+            except FileNotFoundError:
+                prior = []
+            seen = {s["file"] for s in shards}
+            shards.extend(s for s in prior if s["file"] not in seen)
+        # overwrite semantics: the new manifest supersedes the old shard
+        # set; stale shards (not in any manifest) are dead by contract
+        # since readers only follow the manifest.
         manifest = {
             "shards": sorted(shards, key=lambda s: s["file"]),
             "n_rows": sum(s["n_rows"] for s in shards),
             "n_bytes": sum(s["n_bytes"] for s in shards),
             "n_shards": len(shards),
         }
-        if self.overwrite:
-            # overwrite semantics: the new manifest supersedes the old
-            # shard set; stale shards (not in any manifest) are dead by
-            # contract since readers only follow the manifest.
-            pass
         tmp = os.path.join(self.path, f".{MANIFEST_NAME}.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)

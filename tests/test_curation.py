@@ -144,3 +144,14 @@ def test_segment_dedup_stage_conserves_and_rejects_empties(spark, corpus, tmp_pa
     # funnel conservation still holds with the extra stage
     assert curated.count() + rejects.count() == stages["input"]
     assert manifest["config"]["segment_dedup"] is True
+
+
+def test_invalid_near_dup_keep_raises(spark, corpus, tmp_path):
+    """ADVICE r2: a typo'd keep rule from a programmatic caller must
+    raise, not silently fall through to keep-first and change which
+    documents survive."""
+    import pytest
+
+    cfg = CurationConfig(near_dup_keep="longest")
+    with pytest.raises(ValueError, match="near_dup_keep"):
+        CurationPipeline(spark, str(tmp_path), cfg).run(corpus)

@@ -743,27 +743,44 @@ def test_lsh_hot_bucket_cap_bounds_candidates(spark):
     assert capped_df.count() == capped
 
 
-def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
-    """Dynamic partition pruning: a fact table PARTITIONED on the join
-    key must prune its partitions from the dim side's runtime filter —
-    at 100 TB the difference between scanning one priority and all of
-    them. The plan must carry a dynamicpruning subquery on the fact
-    scan, and the result must match the statically-filtered join."""
-    orders = load_table(spark, SF_SMOKE, "orders")
-    fact_path = str(tmp_path / "orders_part")
-    dim_path = str(tmp_path / "prio_dim")
-    orders.write.partitionBy("o_orderpriority").parquet(fact_path)
-    # dim filter is on a NON-join column: the fact-side partition
-    # filter can only arrive at runtime, via the DPP subquery — a
-    # static literal on the join key would be pushed statically and
-    # prove nothing.
-    orders.select("o_orderpriority").distinct().withColumn(
-        "tag", F.when(F.col("o_orderpriority") == "1-URGENT", "keep").otherwise("drop")
-    ).write.parquet(dim_path)
-    fact = spark.read.parquet(fact_path)
-    dim = spark.read.parquet(dim_path).where(F.col("tag") == "keep")
-    joined = fact.join(dim, "o_orderpriority")
-    physical = joined._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in physical, physical[:2000]
-    expected = orders.where(F.col("o_orderpriority") == "1-URGENT").count()
-    assert joined.count() == expected
+def test_lsh_match_against_hot_bucket_cap(spark):
+    """ADVICE r2: the incremental query×corpus path gets the same
+    hot-bucket cap as the self-join — a degenerate band value massed
+    in BOTH corpus and batch must not go quadratic. The corpus-side
+    bucket size fixes the split modulus on both sides, so each query
+    doc meets ~max corpus docs per band; normal matches survive."""
+    from data_engineer_task_spark.operators.dedup import (
+        lsh_match_against,
+        minhash_signatures,
+    )
+
+    n_c, n_q = 200, 50
+    corpus = [(i, "the same boilerplate text every time") for i in range(n_c)]
+    corpus += [(900, "rare unique pair alpha beta")]
+    batch = [(10_000 + i, "the same boilerplate text every time") for i in range(n_q)]
+    batch += [(10_900, "rare unique pair alpha beta")]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    qdf = spark.createDataFrame(batch, "doc_id long, text string")
+    csigs = minhash_signatures(cdf, "doc_id", "text", n_hashes=8, shingle_k=3)
+    qsigs = minhash_signatures(qdf, "doc_id", "text", n_hashes=8, shingle_k=3)
+
+    uncapped = lsh_match_against(csigs, qsigs, "doc_id").count()
+    assert uncapped >= n_q * n_c  # the quadratic blow-up is real
+
+    capped_df = lsh_match_against(csigs, qsigs, "doc_id", max_bucket_size=20)
+    capped = capped_df.count()
+    # ceil(200/20)=10-way corpus split with the SAME modulus salting
+    # the query side: each query doc lands in one sub-bucket and meets
+    # ~20 corpus docs instead of 200 — bounded by n_q · 2·max (+ the
+    # normal pair), far under n_q · n_c.
+    assert capped < uncapped / 4, (capped, uncapped)
+    assert capped <= n_q * (2 * 20) + 1, capped
+    # the normal cross match must survive the cap
+    assert (
+        capped_df.where(
+            (F.col("id_q") == 10_900) & (F.col("id_c") == 900)
+        ).count()
+        == 1
+    )
+    # determinism: md5-keyed salt, not rand()
+    assert capped_df.count() == capped

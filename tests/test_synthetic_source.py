@@ -148,3 +148,40 @@ def test_jsonl_manifest_sink_two_phase_commit(spark, tmp_path):
     w.abort(msgs)
     assert not os.path.exists(os.path.join(out2, "part-x.jsonl"))
     assert not os.path.exists(os.path.join(out2, MANIFEST_NAME))
+
+
+def test_jsonl_manifest_sink_append_merges_manifest(spark, tmp_path):
+    """ADVICE r2: a SECOND .mode('append') write to the same path must
+    publish a manifest that still names the first job's shards —
+    manifest-following readers would otherwise silently lose the
+    earlier job's rows. Overwrite mode must supersede instead."""
+    import os
+
+    from data_engineer_task_spark.sources.pysink import (
+        JsonlManifestSink,
+        read_manifest,
+    )
+
+    spark.dataSource.register(JsonlManifestSink)
+    out = str(tmp_path / "sink_append")
+    spark.range(0, 100).repartition(2).write.format("jsonl_manifest").mode(
+        "append"
+    ).option("path", out).save()
+    first = read_manifest(out)
+    spark.range(100, 250).repartition(3).write.format("jsonl_manifest").mode(
+        "append"
+    ).option("path", out).save()
+
+    man = read_manifest(out)
+    assert man["n_shards"] == 5
+    assert man["n_rows"] == 250
+    assert {s["file"] for s in first["shards"]} <= {s["file"] for s in man["shards"]}
+    back = spark.read.json([os.path.join(out, s["file"]) for s in man["shards"]])
+    assert sorted(r["id"] for r in back.collect()) == list(range(250))
+
+    # overwrite supersedes: only the new job's shards remain listed
+    spark.range(0, 10).repartition(1).write.format("jsonl_manifest").mode(
+        "overwrite"
+    ).option("path", out).save()
+    man2 = read_manifest(out)
+    assert man2["n_shards"] == 1 and man2["n_rows"] == 10
