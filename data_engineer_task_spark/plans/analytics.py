@@ -1996,16 +1996,102 @@ def customer_scd2_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("embedding_kmeans_clusters")  # iterative (Lloyd's) — not SQL-expressible
+def _kmeans_oracle_ctes(n_iters: int, k: int = 8, round_to: int = 6) -> str:
+    """Unrolled Lloyd's-iteration CTE chain (DuckDB) mirroring
+    ``similarity.kmeans_fit(k, n_iters)`` — the same fixed-iteration
+    unrolling trick the pagerank oracle uses. Per iteration: argmin
+    squared-L2 assignment (d2 ASC, cluster ASC tie-break — numpy
+    argmin's first-minimum under bitwise-equal ties), per-(cluster,
+    dim) mean rounded via scale-then-divide, empty clusters keeping
+    the previous centroid (the LEFT JOIN coalesce). kmeans_fit's
+    early-stop is a rounded FIXPOINT check, so running all
+    ``n_iters`` unconditionally computes identical centroids — the
+    update is the identity from the fixpoint on. Ends with ``afin``:
+    (vec_id, cluster, d2) under the final centroids. Assignment
+    ties stay cross-engine-safe because near-ties only arise from
+    coincident (rounded, hence bitwise-equal) centroids, where both
+    engines' d2 values are bitwise equal too."""
+    s = 10 ** round_to
+    parts = [
+        f"""vx AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    seed AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster
+      FROM embeddings ORDER BY vec_id ASC LIMIT {k}
+    ),
+    c0 AS (
+      SELECT s.cluster, v.d, round(v.x * {s}.0) / {s}.0 AS c
+      FROM seed s JOIN vx v USING (vec_id)
+    )"""
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"""d{i} AS (
+      SELECT v.vec_id, c.cluster, sum((v.x - c.c) * (v.x - c.c)) AS d2
+      FROM vx v JOIN c{i - 1} c USING (d)
+      GROUP BY v.vec_id, c.cluster
+    ),
+    a{i} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cluster ASC) AS rn
+        FROM d{i}
+      ) WHERE rn = 1
+    ),
+    c{i} AS (
+      SELECT p.cluster, p.d,
+             coalesce(round(m.c * {s}.0) / {s}.0, p.c) AS c
+      FROM c{i - 1} p
+      LEFT JOIN (
+        SELECT a.cluster, v.d, avg(v.x) AS c
+        FROM a{i} a JOIN vx v USING (vec_id)
+        GROUP BY a.cluster, v.d
+      ) m ON m.cluster = p.cluster AND m.d = p.d
+    )"""
+        )
+    parts.append(
+        f"""dfin AS (
+      SELECT v.vec_id, c.cluster, sum((v.x - c.c) * (v.x - c.c)) AS d2
+      FROM vx v JOIN c{n_iters} c USING (d)
+      GROUP BY v.vec_id, c.cluster
+    ),
+    afin AS (
+      SELECT vec_id, cluster, d2 FROM (
+        SELECT vec_id, cluster, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cluster ASC) AS rn
+        FROM dfin
+      ) WHERE rn = 1
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+@q(
+    "embedding_kmeans_clusters",
+    f"""
+    WITH {_kmeans_oracle_ctes(5)}
+    SELECT CAST(cluster AS INTEGER) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(sum(d2) * 100.0) / 100.0 AS inertia
+    FROM afin GROUP BY cluster ORDER BY cluster
+    """,
+)
 def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained k-means IVF: 5 Lloyd iterations over the embeddings
     (deterministic lowest-id init, centroids rounded per iteration),
     then per-cluster population and inertia. The loop moves only the
     k×d centroid table through the driver per iteration — assignment
     is a map-only stage against centroid literals, so the shape holds
-    at any corpus size. No SQL oracle: a fixed-point iteration isn't
-    expressible as one ANSI query; correctness is pinned by unit tests
-    on separated blobs + determinism (tests/test_scale_patterns.py)."""
+    at any corpus size. The oracle unrolls the 5 iterations as
+    chained CTEs (``_kmeans_oracle_ctes`` — the pagerank pattern):
+    valid because kmeans_fit's early-stop fires only at a rounded
+    fixpoint, where further updates are the identity. Blob-separation
+    + determinism unit tests remain in tests/test_scale_patterns.py."""
     from ..operators.similarity import kmeans_fit
 
     # Natural scan layout, NOT _t_wide: each iteration is one numpy

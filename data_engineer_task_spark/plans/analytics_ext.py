@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from .analytics import _SPLIT_BYTE, _md5_byte_sql, _t, q
+from .analytics import _SPLIT_BYTE, _kmeans_oracle_ctes, _md5_byte_sql, _t, q
 
 # Third-batch entries register themselves the same way on import (kept
 # in a sibling module so this file stays navigable). The import lives
@@ -957,14 +957,71 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("embedding_ivf_topk")  # iterative index build — not SQL-expressible
+@q(
+    "embedding_ivf_topk",
+    f"""
+    WITH {_kmeans_oracle_ctes(3)},
+    qv AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id ASC LIMIT 3),
+    qx AS (SELECT q.query_id, v.d, v.x FROM qv q JOIN vx v ON v.vec_id = q.query_id),
+    qnorm AS (SELECT query_id, sqrt(sum(x * x)) AS qn FROM qx GROUP BY query_id),
+    cnorm AS (SELECT cluster, sqrt(sum(c * c)) AS cn FROM c3 GROUP BY cluster),
+    route AS (
+      SELECT query_id, cluster FROM (
+        SELECT query_id, cluster,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rsim DESC, cluster ASC) AS rn
+        FROM (
+          SELECT q.query_id, c.cluster,
+                 CASE WHEN cn.cn * qn.qn > 0
+                      THEN round((sum(q.x * c.c) / (cn.cn * qn.qn)) * 1000000.0)
+                           / 1000000.0
+                      ELSE -1.0 END AS rsim
+          FROM qx q
+          JOIN c3 c USING (d)
+          JOIN cnorm cn ON cn.cluster = c.cluster
+          JOIN qnorm qn ON qn.query_id = q.query_id
+          GROUP BY q.query_id, c.cluster, cn.cn, qn.qn
+        )
+      ) WHERE rn <= 2
+    ),
+    vnorm AS (SELECT vec_id, sqrt(sum(x * x)) AS vn FROM vx GROUP BY vec_id),
+    cand AS (
+      SELECT r.query_id, a.vec_id
+      FROM route r JOIN afin a ON a.cluster = r.cluster
+    ),
+    dots AS (
+      SELECT c.query_id, c.vec_id, sum(v.x * q.x) AS dot
+      FROM cand c
+      JOIN vx v ON v.vec_id = c.vec_id
+      JOIN qx q ON q.query_id = c.query_id AND q.d = v.d
+      GROUP BY c.query_id, c.vec_id
+    ),
+    scored AS (
+      SELECT d.query_id, d.vec_id,
+             CASE WHEN vn.vn * qn.qn > 0
+                  THEN round((d.dot / (vn.vn * qn.qn)) * 1000000.0) / 1000000.0
+                  ELSE -1.0 END AS cos_sim
+      FROM dots d
+      JOIN vnorm vn USING (vec_id)
+      JOIN qnorm qn USING (query_id)
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id ASC, rank ASC
+    """,
+)
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN search path over the trained IVF index: route each query to
     its nprobe=2 nearest k-means cells, scan only those inverted lists,
-    rank by rounded cosine with id tie-breaks. Like
-    `embedding_kmeans_clusters` this is rows-only for the driver gate
-    (the index build is a fixed-point iteration, not one ANSI query);
-    exact-recall-vs-brute-force on separated blobs is pinned in
+    rank by rounded cosine with id tie-breaks. The oracle reuses the
+    unrolled-Lloyd's CTE chain (``analytics._kmeans_oracle_ctes``, 3
+    iterations to match) — with centroids pinned by those CTEs the
+    nprobe routing and per-cell scan are plain SQL top-k. Exact-recall
+    vs brute force on separated blobs stays pinned in
     tests/test_scale_patterns.py."""
     from ..operators.similarity import ivf_topk, kmeans_fit
 
