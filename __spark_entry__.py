@@ -28,65 +28,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries() entries
-# per round. Round 1 proved the relational core (CORRECTNESS_r01.json:
-# 50/50 green); this round rotates the not-yet-driver-checked
-# LLM-pipeline capstones (dedup/ANN/text/streaming/curation) plus the
-# two re-blocked pairwise entries into the window, including the new
-# round-2 families (exact-substring segment dedup, keep-best survivor
-# selection, LSH recall eval, Poisson bootstrap, Holt forecasting).
+# per round. Rounds 1+2 drove 100 disjoint entries green; round 3
+# rotates 48 never-driver-checked entries into the window —
+# prioritizing the divergence-prone float-heavy stats family, the
+# time-series family, attribution/graph, and the newest ext23 batch —
+# plus the two capstones (kmeans / IVF top-k) so the driver re-checks
+# them now that they carry unrolled fixed-iteration DuckDB oracles.
 # Registration order in plans/ is unchanged — only this contract
 # surface reorders.
 _WINDOW_PRIORITY = [
-    "doc_jaccard_join_exact",
-    "embedding_ann_recall",
-    "training_sample_assembly",
-    "stream_user_sessions",
-    "customer_linkage_scores",
-    "user_journey_edit_distance",
-    "doc_tfidf_cosine_pairs",
-    "doc_bm25_search",
-    "doc_contamination_overlap",
-    "doc_quality_gate",
-    "doc_language_id",
-    "doc_token_cms_topk",
-    "doc_weighted_sample",
-    "doc_balanced_lang_sample",
-    "doc_source_capped_sample",
-    "doc_bigram_perplexity",
-    "doc_vocab_oov_rates",
-    "doc_rake_keyphrases",
-    "doc_negative_pairs",
-    "doc_feature_hashing",
-    "doc_overlap_chunks",
-    "doc_fixed_chunks_udtf",
-    "doc_ngram_novelty",
-    "near_dup_threshold_sweep",
-    "corpus_mixture_weights",
-    "incremental_near_dup",
-    "doc_bigram_collocations",
-    "hybrid_rrf_search",
+    # capstones, re-nominated with oracles (VERDICT r2 next-4)
     "embedding_kmeans_clusters",
     "embedding_ivf_topk",
-    "embedding_quantization_error",
-    "embedding_silhouette_by_label",
-    "embedding_norm_profile",
-    "stream_enriched_event_stats",
-    "stream_purchase_click_outer",
-    "user_session_spans",
-    "customer_scd2_segments",
-    "customer_golden_record",
-    "customer_grid_density_clusters",
-    "customer_k_anonymity",
-    "ab_test_purchase_lift",
-    "ab_cuped_adjustment",
-    "ab_did_estimate",
-    "corpus_dup_segment_audit",
-    "doc_segment_dedup_rewrite",
-    "near_dup_keep_best",
-    "lsh_recall_vs_exact",
-    "order_price_bootstrap_ci",
-    "user_value_holt_forecast",
-    "stream_sliding_event_counts",
+    # float-heavy stats (VERDICT r2 next-1)
+    "nation_theil_decomposition",
+    "order_acctbal_spearman",
+    "event_value_psi",
+    "ab_ratio_metric_delta",
+    "ab_srm_check",
+    "lang_source_chisq",
+    "status_priority_entropy",
+    "lang_source_mutual_info",
+    "priority_price_dispersion",
+    "priority_geomean_price",
+    "customer_revenue_gini",
+    "nation_revenue_hhi",
+    "nation_revenue_share",
+    "order_price_benford",
+    "order_price_winsorized",
+    "order_price_histogram",
+    "event_reach_wilson_ci",
+    "event_value_ks_test",
+    "event_value_cusum_changepoint",
+    "user_survival_km",
+    "doc_labeler_agreement_kappa",
+    "lang_target_encoding_loo",
+    "order_price_woe_bins",
+    "event_dow_seasonal_anomalies",
+    "nation_revenue_trend_ols",
+    # time series
+    "event_rolling_median",
+    "event_hourly_interpolation",
+    "user_value_ewma",
+    "user_value_twap",
+    "user_value_lag_features",
+    "event_daily_acf",
+    "event_seasonal_naive_backtest",
+    "event_hourly_ohlc",
+    "event_interarrival_stats",
+    "event_time_rollup",
+    "peak_concurrent_users_daily",
+    "rolling_distinct_users",
+    "user_activity_islands",
+    "daily_new_returning_users",
+    # ext23 batch (VERDICT r2 next-1/next-5)
+    "near_dup_containment_pairs",
+    "doc_padding_waste_by_bucketing",
+    "embedding_dimension_profile",
+    "lang_id_confusion",
+    "quality_dup_interaction",
+    # attribution / graph / cohort
+    "purchase_attribution_last_touch",
+    "purchase_attribution_position",
+    "brand_copurchase_pagerank",
+    "user_cohort_ltv_curve",
 ]
 
 
