@@ -69,9 +69,14 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("cluster").alias("nb_cluster"))
         )
-        # Persist + materialize each sweep: truncates the growing
-        # iteration lineage (the kmeans pattern) and gives the
-        # convergence check and the next sweep one shared frame.
+        # localCheckpoint each sweep: persist() alone does NOT truncate
+        # the LOGICAL plan — labels is referenced twice per sweep, so
+        # analysis cost doubles every iteration and Catalyst, not the
+        # data, becomes the bottleneck after ~10 sweeps. Eager local
+        # checkpoint materializes AND cuts lineage to the stored
+        # blocks (the standard iterative-algorithm idiom, cf. ALS /
+        # GraphFrames); loss-of-executor recompute is forfeited, which
+        # is fine for a metadata-scale label frame.
         new_labels = (
             labels.join(nb_min, labels["node"] == nb_min["u"], "left")
             .select(
@@ -80,7 +85,7 @@ def connected_components(
                     F.col("cluster"), F.coalesce("nb_cluster", F.col("cluster"))
                 ).alias("cluster"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -94,16 +99,129 @@ def connected_components(
             converged = True
             break
     sym.unpersist()
-    und.unpersist()
     if not converged:
         # returning unconverged labels would silently split one real
         # component into several clusters — downstream dedup would keep
-        # extra "survivors"; fail loudly instead
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iters} sweeps "
-            "(component diameter exceeds max_iters); raise max_iters or "
-            "switch to the large-star/small-star variant for deep chains"
+        # extra "survivors". A component deeper than max_iters means
+        # min-label propagation (O(diameter) rounds) is the wrong
+        # algorithm for this graph; escalate to the O(log n)-round
+        # two-phase variant instead of failing.
+        labels.unpersist()
+        try:
+            return _two_phase_cc(und)
+        finally:
+            und.unpersist()
+    und.unpersist()
+    return labels
+
+
+def _two_phase_cc(und: DataFrame, *, max_rounds: int = 30) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the deep-graph fallback: round count is O(log n) in
+    component size instead of O(diameter), so a pathological chain
+    graph converges in ~log₂(n) alternations where min-label
+    propagation needs n sweeps.
+
+    Each round is two groupBy-join passes over the (metadata-scale)
+    edge list, kept canonical as (hi > lo) pairs:
+     - large-star: for every node u, link each LARGER neighbor to
+       m(u) = min(Γ(u) ∪ {u})
+     - small-star: for every center hi, link hi and each of its
+       smaller neighbors to the smallest of them
+    Both preserve connectivity and strictly shrink label distance;
+    the fixpoint is a star forest rooted at each component's min id.
+    Convergence is detected by a (count, xor-of-hash) checksum of
+    the canonical edge set — cheaper than a two-sided exceptAll and
+    collision-safe far beyond any real edge-list size. Returns
+    (node, cluster) labels identical to the other variants'
+    min-label fixpoint."""
+    # Eager localCheckpoint, NOT persist: each round references E 16×
+    # (sym 2×, ls 4× via sym⋈groupBy(sym), ss 4× via ls⋈groupBy(ls)),
+    # and persist() leaves the logical plan intact — analysis cost
+    # would grow 16^round and Catalyst hangs by round 2 (measured).
+    # Checkpointing cuts lineage so every round plans against a leaf.
+    E = (
+        und.where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
         )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(df: DataFrame) -> tuple:
+        # bit_xor, not sum: xxhash64 spans the full int64 range and a
+        # SUM overflows under ANSI mode; XOR is order-insensitive and
+        # overflow-free.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("hi", "lo")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = checksum(E)
+    converged = False
+    for _ in range(max_rounds):
+        # large-star over the symmetrized neighborhoods
+        sym = E.select(F.col("hi").alias("a"), F.col("lo").alias("b")).unionByName(
+            E.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        ls = (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("hi"), F.col("m").alias("lo"))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+            .persist()
+        )
+        # small-star over the canonical (hi → smaller neighbors) stars
+        smins = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        joined = ls.join(smins, "hi")
+        ss = (
+            joined.select(F.col("hi").alias("a"), F.col("m").alias("b"))
+            .unionByName(
+                joined.where(F.col("lo") != F.col("m")).select(
+                    F.col("lo").alias("a"), F.col("m").alias("b")
+                )
+            )
+            .where(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("hi"), F.col("b").alias("lo"))
+            .distinct()
+            .localCheckpoint(eager=True)  # materialize + cut lineage
+        )
+        cur = checksum(ss)
+        ls.unpersist()
+        E.unpersist()  # checkpointed blocks are no longer needed
+        E = ss
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        E.unpersist()
+        raise RuntimeError(
+            f"two-phase connected components did not converge in "
+            f"{max_rounds} rounds — max_rounds bounds log2(component "
+            "size), so this indicates a bug or checksum instability, "
+            "not a deep graph"
+        )
+    # Fixpoint is a star forest: every non-root appears as hi with its
+    # root as lo; roots appear only on the lo side. One symmetric
+    # min-pass reads the labels off (and gives roots themselves).
+    sym = E.select(F.col("hi").alias("a"), F.col("lo").alias("b")).unionByName(
+        E.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    )
+    labels = sym.groupBy("a").agg(
+        F.least(F.min("b"), F.first("a")).alias("cluster")
+    ).select(F.col("a").alias("node"), "cluster")
+    # Materialize before releasing the edge cache backing the lineage.
+    labels = labels.persist()
+    labels.count()
+    E.unpersist()
     return labels
 
 

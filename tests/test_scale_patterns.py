@@ -571,24 +571,58 @@ def test_sampling_hashes_are_mutually_independent(spark):
         assert splits == {"train", "val", "test"}
 
 
-def test_connected_components_raises_when_unconverged(spark):
-    """A chain deeper than max_iters must fail loudly — unconverged
-    labels would silently split one component into several clusters."""
-    import pytest
-
+def test_connected_components_deep_chain_two_phase_fallback(spark):
+    """VERDICT r2 next-8: a chain deeper than max_iters no longer
+    fails — min-label propagation (O(diameter) sweeps) hands off to
+    the large-star/small-star two-phase variant (O(log n) rounds),
+    which must converge and produce the identical min-label fixpoint.
+    Two disjoint chains pin that components stay separate."""
     from data_engineer_task_spark.operators.graph import connected_components
 
-    chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(10)], ["id_a", "id_b"]
-    )
-    with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iters=2, driver_threshold=0)
-    # the same chain converges on the (equivalent) union-find path —
+    edges = [(i, i + 1) for i in range(10)]          # chain 0..10
+    edges += [(100 + i, 100 + i + 1) for i in range(8)]  # chain 100..108
+    chain = spark.createDataFrame(edges, ["id_a", "id_b"])
+    # max_iters=2 cannot converge a diameter-10 chain -> fallback path
+    labels = {
+        r["node"]: r["cluster"]
+        for r in connected_components(
+            chain, max_iters=2, driver_threshold=0
+        ).collect()
+    }
+    assert labels == {i: 0 for i in range(11)} | {
+        100 + i: 100 for i in range(9)
+    }
+    # the same chain on the (equivalent) union-find path —
     # full distributed convergence is exercised at 3-4 sweeps by the
-    # near_dup_clusters pipeline; 10+ sweeps here would cost minutes
-    # of per-sweep replanning for no extra coverage
-    labels = connected_components(chain, max_iters=15, driver_threshold=10**6)
-    assert {r["cluster"] for r in labels.collect()} == {0}
+    # near_dup_clusters pipeline
+    uf = connected_components(chain, max_iters=15, driver_threshold=10**6)
+    assert {r["cluster"] for r in uf.collect()} == {0, 100}
+
+
+def test_two_phase_cc_matches_union_find_on_random_graph(spark):
+    """The two-phase variant must agree with the exact union-find on
+    an arbitrary (deterministically generated) multi-component graph
+    with merges, triangles, and high-id roots."""
+    from data_engineer_task_spark.operators.graph import (
+        _driver_union_find,
+        _two_phase_cc,
+    )
+    from pyspark.sql import functions as F2
+
+    edges = []
+    for g in range(7):  # 7 components with varied shapes
+        base = g * 50
+        edges += [(base + (j * 7) % 13, base + (j * 11) % 13) for j in range(20)]
+    df = (
+        spark.createDataFrame(edges, ["u", "v"])
+        .where(F2.col("u") != F2.col("v"))
+        .persist()
+    )
+    want = {
+        r["node"]: r["cluster"] for r in _driver_union_find(df).collect()
+    }
+    got = {r["node"]: r["cluster"] for r in _two_phase_cc(df).collect()}
+    assert got == want
 
 
 def test_as_of_join_payload_is_atomic_per_matched_row(spark):
