@@ -10,7 +10,10 @@ def test_cli_list_queries_prints_inventory(capsys):
     assert main(["list-queries"]) == 0
     out = capsys.readouterr().out
     assert "pricing_summary" in out
-    assert "embedding_kmeans_clusters  (rows-only: no SQL oracle)" in out
+    assert "embedding_kmeans_clusters" in out
+    # every declared entry carries a DuckDB oracle since the kmeans/IVF
+    # fixed-iteration unrolling landed — no rows-only rows remain
+    assert "(rows-only: no SQL oracle)" not in out
 
 
 def test_cli_unknown_query_exits_2(capsys):

@@ -23,11 +23,12 @@ from conftest import SF_SMOKE as _SF_DEFAULT
 
 SF_SMOKE = os.environ.get("SPARK_GRAFT_PARITY_SFDIR", _SF_DEFAULT)
 
-# name -> why no ANSI-SQL oracle exists
-NO_ORACLE = {
-    "embedding_kmeans_clusters": "fixed-point Lloyd iteration",
-    "embedding_ivf_topk": "search over the iteratively-built IVF index",
-}
+# name -> why no ANSI-SQL oracle exists. Empty since the kmeans / IVF
+# entries gained fixed-iteration unrolled oracles (the declared entries
+# pin n_iters, and kmeans_fit's early-stop only fires at a rounded
+# fixpoint where further updates are the identity) — kept as a registry
+# so a future genuinely-non-expressible entry declares its reason here.
+NO_ORACLE: dict[str, str] = {}
 
 
 @pytest.fixture(scope="module")
