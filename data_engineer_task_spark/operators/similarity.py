@@ -173,6 +173,84 @@ def bucketed_similar_pairs(
     )
 
 
+def clustered_similar_pairs(
+    assigned: DataFrame,
+    id_col: str,
+    *,
+    cluster_col: str = "cluster",
+    vec_col: str = "_v",
+    threshold: float = 0.0,
+    round_to: int = 5,
+) -> DataFrame:
+    """Pairwise cosine within pre-assigned clusters — the SemDeDup
+    decomposition (Abbas et al. 2023, arXiv:2303.09540): k-means first,
+    then pair enumeration ONLY inside each cluster, so total pair work
+    is Σ cluster_size² instead of corpus². ``assigned`` is
+    ``kmeans_fit``'s output (id, ``_v`` double vector, ``cluster``).
+    Same per-group gram-matrix kernel as ``bucketed_similar_pairs``
+    (one shuffle on the cluster key, one BLAS matmul per cluster, only
+    pairs >= threshold materialize); at corpus scale k grows ∝ n so
+    cluster size — and the per-group matrix — stays bounded.
+    Output: (cluster, id_a, id_b, cos_sim), id_a < id_b, cos_sim
+    rounded to ``round_to`` and thresholded on the ROUNDED value."""
+    id_type = assigned.schema[id_col].dataType.simpleString()
+    base = assigned.select(
+        F.col(cluster_col).alias("cluster"), F.col(id_col), F.col(vec_col)
+    )
+
+    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        norm = np.sqrt((V * V).sum(axis=1))
+        S = _safe_cos(V @ V.T, np.outer(norm, norm), round_to)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = S[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "cluster": np.repeat(pdf["cluster"].iloc[0], int(keep.sum())),
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cos_sim": S[ia[keep], ib[keep]],
+            }
+        )
+
+    return base.groupBy("cluster").applyInPandas(
+        gram,
+        f"cluster int, id_a {id_type}, id_b {id_type}, cos_sim double",
+    )
+
+
+def cos_to_centroid(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "_v",
+    cluster_col: str = "cluster",
+    round_to: int = 5,
+) -> DataFrame:
+    """Add ``cos2c``: rounded cosine of each vector to ITS OWN cluster
+    centroid — SemDeDup's survivor criterion (within a duplicate group,
+    the member LEAST similar to the centroid is kept, maximizing
+    diversity). The k×d centroid matrix rides in the UDF closure, so
+    this is a map-only stage (no join)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+
+    @F.pandas_udf("double")
+    def c2c(vs: pd.Series, cl: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="float64")
+        V = np.asarray(vs.tolist(), dtype=np.float64)
+        idx = cl.to_numpy()
+        Cv = C[idx]
+        num = (V * Cv).sum(axis=1)
+        den = np.sqrt((V * V).sum(axis=1)) * cn[idx]
+        return pd.Series(_safe_cos(num, den, round_to))
+
+    return assigned.withColumn("cos2c", c2c(vec_col, cluster_col))
+
+
 def _assign_to_centroids(
     base: DataFrame, centroids: list[list[float]]
 ) -> DataFrame:

@@ -469,3 +469,6 @@ def doc_padding_waste_by_bucketing(spark: SparkSession, sf_dir: str) -> DataFram
             / 10000.0
         ).alias("waste_frac"),
     ).orderBy("policy")
+
+
+from . import analytics_ext24  # noqa: E402,F401  isort:skip
