@@ -818,3 +818,83 @@ def test_lsh_match_against_hot_bucket_cap(spark):
     )
     # determinism: md5-keyed salt, not rand()
     assert capped_df.count() == capped
+
+
+def test_clustered_similar_pairs_matches_brute_force(spark):
+    """SemDeDup's within-cluster gram kernel must agree with an
+    explicit per-pair cosine: same pairs, same rounded similarity —
+    and must emit NO cross-cluster pairs (the scale contract: pair
+    work is bounded by the cluster partition)."""
+    import itertools
+
+    import numpy as np
+
+    from data_engineer_task_spark.operators.similarity import (
+        clustered_similar_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        v = rng.normal(size=8)
+        rows.append((i, [float(x) for x in v], int(i % 3)))
+    df = spark.createDataFrame(rows, ["vec_id", "_v", "cluster"])
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in clustered_similar_pairs(
+            df, "vec_id", threshold=0.2
+        ).collect()
+    }
+    want = {}
+    by_cluster = {}
+    for i, v, c in rows:
+        by_cluster.setdefault(c, []).append((i, np.asarray(v)))
+    for mem in by_cluster.values():
+        for (ia, va), (ib, vb) in itertools.combinations(sorted(mem), 2):
+            cs = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            cs = np.sign(cs) * np.floor(abs(cs) * 1e5 + 0.5) / 1e5
+            if cs >= 0.2:
+                want[(ia, ib)] = cs
+    assert got == want
+    # cross-cluster pairs are structurally impossible
+    assert all((a % 3) == (b % 3) for a, b in got)
+
+
+def test_cos_to_centroid_matches_manual(spark):
+    """cos2c must be the rounded cosine of each vector to ITS OWN
+    cluster centroid (the SemDeDup survivor criterion)."""
+    import numpy as np
+
+    from data_engineer_task_spark.operators.similarity import cos_to_centroid
+
+    C = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (0, [1.0, 0.0], 0),   # cos = 1 to centroid 0
+        (1, [1.0, 1.0], 1),   # cos = 1/sqrt(2) to centroid 1
+        (2, [-1.0, 0.0], 0),  # cos = -1 to centroid 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "_v", "cluster"])
+    got = {
+        r["vec_id"]: r["cos2c"] for r in cos_to_centroid(df, C).collect()
+    }
+    assert got[0] == 1.0
+    assert abs(got[1] - round(1 / np.sqrt(2), 5)) < 1e-9
+    assert got[2] == -1.0
+
+
+def test_dsir_weights_upweight_target_language(spark):
+    """The DSIR entry's importance weights must, on average, rank the
+    target slice (lang='en') above every other language — the defining
+    property of importance resampling toward a target distribution.
+    Checked through the declared entry's own mean_w output."""
+    from data_engineer_task_spark.plans.analytics import QUERIES
+
+    rows = QUERIES["doc_dsir_importance_sample"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    mean_w = {r["lang"]: r["mean_w"] for r in rows}
+    others = [w for lang, w in mean_w.items() if lang != "en"]
+    assert mean_w["en"] > max(others)
+    # weight-proportional acceptance: the en keep-rate must also lead
+    rates = {r["lang"]: r["n_kept"] / r["n_docs"] for r in rows}
+    assert rates["en"] == max(rates.values())
