@@ -183,6 +183,13 @@ def _curate_main(argv: list[str]) -> int:
                         help="near-dup survivor rule: min-id or longest member")
     parser.add_argument("--segment-dedup", action="store_true",
                         help="enable exact-substring (10-token segment) dedup stage")
+    parser.add_argument("--semantic-dedup", metavar="EMB_PARQUET",
+                        help="embeddings parquet enabling the SemDeDup "
+                             "semantic-dedup stage (id column mapped via "
+                             "--embedding-id-col)")
+    parser.add_argument("--embedding-id-col", default="vec_id",
+                        help="id column in the embeddings parquet that "
+                             "matches the documents --id-col values")
     args = parser.parse_args(argv[1:])
 
     from .plans.curation import CurationConfig, CurationPipeline
@@ -196,8 +203,15 @@ def _curate_main(argv: list[str]) -> int:
         near_dup_keep=args.keep,
         segment_dedup=args.segment_dedup,
     )
+    embeddings = None
+    if args.semantic_dedup:
+        embeddings = spark.read.parquet(args.semantic_dedup)
+        if args.embedding_id_col != args.id_col:
+            embeddings = embeddings.withColumnRenamed(
+                args.embedding_id_col, args.id_col
+            )
     manifest = CurationPipeline(spark, args.out, cfg).run(
-        spark.read.parquet(args.input)
+        spark.read.parquet(args.input), embeddings=embeddings
     )
     for s in manifest["stages"]:
         print(f"{s['stage']}: {s['rows']} rows")

@@ -62,6 +62,16 @@ class CurationConfig:
     # window and rewrite documents from the survivors.
     segment_dedup: bool = False
     segment_len: int = 10
+    # optional SemDeDup stage (embedding-space semantic dedup) after
+    # the text near-dup stage — runs only when run() receives an
+    # embeddings frame. Within-k-means-cluster cosine pairs >= the
+    # threshold form duplicate groups; the survivor is the member
+    # LEAST similar to its centroid (diversity-maximizing, Abbas et
+    # al. 2023). Docs WITHOUT an embedding row are always kept (no
+    # evidence to judge them on).
+    semantic_threshold: float = 0.35
+    semantic_k: int = 8
+    semantic_iters: int = 5
     minhash_hashes: int = 8
     shingle_k: int = 3
     min_avg_token_len: float = 0.0
@@ -90,7 +100,10 @@ class CurationPipeline:
         self.out_dir = out_dir
         self.cfg = config or CurationConfig()
 
-    def run(self, docs: DataFrame) -> dict:
+    def run(self, docs: DataFrame, embeddings: DataFrame | None = None) -> dict:
+        """``embeddings`` (optional): a frame with ``cfg.id_col`` and an
+        ``embedding`` array column — supplying it enables the SemDeDup
+        semantic-dedup stage after the text near-dup stage."""
         cfg = self.cfg
         if cfg.near_dup_keep not in ("first", "best"):
             # A typo from a programmatic caller (the CLI's choices= guard
@@ -239,6 +252,62 @@ class CurationPipeline:
             "reject_stage", F.lit("near_dedup")
         )
 
+        # 4b. Optional SemDeDup semantic dedup (embedding space): text
+        #     near-dup can't see paraphrases/translations that share no
+        #     shingles; k-means-bounded cosine pairs can. Survivor per
+        #     duplicate group = LOWEST cosine-to-centroid (diversity-
+        #     maximizing, min-id tie-break). Docs without an embedding
+        #     row are kept — absence of evidence is not a duplicate.
+        rejects_semantic = None
+        if embeddings is not None:
+            from ..operators.similarity import (
+                clustered_similar_pairs,
+                cos_to_centroid,
+                kmeans_fit,
+            )
+
+            emb = embeddings.select(cfg.id_col, "embedding").join(
+                deduped.select(cfg.id_col), cfg.id_col, "left_semi"
+            )
+            k_eff = min(cfg.semantic_k, emb.count())
+            if k_eff > 0:
+                centroids, assigned = kmeans_fit(
+                    emb, cfg.id_col, "embedding",
+                    k=k_eff, n_iters=cfg.semantic_iters,
+                )
+                assigned = assigned.persist()
+                assigned.count()
+                sem_pairs = clustered_similar_pairs(
+                    assigned, cfg.id_col, threshold=cfg.semantic_threshold
+                )
+                comp = connected_components(sem_pairs, "id_a", "id_b").select(
+                    "node", F.col("cluster").alias("comp")
+                )
+                c2 = cos_to_centroid(assigned, centroids).select(
+                    F.col(cfg.id_col).alias("node"), "cos2c"
+                )
+                sem_rn = F.row_number().over(
+                    W.partitionBy("comp").orderBy(
+                        F.col("cos2c").asc(), F.col("node").asc()
+                    )
+                )
+                sem_losers = (
+                    comp.join(c2, "node")
+                    .select("node", "comp", sem_rn.alias("_rn"))
+                    .where(F.col("_rn") != 1)
+                    .select(F.col("node").alias(cfg.id_col))
+                )
+                kept_sem = stage(
+                    "semantic_dedup",
+                    deduped.join(sem_losers, cfg.id_col, "left_anti").persist(),
+                )
+                rejects_semantic = deduped.join(
+                    sem_losers, cfg.id_col, "left_semi"
+                ).withColumn("reject_stage", F.lit("semantic_dedup"))
+                deduped = kept_sem
+                manifest["config"]["semantic_threshold"] = cfg.semantic_threshold
+                manifest["config"]["semantic_k"] = k_eff
+
         # 5. Deterministic split assignment (map-only md5 bucketing).
         final = hash_split(
             deduped.drop("_norm_text"), cfg.id_col, cuts=cfg.split_cuts
@@ -254,6 +323,8 @@ class CurationPipeline:
         )
         if rejects_segment is not None:
             rejects = rejects.unionByName(rejects_segment)
+        if rejects_semantic is not None:
+            rejects = rejects.unionByName(rejects_semantic)
         rejects = rejects.drop("_norm_text")
         rejects.write.mode("overwrite").partitionBy("reject_stage").parquet(
             rejects_path

@@ -155,3 +155,42 @@ def test_invalid_near_dup_keep_raises(spark, corpus, tmp_path):
     cfg = CurationConfig(near_dup_keep="longest")
     with pytest.raises(ValueError, match="near_dup_keep"):
         CurationPipeline(spark, str(tmp_path), cfg).run(corpus)
+
+
+def test_semantic_dedup_stage_removes_embedding_duplicates(spark, corpus, tmp_path):
+    """Supplying embeddings enables the SemDeDup stage: a planted pair
+    of IDENTICAL embedding vectors (cos = 1.0, same k-means cluster by
+    construction) must lose exactly one member — the higher-id one,
+    since equal cos-to-centroid ties break on min node id — and the
+    funnel must stay conserved with the new reject stage labeled."""
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .where(F.col("vec_id") < 200)
+        .select(F.col("vec_id").alias("doc_id"), "embedding")
+    )
+    v0 = emb.where(F.col("doc_id") == 0).collect()[0]["embedding"]
+    planted = spark.createDataFrame(
+        [(1, v0)], "doc_id long, embedding array<float>"
+    )
+    emb = emb.where(F.col("doc_id") != 1).unionByName(planted)
+
+    cfg = CurationConfig(near_dup_threshold=0.5)
+    manifest = CurationPipeline(spark, str(tmp_path), cfg).run(
+        corpus, embeddings=emb
+    )
+    rows = {s["stage"]: s["rows"] for s in manifest["stages"]}
+    assert "semantic_dedup" in rows
+    assert rows["near_dedup"] >= rows["semantic_dedup"]
+    assert manifest["config"]["semantic_threshold"] == 0.35
+
+    curated = spark.read.parquet(manifest["curated_path"])
+    rejects = spark.read.parquet(manifest["rejects_path"])
+    # funnel conservation still holds with the extra stage
+    assert curated.count() + rejects.count() == rows["input"]
+    # the planted duplicate pair: doc 0 survives, doc 1 dies SEMANTIC
+    sem = rejects.where(F.col("reject_stage") == "semantic_dedup")
+    assert sem.where(F.col("doc_id") == 1).count() == 1
+    assert curated.where(F.col("doc_id") == 0).count() == 1
+    # docs without an embedding row are never semantic rejects
+    no_emb = sem.join(emb, "doc_id", "left_anti")
+    assert no_emb.count() == 0
