@@ -28,70 +28,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries() entries
-# per round. Rounds 1+2 drove 100 disjoint entries green; round 3
-# rotates 48 never-driver-checked entries into the window —
-# prioritizing the divergence-prone float-heavy stats family, the
-# time-series family, attribution/graph, and the newest ext23 batch —
-# plus the two capstones (kmeans / IVF top-k) so the driver re-checks
-# them now that they carry unrolled fixed-iteration DuckDB oracles.
+# per round. Rounds 1-3 drove 148 distinct entries (147 green); round
+# 4 leads with the one red row (user_survival_km — rebuilt as an
+# IEEE-exact in-row product fold, VERDICT r3 next-2) and rotates 49
+# never-driver-checked entries in: the ext24 trio first (newest code,
+# highest divergence risk), then the r1-era SQL-surface family and
+# the ext5-ext13 applied-stats/curation rows (VERDICT r3 next-3).
 # Registration order in plans/ is unchanged — only this contract
-# surface reorders.
+# surface reorders. Residue after this window: 21 never-checked
+# entries (simple integer/string SQL rows), queued for window 5.
 _WINDOW_PRIORITY = [
-    # capstones, re-nominated with oracles (VERDICT r2 next-4)
-    "embedding_kmeans_clusters",
-    "embedding_ivf_topk",
-    # float-heavy stats (VERDICT r2 next-1)
-    "nation_theil_decomposition",
-    "order_acctbal_spearman",
-    "event_value_psi",
-    "ab_ratio_metric_delta",
-    "ab_srm_check",
-    "lang_source_chisq",
-    "status_priority_entropy",
-    "lang_source_mutual_info",
-    "priority_price_dispersion",
-    "priority_geomean_price",
-    "customer_revenue_gini",
-    "nation_revenue_hhi",
-    "nation_revenue_share",
-    "order_price_benford",
-    "order_price_winsorized",
-    "order_price_histogram",
-    "event_reach_wilson_ci",
-    "event_value_ks_test",
-    "event_value_cusum_changepoint",
+    # red row r3, re-nominated after the transcendental-free rebuild
     "user_survival_km",
-    "doc_labeler_agreement_kappa",
-    "lang_target_encoding_loo",
-    "order_price_woe_bins",
-    "event_dow_seasonal_anomalies",
-    "nation_revenue_trend_ols",
-    # time series
-    "event_rolling_median",
-    "event_hourly_interpolation",
-    "user_value_ewma",
-    "user_value_twap",
-    "user_value_lag_features",
-    "event_daily_acf",
-    "event_seasonal_naive_backtest",
-    "event_hourly_ohlc",
-    "event_interarrival_stats",
-    "event_time_rollup",
-    "peak_concurrent_users_daily",
-    "rolling_distinct_users",
-    "user_activity_islands",
-    "daily_new_returning_users",
-    # ext23 batch (VERDICT r2 next-1/next-5)
-    "near_dup_containment_pairs",
-    "doc_padding_waste_by_bucketing",
-    "embedding_dimension_profile",
-    "lang_id_confusion",
-    "quality_dup_interaction",
-    # attribution / graph / cohort
-    "purchase_attribution_last_touch",
-    "purchase_attribution_position",
-    "brand_copurchase_pagerank",
-    "user_cohort_ltv_curve",
+    # ext24 trio (never checked; DSIR has quantized-libm membership)
+    "embedding_semantic_dup_pairs",
+    "embedding_semantic_dedup_survivors",
+    "doc_dsir_importance_sample",
+    # SQL-surface family (VERDICT r3 next-3 named rows)
+    "segment_acctbal_ranks",
+    "order_priority_status_cube",
+    "lateral_top_suppliers",
+    "event_props_variant_hist",
+    "source_lang_map_roundtrip",
+    "custkey_ancestry_depths",
+    "order_modern_sql_surface",
+    # analytics_ext residue
+    "bulky_orders_vs_customer_avg",
+    "part_name_fuzzy_neighbors",
+    "event_value_anomalies",
+    "user_weekly_retention",
+    "customer_rfm_segments",
+    "purchase_click_cogroup_stats",
+    # ext2 profiling
+    "doc_repetition_profile",
+    "corpus_zipf_curve",
+    "event_transition_matrix",
+    # applied stats / curation (ext3-ext16)
+    "priority_price_trend",
+    "event_user_bitmap_distinct",
+    "doc_denylist_scrub",
+    "part_skyline_frontier",
+    "orders_incremental_agg_merge",
+    "priority_customer_multiset",
+    "orders_partition_checksums",
+    "part_abc_classification",
+    "event_segment_pit_join",
+    "brand_basket_rules",
+    "customer_supplier_grid_join",
+    "signup_purchase_latency",
+    "brand_copurchase_triangles",
+    "event_path_trigrams",
+    "region_budget_allocation",
+    "customer_revenue_waterfall",
+    "customer_segment_mode_imputation",
+    "brand_price_index_laspeyres",
+    "user_burstiness_profile",
+    "brand_top_parts_with_ties",
+    # training-data pipeline rows (ext19-ext22)
+    "doc_shard_assignment",
+    "doc_curriculum_buckets",
+    "embedding_matryoshka_truncation",
+    "customer_l_diversity",
+    "fd_violation_audit",
+    "audience_overlap_matrix",
+    "split_leakage_audit",
+    "corpus_dedup_savings",
+    "doc_token_entropy",
+    "orders_zorder_locality",
 ]
 
 

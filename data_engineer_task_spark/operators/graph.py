@@ -218,6 +218,20 @@ def _two_phase_cc(und: DataFrame, *, max_rounds: int = 30) -> DataFrame:
     labels = sym.groupBy("a").agg(
         F.least(F.min("b"), F.first("a")).alias("cluster")
     ).select(F.col("a").alias("node"), "cluster")
+    # The u != v canonicalization dropped SELF-LOOP-ONLY nodes from the
+    # star forest, but the contract ("nodes = every id appearing on
+    # either side") labels them (node, node) in the union-find and
+    # propagation paths — union the stragglers back in (ADVICE r3).
+    all_nodes = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    labels = labels.unionByName(
+        all_nodes.join(labels, "node", "left_anti").select(
+            "node", F.col("node").alias("cluster")
+        )
+    )
     # Materialize before releasing the edge cache backing the lineage.
     labels = labels.persist()
     labels.count()

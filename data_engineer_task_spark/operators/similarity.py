@@ -18,6 +18,8 @@ same plan shape a broadcast join would give with zero build overhead.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -37,6 +39,18 @@ def _round_half_away(v: "np.ndarray", round_to: int) -> "np.ndarray":
     this matches round(x * 10^n) / 10^n on both engines bit-for-bit."""
     s = 10.0 ** round_to
     return np.sign(v) * np.floor(np.abs(v) * s + 0.5) / s
+
+
+def _round_half_away_scalar(x: float, round_to: int) -> float:
+    """Driver-side scalar twin of ``_round_half_away`` (same
+    floor(|x|·s + 0.5) formula, bit-identical results). Python's
+    built-in ``round()`` is banker's (half-EVEN) on the correct
+    decimal value, which disagrees with the engines' half-away display
+    round exactly on representable half-way values — and k-means init
+    rounds RAW float32 embedding coordinates, where dyadic values like
+    odd/128 (x·10⁶ exactly N.5) are reachable (ADVICE r3)."""
+    s = 10.0 ** round_to
+    return math.copysign(math.floor(abs(x) * s + 0.5) / s, x)
 
 
 def _safe_cos(num: "np.ndarray", den: "np.ndarray", round_to: int) -> "np.ndarray":
@@ -252,7 +266,7 @@ def cos_to_centroid(
 
 
 def _assign_to_centroids(
-    base: DataFrame, centroids: list[list[float]]
+    base: DataFrame, centroids: list[list[float]], *, round_to: int = 6
 ) -> DataFrame:
     """Add a ``cluster`` (0-based argmin squared-L2, lowest-index
     tie-break) and ``_d2`` (that distance) column. The centroid matrix
@@ -262,7 +276,19 @@ def _assign_to_centroids(
     column expressions: the k×d literal expression tree costs Catalyst
     planning + codegen per k-means iteration and evaluates
     element-by-element, while one numpy matmul per Arrow batch is
-    O(n·k·d) in BLAS."""
+    O(n·k·d) in BLAS.
+
+    DETERMINISM: the argmin runs on d2 QUANTIZED to ``round_to``
+    decimals (ADVICE r3) — the raw values are never bitwise-comparable
+    cross-engine (this kernel uses the expanded |v|²−2v·c+|c|² form,
+    the oracle CTE sums (x−c)² directly, and each re-associates its
+    sums differently), so a vector near-equidistant to two centroids
+    could flip assignment between engines. After quantization both
+    engines see identical buckets except when a raw d2 sits within fp
+    noise (~1 ulp) of a 10^-round_to boundary, and genuine near-ties
+    resolve by the shared lowest-cluster tie-break. The reported _d2
+    is the quantized value, so downstream inertia sums fold
+    bitwise-identical addends."""
     import numpy as np
     import pandas as pd
 
@@ -278,11 +304,15 @@ def _assign_to_centroids(
                                  "d2": pd.array([], dtype="float64")})
         V = np.asarray(vs.tolist(), dtype=np.float64)
         d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
-        cl = d2.argmin(axis=1)  # lowest-index tie-break, like array_position
+        # clamp BEFORE rounding: the expanded form can dip a few ulps
+        # below zero on self-distances, while the oracle's direct form
+        # is non-negative by construction
+        q2 = _round_half_away(np.maximum(d2, 0.0), round_to)
+        cl = q2.argmin(axis=1)  # lowest-index tie-break, like array_position
         return pd.DataFrame(
             {
                 "cluster": cl.astype("int32"),
-                "d2": np.maximum(d2[np.arange(len(cl)), cl], 0.0),
+                "d2": q2[np.arange(len(cl)), cl],
             }
         )
 
@@ -307,10 +337,14 @@ def kmeans_fit(
     shape is the canonical Spark iterative-ML pattern: only O(k·d)
     state ever crosses the driver boundary, so it scales to any row
     count. Determinism: init = the k lowest-``id_col`` vectors;
-    centroids rounded to ``round_to`` decimals each iteration (pins
-    down fp summation-order noise); empty clusters keep their previous
+    centroids rounded to ``round_to`` decimals each iteration via the
+    half-away scale-then-divide rule — NOT Python's half-even round()
+    (ADVICE r3: init rounds raw float32 coordinates, where x·10⁶
+    landing exactly on N.5 is reachable) — which pins down fp
+    summation-order noise; empty clusters keep their previous
     centroid. Returns (centroids, assignment DataFrame with
-    ``cluster`` and squared distance ``_d2``)."""
+    ``cluster`` and QUANTIZED squared distance ``_d2`` — see
+    ``_assign_to_centroids`` for the cross-engine argmin contract)."""
     base = emb.select(
         id_col, as_double(F.col(vec_col)).alias("_v")
     ).persist()
@@ -318,16 +352,22 @@ def kmeans_fit(
     if len(init) < k:
         raise ValueError(f"need >= {k} vectors, got {len(init)}")
     dim = len(init[0]["_v"])
-    centroids = [[round(float(x), round_to) for x in r["_v"]] for r in init]
+    centroids = [
+        [_round_half_away_scalar(float(x), round_to) for x in r["_v"]]
+        for r in init
+    ]
     for _ in range(n_iters):
-        assigned = _assign_to_centroids(base, centroids)
+        assigned = _assign_to_centroids(base, centroids, round_to=round_to)
         rows = (
             assigned.groupBy("cluster")
             .agg(*[F.avg(F.element_at("_v", d + 1)).alias(f"c{d}") for d in range(dim)])
             .collect()
         )
         new = {
-            r["cluster"]: [round(float(r[f"c{d}"]), round_to) for d in range(dim)]
+            r["cluster"]: [
+                _round_half_away_scalar(float(r[f"c{d}"]), round_to)
+                for d in range(dim)
+            ]
             for r in rows
         }
         updated = [new.get(c, centroids[c]) for c in range(k)]
@@ -336,7 +376,7 @@ def kmeans_fit(
             # stopping changes nothing but the job count.
             break
         centroids = updated
-    final = _assign_to_centroids(base, centroids)
+    final = _assign_to_centroids(base, centroids, round_to=round_to)
     # The cache served its purpose (one scan per iteration); release
     # it so repeated fits don't pin corpus copies for the session
     # lifetime. Consuming `final` re-reads the source once —
@@ -438,7 +478,10 @@ def ivf_topk(
         den = cnorm * qn
         # zero-norm centroid (empty cell kept its init) → never probed
         sims = np.where(den > 0, (C @ q) / np.where(den > 0, den, 1.0), -1.0)
-        cells = np.argsort(-np.round(sims, round_to), kind="stable")[:nprobe]
+        # half-away rounding (np.round is half-EVEN — the oracle routes
+        # on DuckDB round(), half away from zero); stable argsort =
+        # lowest-cluster tie-break, matching ORDER BY rsim DESC, cluster
+        cells = np.argsort(-_round_half_away(sims, round_to), kind="stable")[:nprobe]
         probe_rows.extend(
             (qid, int(c), [float(x) for x in q]) for c in cells
         )

@@ -2007,10 +2007,17 @@ def _kmeans_oracle_ctes(n_iters: int, k: int = 8, round_to: int = 6) -> str:
     early-stop is a rounded FIXPOINT check, so running all
     ``n_iters`` unconditionally computes identical centroids — the
     update is the identity from the fixpoint on. Ends with ``afin``:
-    (vec_id, cluster, d2) under the final centroids. Assignment
-    ties stay cross-engine-safe because near-ties only arise from
-    coincident (rounded, hence bitwise-equal) centroids, where both
-    engines' d2 values are bitwise equal too."""
+    (vec_id, cluster, d2) under the final centroids.
+
+    DETERMINISM (ADVICE r3): d2 is QUANTIZED to ``round_to`` decimals
+    before the argmin on BOTH sides — the raw values are not
+    bitwise-comparable cross-engine (the Spark kernel expands
+    |v|²−2v·c+|c|², this CTE sums (x−c)² directly, and the two
+    re-associate differently), so a vector near-equidistant to two
+    centroids could otherwise flip assignment. Post-quantization the
+    engines agree except when a raw d2 sits within ~1 ulp of a
+    10^-round_to boundary; genuine near-ties resolve by the shared
+    (d2 ASC, cluster ASC) tie-break."""
     s = 10 ** round_to
     parts = [
         f"""vx AS (
@@ -2030,7 +2037,8 @@ def _kmeans_oracle_ctes(n_iters: int, k: int = 8, round_to: int = 6) -> str:
     for i in range(1, n_iters + 1):
         parts.append(
             f"""d{i} AS (
-      SELECT v.vec_id, c.cluster, sum((v.x - c.c) * (v.x - c.c)) AS d2
+      SELECT v.vec_id, c.cluster,
+             round(sum((v.x - c.c) * (v.x - c.c)) * {s}.0) / {s}.0 AS d2
       FROM vx v JOIN c{i - 1} c USING (d)
       GROUP BY v.vec_id, c.cluster
     ),
@@ -2055,7 +2063,8 @@ def _kmeans_oracle_ctes(n_iters: int, k: int = 8, round_to: int = 6) -> str:
         )
     parts.append(
         f"""dfin AS (
-      SELECT v.vec_id, c.cluster, sum((v.x - c.c) * (v.x - c.c)) AS d2
+      SELECT v.vec_id, c.cluster,
+             round(sum((v.x - c.c) * (v.x - c.c)) * {s}.0) / {s}.0 AS d2
       FROM vx v JOIN c{n_iters} c USING (d)
       GROUP BY v.vec_id, c.cluster
     ),

@@ -144,21 +144,30 @@ def event_value_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame
              CAST(sum(1 - event) AS BIGINT) AS c
       FROM life GROUP BY t
     ),
-    risk AS (
-      SELECT byt.*,
-             tot.n - coalesce(sum(d + c) OVER (ORDER BY t ASC
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                                       AND 1 PRECEDING), 0) AS n_risk
-      FROM byt, tot
+    arr AS (
+      SELECT list([CAST(t AS DOUBLE), CAST(d AS DOUBLE), CAST(c AS DOUBLE)]
+                  ORDER BY t ASC) AS s
+      FROM byt
+    ),
+    ex AS (
+      SELECT n, s, unnest(generate_series(1, len(s))) AS i
+      FROM arr, tot
     )
-    SELECT t AS lifetime_days, n_risk AS n_at_risk, d AS n_deaths,
-           c AS n_censored,
-           round(exp(sum(CASE WHEN d > 0
-                              THEN ln(1.0 - d * 1.0 / n_risk) ELSE 0.0 END)
-                     OVER (ORDER BY t ASC
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT CAST(s[i][1] AS BIGINT) AS lifetime_days,
+           n - CAST(list_reduce(
+                 list_prepend(0.0,
+                   list_transform(s[1:i-1], x -> x[2] + x[3])),
+                 (a, b) -> a + b) AS BIGINT) AS n_at_risk,
+           CAST(s[i][2] AS BIGINT) AS n_deaths,
+           CAST(s[i][3] AS BIGINT) AS n_censored,
+           round(list_reduce(
+                   list_prepend([CAST(n AS DOUBLE), 1.0], s[1:i]),
+                   (acc, r) -> [acc[1] - (r[2] + r[3]),
+                                CASE WHEN r[2] > 0
+                                     THEN acc[2] * (acc[1] - r[2]) / acc[1]
+                                     ELSE acc[2] END])[2]
                  * 1000000.0) / 1000000.0 AS survival
-    FROM risk ORDER BY t
+    FROM ex ORDER BY lifetime_days
     """,
 )
 def user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,13 +176,21 @@ def user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     right-CENSORED — they leave the risk set without counting as
     churn, which is exactly the bias-correction KM exists for (naive
     churn curves count the not-yet-churned as churned). S(t) =
-    Π_{tᵢ≤t} (1 − dᵢ/n_riskᵢ), spelled as exp of the running sum of
-    exact-rational log terms; risk sets derive from one integer
-    cumulative window over the |distinct lifetimes| frame. Shape:
-    one per-user aggregate (key shuffle), then everything runs on
-    the tiny lifetime frame. The survival product is the one float
-    column — ordered identically in both engines and display-
-    rounded; row membership and ordering are pure integers."""
+    Π_{tᵢ≤t} (1 − dᵢ/n_riskᵢ). DETERMINISM: the r3 driver flagged
+    the original exp(Σ ln(1−d/n)) spelling — ln/exp are libm calls
+    that differ by an ulp between the JVM and DuckDB, and round-number
+    risk sets land the 1e-6 display round exactly ON half-way
+    boundaries (e.g. n=3200, d=1 → ×10⁶ = 999687.5). The product now
+    folds IN-ROW over the t-sorted event list with a two-slot
+    [n_remaining, product] array accumulator (F.aggregate ↔ DuckDB
+    list_reduce, both left folds, the Holt pattern): each factor
+    (n_risk−d)/n_risk is ONE correctly-rounded IEEE division of exact
+    integers and each product step one correctly-rounded multiply, so
+    the pre-round double is bitwise identical across engines — no
+    transcendentals anywhere. Shape: one per-user aggregate (key
+    shuffle), then everything runs in-row on the tiny |distinct
+    lifetimes| frame; row membership and ordering are pure
+    integers."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
     ).select(
@@ -197,30 +214,32 @@ def user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event").cast("long").alias("d"),
         F.sum(1 - F.col("event")).cast("long").alias("c"),
     )
-    wprev = W.orderBy(F.asc("t")).rowsBetween(W.unboundedPreceding, -1)
-    wcum = W.orderBy(F.asc("t")).rowsBetween(W.unboundedPreceding, W.currentRow)
-    risk = byt.crossJoin(F.broadcast(tot)).select(
-        "t",
-        "d",
-        "c",
-        (
-            F.col("n")
-            - F.coalesce(
-                F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0)
-            )
-        ).alias("n_risk"),
+    arr = byt.agg(
+        F.array_sort(F.collect_list(F.struct("t", "d", "c"))).alias("s")
+    ).crossJoin(F.broadcast(tot))
+    ex = arr.select("n", "s", F.posexplode("s").alias("i", "e"))
+    prior = F.aggregate(
+        F.slice(F.col("s"), F.lit(1), F.col("i")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x["d"] + x["c"],
     )
-    logterm = F.when(
-        F.col("d") > 0, F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk"))
-    ).otherwise(0.0)
-    return risk.select(
-        F.col("t").alias("lifetime_days"),
-        F.col("n_risk").alias("n_at_risk"),
-        F.col("d").alias("n_deaths"),
-        F.col("c").alias("n_censored"),
-        (F.round(F.exp(F.sum(logterm).over(wcum)) * 1000000.0) / 1000000.0).alias(
-            "survival"
+    fold = F.aggregate(
+        F.slice(F.col("s"), F.lit(1), F.col("i") + 1),
+        F.array(F.col("n").cast("double"), F.lit(1.0)),
+        lambda acc, r: F.array(
+            acc[0] - (r["d"] + r["c"]).cast("double"),
+            F.when(
+                r["d"] > 0,
+                acc[1] * (acc[0] - r["d"].cast("double")) / acc[0],
+            ).otherwise(acc[1]),
         ),
+    )
+    return ex.select(
+        F.col("e")["t"].alias("lifetime_days"),
+        (F.col("n") - prior).alias("n_at_risk"),
+        F.col("e")["d"].alias("n_deaths"),
+        F.col("e")["c"].alias("n_censored"),
+        (F.round(fold[1] * 1000000.0) / 1000000.0).alias("survival"),
     ).orderBy("lifetime_days")
 
 

@@ -425,7 +425,7 @@ def orders_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .analytics import _SHINGLE_CTE, _md5_byte_sql, _near_dup_tail  # noqa: E402
 
-# Deterministic ~50% doc sample for the recall evaluation (engine-
+# Deterministic ~25% doc sample for the recall evaluation (engine-
 # portable salted md5 byte — own salt so membership is independent of
 # the split/stratum/sample operators, per the sampling-salt rule).
 _LSHR_BYTE = _md5_byte_sql("CAST(doc_id AS VARCHAR)", "lshr:")

@@ -235,8 +235,8 @@ def embedding_semantic_dedup_survivors(
     ttot AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS nt FROM tgt),
     lr AS (
       SELECT s.token,
-             CAST(round((ln((coalesce(t.ct, 0) + 1.0) / (ttot.nt + tot.v))
-                         - ln((s.cs + 1.0) / (tot.ns + tot.v)))
+             CAST(round(ln(((coalesce(t.ct, 0) + 1.0) / (ttot.nt + tot.v))
+                           / ((s.cs + 1.0) / (tot.ns + tot.v)))
                         * 1000000.0) AS BIGINT) AS lr
       FROM src s LEFT JOIN tgt t USING (token)
       CROSS JOIN tot CROSS JOIN ttot
@@ -280,11 +280,23 @@ def doc_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate 0.25 with the deterministic md5-acceptance sampler
     (operators/sampling.py::weighted_hash_sample — same 'ws:' salt,
     so acceptance is a pure function of doc_id and corpus totals).
-    Determinism: per-TOKEN log-ratios quantize to exact micro-nat
-    BIGINTs (one ln per vocabulary entry, computed from exact integer
-    counts), so per-doc scores are exact integer sums; weights
-    quantize to integers, so the acceptance inequality and every
-    reported sum compare exact values on both engines. At 100 TB the
+    DETERMINISM (r3 transcendental audit): per-TOKEN log-ratios
+    quantize to exact micro-nat BIGINTs so per-doc scores are exact
+    integer sums, and weights quantize to integers so the acceptance
+    inequality compares exact values — but the quantization itself
+    rounds libm outputs (ONE ln per vocabulary entry, one exp per
+    doc), and JVM vs DuckDB libm may disagree in the last ulp. The
+    residual risk is consciously taken and bounded: both engines feed
+    ln/exp BITWISE-IDENTICAL arguments (exact integer counts composed
+    through correctly-rounded IEEE divisions; the ratio-of-ratios is
+    a SINGLE ln so only one libm call's ulp is in play, not two), and
+    the true log-ratio of two rationals is transcendental — unlike the
+    KM entry's exact-rational survival probabilities it can never sit
+    exactly ON a micro-nat half-boundary, so a flip needs the true
+    value within ~1 ulp (≈2e-15 at |lr|≤16) of a 5e-7 grid edge:
+    p ≈ 4e-9/token, ≈4e-4 per full-vocabulary run. The integer-exact
+    alternative (cross-multiplied count products at a fixed grid)
+    cannot express a SUMMED-then-exponentiated score in SQL. At 100 TB the
     LM tables are vocabulary-sized (shuffle by token — never
     broadcast), scoring is one token-key join + one doc-key
     aggregate, and acceptance is map-only. Output: per-lang kept
@@ -314,12 +326,12 @@ def doc_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "token",
             F.round(
-                (
-                    F.log(
+                F.log(
+                    (
                         (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
                         / (F.col("nt") + F.col("v"))
                     )
-                    - F.log((F.col("cs") + 1.0) / (F.col("ns") + F.col("v")))
+                    / ((F.col("cs") + 1.0) / (F.col("ns") + F.col("v")))
                 )
                 * 1000000.0
             )

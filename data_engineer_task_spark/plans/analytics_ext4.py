@@ -158,9 +158,8 @@ def part_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_price_benford",
     """
     WITH d AS (
-      SELECT CAST(floor(o_totalprice
-                        / pow(10, floor(log10(o_totalprice)))) AS BIGINT)
-               AS digit
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
       FROM orders WHERE o_totalprice > 0
     ),
     c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
@@ -176,15 +175,23 @@ def part_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def order_price_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law leading-digit profile of order totals — the
     classic fabricated-data / unit-mixing screen. Map-only digit
-    extraction (floor/log10 in codegen), a 9-bucket aggregate, and a
-    9-row window for the total: nothing but the partial counts ever
-    crosses the shuffle, so the screen is one fact scan at any scale.
-    Positive-price filter keeps log10 ANSI-total on both engines."""
+    extraction, a 9-bucket aggregate, and a 9-row window for the
+    total: nothing but the partial counts ever cross the shuffle, so
+    the screen is one fact scan at any scale.
+
+    DETERMINISM (r3 transcendental audit): the digit — a GROUP KEY —
+    derives from the leading character of the exact cents BIGINT
+    (prices are cents-quantized at the source, and multiplying by 100
+    never changes the leading digit of a positive value), NOT from
+    floor(log10(x)): exact powers of 10 ARE reachable prices
+    (10.00, 100.00, …), their true log10 is exactly integer, and a
+    libm returning 1 ulp low would flip floor() — digit 1 becoming
+    digit 9 — differently per engine. The remaining log10 feeds only
+    the display-rounded theoretical-share columns, where the true
+    values are transcendental (never exactly on a grid boundary)."""
     orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
-    digit = F.floor(
-        F.col("o_totalprice")
-        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
-    ).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
     counts = orders.groupBy(digit.alias("digit")).agg(
         F.count(F.lit(1)).alias("n")
     )

@@ -808,6 +808,8 @@ def test_no_cartesian_or_row_udfs_in_any_declared_entry(spark):
         "multimodal_decode",
         "purchase_click_cogroup_stats",
         "embedding_ann_recall",
+        "embedding_semantic_dup_pairs",
+        "embedding_semantic_dedup_survivors",
     }
     # the Python UDTF API-surface demo is the ONE sanctioned
     # BatchEvalPython site (its codegen twin doc_overlap_chunks is

@@ -625,6 +625,25 @@ def test_two_phase_cc_matches_union_find_on_random_graph(spark):
     assert got == want
 
 
+def test_two_phase_cc_labels_self_loop_only_nodes(spark):
+    """A node appearing ONLY in self-loop edges must still come back
+    labeled (node, node) from the two-phase fallback — the u != v
+    canonicalization drops it from the star forest, but the contract
+    ('nodes = every id appearing on either side') matches the
+    union-find and propagation paths (ADVICE r3)."""
+    from data_engineer_task_spark.operators.graph import (
+        _driver_union_find,
+        _two_phase_cc,
+    )
+
+    edges = [(1, 2), (2, 3), (7, 7), (9, 9), (9, 9), (3, 3)]
+    df = spark.createDataFrame(edges, ["u", "v"]).persist()
+    want = {r["node"]: r["cluster"] for r in _driver_union_find(df).collect()}
+    got = {r["node"]: r["cluster"] for r in _two_phase_cc(df).collect()}
+    assert got == want
+    assert got[7] == 7 and got[9] == 9 and got[3] == 1
+
+
 def test_as_of_join_payload_is_atomic_per_matched_row(spark):
     """Carried value columns must come from THE matched right row: a
     NULL value on the matched row stays NULL (no older row's value
