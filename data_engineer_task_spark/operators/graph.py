@@ -30,6 +30,7 @@ def connected_components(
     *,
     max_iters: int = 15,
     driver_threshold: int = 500_000,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Label every node reachable through ``edges`` with the MIN node id
     of its component (exact fixpoint — deterministic). Returns (node,
@@ -42,11 +43,25 @@ def connected_components(
     collect — a 100 TB corpus with a normal dup rate never needs more
     than that. The distributed propagation loop is the fallback for
     pathological graphs, not the common path; both produce the identical
-    min-label fixpoint."""
+    min-label fixpoint.
+
+    ``strategy="two_phase"`` skips the adaptive ladder and runs the
+    Kiveris large-star/small-star variant directly — the escalation
+    path the ``auto`` ladder reaches only on deeper-than-``max_iters``
+    graphs, exposed so a declared entry can drive it through the
+    oracle gate on real data (all three strategies produce identical
+    labels)."""
+    if strategy not in ("auto", "two_phase"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     # Persist the edge list before sizing it: the pair-generation plan
     # upstream (LSH verify) is the expensive part, and the size probe,
     # the union-find collect / propagation loop would each re-run it.
     und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    if strategy == "two_phase":
+        try:
+            return _two_phase_cc(und)
+        finally:
+            und.unpersist()
     if und.count() <= driver_threshold:
         try:
             return _driver_union_find(und)

@@ -385,3 +385,8 @@ def doc_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Twenty-sixth-batch entries register themselves into QUERIES/ORACLE on
+# import.
+from . import analytics_ext25  # noqa: E402,F401  isort:skip
