@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # highest divergence risk), then the r1-era SQL-surface family and
 # the ext5-ext13 applied-stats/curation rows (VERDICT r3 next-3).
 # Registration order in plans/ is unchanged — only this contract
-# surface reorders. Residue after this window: 21 never-checked
+# surface reorders. Residue after this window: 22 never-checked
 # entries (simple integer/string SQL rows), queued for window 5.
 _WINDOW_PRIORITY = [
     # red row r3, re-nominated after the transcendental-free rebuild
@@ -77,7 +77,10 @@ _WINDOW_PRIORITY = [
     "customer_supplier_grid_join",
     "signup_purchase_latency",
     "brand_copurchase_triangles",
-    "event_path_trigrams",
+    # newest code this round — the declared two-phase CC escalation
+    # path (event_path_trigrams, pure string/count SQL, waits for
+    # window 5)
+    "near_dup_clusters_twophase",
     "region_budget_allocation",
     "customer_revenue_waterfall",
     "customer_segment_mode_imputation",
