@@ -1,5 +1,6 @@
 """Twenty-sixth-batch declared queries: driver-gate coverage for the
-distributed connected-components escalation path.
+distributed connected-components escalation path, and ranking-metric
+evaluation for curation quality scores.
 
 Same contract as plans/analytics.py (see its authoring rules): every
 entry is a Spark program + a DuckDB oracle that must hash-match.
@@ -68,3 +69,116 @@ def near_dup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@q(
+    "doc_quality_score_auc",
+    """
+    WITH d AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS dtok
+      FROM documents
+    ),
+    m AS (
+      SELECT 'n_tokens' AS score_name, tok AS s, y FROM d
+      UNION ALL
+      SELECT 'n_distinct_tokens' AS score_name, dtok AS s, y FROM d
+    ),
+    g AS (
+      SELECT score_name, s, CAST(sum(y) AS BIGINT) AS cp,
+             CAST(sum(1 - y) AS BIGINT) AS cn
+      FROM m GROUP BY score_name, s
+    ),
+    c AS (
+      SELECT score_name, cp, cn,
+             coalesce(sum(cn) OVER (PARTITION BY score_name ORDER BY s ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cl
+      FROM g
+    ),
+    t AS (
+      SELECT score_name,
+             CAST(sum(cp) AS BIGINT) AS n_pos,
+             CAST(sum(cn) AS BIGINT) AS n_neg,
+             CAST(sum(cp * (2 * cl + cn)) AS BIGINT) AS u2
+      FROM c GROUP BY score_name
+    )
+    SELECT score_name, n_pos, n_neg,
+           round(u2 / (2.0 * n_pos * n_neg) * 1000000.0) / 1000000.0 AS auc
+    FROM t ORDER BY score_name
+    """,
+)
+def doc_quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking AUC (tie-corrected Mann-Whitney U) of candidate
+    quality-score columns against a binary label — the standard
+    offline gate for a model-based curation filter ("does this score
+    actually rank the target slice above the rest?"), completing the
+    eval family (recall / calibration / kappa / confusion had no
+    threshold-free ranking metric). Here the label is lang='en' and
+    the scores are token count and distinct-token count; any integer
+    score plugs into the same shape.
+
+    U is computed from per-score-value (c_pos, c_neg) counts:
+    U2 = Σ_s c_pos(s)·(2·cum_neg_below(s) + c_neg(s)), AUC = U2 /
+    (2·n_pos·n_neg) — the ×2 scaling keeps the half-credit tie term
+    integral, so everything up to the final display division is EXACT
+    BIGINT arithmetic (no rank window over the corpus, no float rank
+    averaging): cross-engine identical by construction. At 100 TB:
+    one map-only scoring pass, one groupBy on (score, value) whose
+    output is score-cardinality-bounded (≪ corpus), and a window over
+    that tiny frame — the corpus never sorts globally. The final AUC
+    is two correctly-rounded IEEE ops on exact integers under the
+    display round."""
+    from pyspark.sql import Window as W
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\Q \E")
+    d = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.size(toks).cast("long").alias("tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("dtok"),
+    )
+    m = d.select(
+        F.lit("n_tokens").alias("score_name"), F.col("tok").alias("s"), "y"
+    ).unionByName(
+        d.select(
+            F.lit("n_distinct_tokens").alias("score_name"),
+            F.col("dtok").alias("s"),
+            "y",
+        )
+    )
+    g = m.groupBy("score_name", "s").agg(
+        F.sum("y").cast("long").alias("cp"),
+        F.sum(1 - F.col("y")).cast("long").alias("cn"),
+    )
+    wl = (
+        W.partitionBy("score_name")
+        .orderBy(F.asc("s"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = g.select(
+        "score_name",
+        "cp",
+        "cn",
+        F.coalesce(F.sum("cn").over(wl), F.lit(0)).alias("cl"),
+    )
+    t = c.groupBy("score_name").agg(
+        F.sum("cp").cast("long").alias("n_pos"),
+        F.sum("cn").cast("long").alias("n_neg"),
+        F.sum(F.col("cp") * (2 * F.col("cl") + F.col("cn")))
+        .cast("long")
+        .alias("u2"),
+    )
+    return t.select(
+        "score_name",
+        "n_pos",
+        "n_neg",
+        (
+            F.round(
+                F.col("u2") / (2.0 * F.col("n_pos") * F.col("n_neg")) * 1000000.0
+            )
+            / 1000000.0
+        ).alias("auc"),
+    ).orderBy("score_name")
