@@ -103,3 +103,56 @@ def observe_profile(
             for c in df.columns
         ]
     return df.observe(obs, *exprs), obs
+
+
+def ranking_auc(
+    df: DataFrame, score_col: str, label_col: str, *, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Tie-corrected ranking AUC (Mann-Whitney U) of an integer score
+    against a 0/1 label, optionally per group — the threshold-free
+    "does this score rank positives above negatives?" metric for
+    curation-filter evaluation. Exact-integer construction: per
+    score VALUE counts (c_pos, c_neg), then
+    U2 = Σ_s c_pos(s)·(2·cum_neg_below(s) + c_neg(s)) — the ×2
+    scaling keeps the half-credit tie term integral — and
+    AUC = U2 / (2·n_pos·n_neg) under a 1e-6 display round (two
+    correctly-rounded IEEE ops on exact BIGINTs, cross-engine
+    deterministic). Scale shape: one groupBy on (group, score) whose
+    output is score-cardinality-bounded (≪ corpus) and a window over
+    that small frame — the corpus never sorts globally. Output:
+    (*group_cols, n_pos, n_neg, auc); groups with an empty class get
+    auc NULL rather than a division error."""
+    from pyspark.sql import Window as W
+
+    gcols = list(group_cols)
+    y = F.col(label_col)
+    g = df.groupBy(*gcols, F.col(score_col).alias("_s")).agg(
+        F.sum(y).cast("long").alias("_cp"),
+        F.sum(1 - y).cast("long").alias("_cn"),
+    )
+    wl = (
+        W.partitionBy(*gcols)
+        .orderBy(F.asc("_s"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = g.select(
+        *gcols,
+        "_cp",
+        "_cn",
+        F.coalesce(F.sum("_cn").over(wl), F.lit(0)).alias("_cl"),
+    )
+    t = c.groupBy(*gcols).agg(
+        F.sum("_cp").cast("long").alias("n_pos"),
+        F.sum("_cn").cast("long").alias("n_neg"),
+        F.sum(F.col("_cp") * (2 * F.col("_cl") + F.col("_cn")))
+        .cast("long")
+        .alias("_u2"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(
+            F.col("_u2") / (2.0 * F.col("n_pos") * F.col("n_neg")) * 1000000.0
+        )
+        / 1000000.0,
+    )
+    return t.select(*gcols, "n_pos", "n_neg", auc.alias("auc"))

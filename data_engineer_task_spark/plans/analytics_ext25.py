@@ -130,8 +130,10 @@ def doc_quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is score-cardinality-bounded (≪ corpus), and a window over
     that tiny frame — the corpus never sorts globally. The final AUC
     is two correctly-rounded IEEE ops on exact integers under the
-    display round."""
-    from pyspark.sql import Window as W
+    display round. Core math lives in
+    ``operators/quality.py::ranking_auc`` (property-tested against an
+    O(n²) pair-counting reference)."""
+    from ..operators.quality import ranking_auc
 
     docs = _t_wide(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), r"\Q \E")
@@ -149,36 +151,6 @@ def doc_quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y",
         )
     )
-    g = m.groupBy("score_name", "s").agg(
-        F.sum("y").cast("long").alias("cp"),
-        F.sum(1 - F.col("y")).cast("long").alias("cn"),
-    )
-    wl = (
-        W.partitionBy("score_name")
-        .orderBy(F.asc("s"))
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    c = g.select(
-        "score_name",
-        "cp",
-        "cn",
-        F.coalesce(F.sum("cn").over(wl), F.lit(0)).alias("cl"),
-    )
-    t = c.groupBy("score_name").agg(
-        F.sum("cp").cast("long").alias("n_pos"),
-        F.sum("cn").cast("long").alias("n_neg"),
-        F.sum(F.col("cp") * (2 * F.col("cl") + F.col("cn")))
-        .cast("long")
-        .alias("u2"),
-    )
-    return t.select(
-        "score_name",
-        "n_pos",
-        "n_neg",
-        (
-            F.round(
-                F.col("u2") / (2.0 * F.col("n_pos") * F.col("n_neg")) * 1000000.0
-            )
-            / 1000000.0
-        ).alias("auc"),
+    return ranking_auc(
+        m, "s", "y", group_cols=["score_name"]
     ).orderBy("score_name")

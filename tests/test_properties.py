@@ -464,3 +464,35 @@ def test_text_segments_partition_the_document_exactly(spark, texts, seg):
         assert sum(r["seg_len"] for r in rows) == n_tokens
         assert all(r["seg_len"] == seg for r in rows[:-1])
         assert 1 <= rows[-1]["seg_len"] <= seg
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 1)),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_ranking_auc_matches_pair_counting(spark, rows):
+    """ranking_auc's integer U2 construction must equal the O(n²)
+    definition: AUC = (#(pos>neg) + ½·#(pos==neg)) / (n_pos·n_neg),
+    with NULL when either class is empty. Narrow score range forces
+    heavy ties (the half-credit path)."""
+    from data_engineer_task_spark.operators.quality import ranking_auc
+
+    df = spark.createDataFrame(rows, ["s", "y"])
+    out = ranking_auc(df, "s", "y").collect()
+    assert len(out) == 1
+    r = out[0]
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+    if not pos or not neg:
+        assert r["auc"] is None
+        return
+    u2 = sum(2 for p in pos for n in neg if p > n) + sum(
+        1 for p in pos for n in neg if p == n
+    )
+    want = round(u2 / (2.0 * len(pos) * len(neg)) * 1000000.0) / 1000000.0
+    assert abs(r["auc"] - want) < 1e-9, (r["auc"], want)
