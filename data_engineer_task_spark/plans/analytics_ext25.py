@@ -142,15 +142,23 @@ def doc_quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("tok"),
         F.size(F.array_distinct(toks)).cast("long").alias("dtok"),
     )
+    # in-row fan-out, not a union: one corpus scan serves both scores
+    # (a union's branches each re-scan the fact table)
     m = d.select(
-        F.lit("n_tokens").alias("score_name"), F.col("tok").alias("s"), "y"
-    ).unionByName(
-        d.select(
-            F.lit("n_distinct_tokens").alias("score_name"),
-            F.col("dtok").alias("s"),
-            "y",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("n_tokens").alias("score_name"),
+                    F.col("tok").alias("s"),
+                ),
+                F.struct(
+                    F.lit("n_distinct_tokens").alias("score_name"),
+                    F.col("dtok").alias("s"),
+                ),
+            )
+        ).alias("e"),
+        "y",
+    ).select("e.score_name", "e.s", "y")
     return ranking_auc(
         m, "s", "y", group_cols=["score_name"]
     ).orderBy("score_name")
