@@ -44,6 +44,9 @@ _WINDOW_PRIORITY = [
     "embedding_semantic_dup_pairs",
     "embedding_semantic_dedup_survivors",
     "doc_dsir_importance_sample",
+    # newest r4 code: integer-exact PCA power method (pushes
+    # orders_zorder_locality to window 5)
+    "embedding_pca_top_component",
     # SQL-surface family (VERDICT r3 next-3 named rows)
     "segment_acctbal_ranks",
     "order_priority_status_cube",

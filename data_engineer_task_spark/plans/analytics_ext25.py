@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .analytics import _SHINGLE_CTE, _near_dup_tail, _t_wide, q
+from .analytics import _SHINGLE_CTE, _near_dup_tail, _t, _t_wide, q
 
 
 @q(
@@ -162,3 +162,236 @@ def doc_quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_auc(
         m, "s", "y", group_cols=["score_name"]
     ).orderBy("score_name")
+
+
+_PCA_D = 64
+_PCA_ITERS = 12
+
+
+def _pca_power_ctes(d: int, iters: int) -> str:
+    """Unrolled fixed-iteration power-method CTE chain (DuckDB) over an
+    integer-exact covariance matrix — the kmeans/pagerank unrolling
+    pattern applied to linear algebra. Coordinates quantize to exact
+    micro-unit BIGINTs, so the moment sums S_i and P_ij are EXACT
+    integers (order-free, engine-identical); the covariance then
+    derives through a fixed sequence of correctly-rounded IEEE ops,
+    and every matvec / normalization folds IN-ROW in one defined
+    order (list_reduce left folds, sqrt is IEEE-exact) — so the
+    iterate v_t is bitwise identical cross-engine at every step, no
+    per-iteration rounding needed. Ends with ``vfin`` (the unit
+    iterate), ``wfin`` (C·vfin), ``nn`` (count)."""
+    parts = [
+        f"""xq AS (
+      SELECT list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM xq),
+    si AS (
+      SELECT ii.i, CAST(sum(q[ii.i]) AS BIGINT) AS s
+      FROM xq, (SELECT unnest(generate_series(1, {d})) AS i) ii
+      GROUP BY ii.i
+    ),
+    pij AS (
+      SELECT ii.i, jj.j, CAST(sum(q[ii.i] * q[jj.j]) AS BIGINT) AS p
+      FROM xq,
+           (SELECT unnest(generate_series(1, {d})) AS i) ii,
+           (SELECT unnest(generate_series(1, {d})) AS j) jj
+      WHERE jj.j >= ii.i
+      GROUP BY ii.i, jj.j
+    ),
+    cfull AS (
+      SELECT pp.i, pp.j,
+             (pp.p * 1.0 / nn.n / 1000000000000.0)
+             - (sa.s * 1.0 / nn.n / 1000000.0)
+               * (sb.s * 1.0 / nn.n / 1000000.0) AS c
+      FROM (SELECT i, j, p FROM pij
+            UNION ALL
+            SELECT j AS i, i AS j, p FROM pij WHERE i <> j) pp
+      JOIN si sa ON sa.i = pp.i
+      JOIN si sb ON sb.i = pp.j
+      CROSS JOIN nn
+    ),
+    crows AS (SELECT i, list(c ORDER BY j) AS cr FROM cfull GROUP BY i),
+    v0 AS (SELECT list_transform(generate_series(1, {d}),
+                                 k -> CASE WHEN k = 1 THEN 1.0
+                                           ELSE 0.0 END) AS v)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""w{t} AS (
+      SELECT list(list_reduce(
+               list_prepend(0.0, list_transform(generate_series(1, {d}),
+                            k -> cr[k] * v[k])),
+               (a, b) -> a + b) ORDER BY i) AS w
+      FROM crows, v{t - 1}
+    ),
+    v{t} AS (
+      SELECT list_transform(w, x -> x / (CASE WHEN nrm > 0
+                                              THEN nrm ELSE 1.0 END)) AS v
+      FROM (SELECT w, sqrt(list_reduce(list_prepend(0.0,
+                      list_transform(w, y -> y * y)), (a, b) -> a + b)) AS nrm
+            FROM w{t})
+    )"""
+        )
+    parts.append(
+        f"""vfin AS (SELECT v FROM v{iters}),
+    wfin AS (
+      SELECT list(list_reduce(
+               list_prepend(0.0, list_transform(generate_series(1, {d}),
+                            k -> cr[k] * v[k])),
+               (a, b) -> a + b) ORDER BY i) AS w
+      FROM crows, vfin
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+@q(
+    "embedding_pca_top_component",
+    f"""
+    WITH {_pca_power_ctes(_PCA_D, _PCA_ITERS)},
+    ray AS (
+      SELECT list_reduce(
+               list_prepend(0.0, list_transform(generate_series(1, {_PCA_D}),
+                            k -> v[k] * w[k])),
+               (a, b) -> a + b) AS lam
+      FROM vfin, wfin
+    ),
+    tr AS (
+      SELECT list_reduce(
+               list_prepend(0.0,
+                 (SELECT list(c ORDER BY i) FROM cfull WHERE i = j)),
+               (a, b) -> a + b) AS trace
+    ),
+    top AS (
+      SELECT kk.k AS top_dim, abs(v[kk.k]) AS loading
+      FROM vfin, (SELECT unnest(generate_series(1, {_PCA_D})) AS k) kk
+      ORDER BY abs(v[kk.k]) DESC, kk.k ASC LIMIT 1
+    )
+    SELECT nn.n AS n_vectors,
+           round(ray.lam * 1000000.0) / 1000000.0 AS lambda1,
+           round(ray.lam / tr.trace * 1000000.0) / 1000000.0
+             AS explained_frac,
+           CAST(top.top_dim AS INTEGER) AS top_dim,
+           round(top.loading * 1000000.0) / 1000000.0 AS top_loading
+    FROM nn, ray, tr, top
+    """,
+)
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus — eigenvalue,
+    explained-variance fraction, and dominant loading dimension — the
+    canonical embedding-health / decorrelation diagnostic (an
+    anisotropic corpus with one dominant direction embeds poorly; PCA
+    whitening/truncation decisions start from exactly these numbers).
+
+    Spark shape (the 100 TB story): the corpus collapses in ONE scan —
+    coordinates quantize in-row to exact micro-unit BIGINTs, each row
+    fans out its d(d+1)/2 upper-triangle products in-row (codegen
+    HOFs, no join, no literal blowup), and a map-side-combinable
+    integer groupBy yields the d² moment frame (2 080 rows for d=64).
+    Only O(d²) state reaches the driver; the 12 fixed power-method
+    iterations run there in pure Python over doubles — mirroring the
+    oracle's unrolled list_reduce CTE chain op-for-op (left folds in
+    k order, IEEE-exact sqrt, guard-divide) so the iterate is bitwise
+    identical cross-engine at every step with NO per-iteration
+    rounding (the kmeans lesson applied proactively: every input is
+    an exact integer moment, every transform a defined-order sequence
+    of correctly-rounded IEEE ops). DETERMINISM: the one discrete
+    output (top_dim) argmaxes |v_i| over bitwise-identical doubles
+    with a dim tie-break; the floats are display-rounded. At larger
+    corpora the BIGINT moment sums need DECIMAL(38,0) headroom
+    (ANSI overflow throws loudly, never silently wraps; micro-unit
+    products are ~3e11 per row, so int64 carries ~3e7 rows per
+    dimension pair)."""
+    import math
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d, iters = _PCA_D, _PCA_ITERS
+    q_col = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000.0).cast("long"),
+    )
+    base = emb.select(q_col.alias("q"))
+    seq_i = F.sequence(F.lit(1), F.lit(d))
+    pairs = F.flatten(
+        F.transform(
+            seq_i,
+            lambda i: F.transform(
+                F.sequence(i, F.lit(d)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (F.get(F.col("q"), i - 1) * F.get(F.col("q"), j - 1)).alias(
+                        "p"
+                    ),
+                ),
+            ),
+        )
+    )
+    prows = (
+        base.select(F.explode(pairs).alias("e"))
+        .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
+        .agg(F.sum("e.p").cast("long").alias("p"))
+        .collect()
+    )
+    srows = (
+        base.select(F.posexplode("q").alias("i0", "x"))
+        .groupBy((F.col("i0") + 1).alias("i"))
+        .agg(F.sum("x").cast("long").alias("s"))
+        .collect()
+    )
+    n = base.count()
+    S = {r["i"]: r["s"] for r in srows}
+    P = {}
+    for r in prows:
+        P[(r["i"], r["j"])] = r["p"]
+        P[(r["j"], r["i"])] = r["p"]
+    assert len(S) == d, f"embedding dim {len(S)} != {d}"
+    # covariance: same op sequence as the oracle's cfull expression
+    C = {
+        (i, j): (P[(i, j)] * 1.0 / n / 1000000000000.0)
+        - (S[i] * 1.0 / n / 1000000.0) * (S[j] * 1.0 / n / 1000000.0)
+        for i in range(1, d + 1)
+        for j in range(1, d + 1)
+    }
+
+    def matvec(v):
+        w = []
+        for i in range(1, d + 1):
+            acc = 0.0  # left fold in k order == list_reduce with 0.0 seed
+            for k in range(1, d + 1):
+                acc = acc + C[(i, k)] * v[k - 1]
+            w.append(acc)
+        return w
+
+    v = [1.0] + [0.0] * (d - 1)
+    for _ in range(iters):
+        w = matvec(v)
+        acc = 0.0
+        for y in w:
+            acc = acc + y * y
+        nrm = math.sqrt(acc)
+        v = [x / (nrm if nrm > 0 else 1.0) for x in w]
+    w = matvec(v)
+    lam = 0.0
+    for k in range(1, d + 1):
+        lam = lam + v[k - 1] * w[k - 1]
+    trace = 0.0
+    for i in range(1, d + 1):
+        trace = trace + C[(i, i)]
+    top_dim = min(range(1, d + 1), key=lambda k: (-abs(v[k - 1]), k))
+    out = spark.createDataFrame(
+        [(int(n), float(lam), float(lam / trace), int(top_dim),
+          float(abs(v[top_dim - 1])))],
+        "n_vectors long, _lam double, _frac double, top_dim int, _load double",
+    )
+    return out.select(
+        "n_vectors",
+        (F.round(F.col("_lam") * 1000000.0) / 1000000.0).alias("lambda1"),
+        (F.round(F.col("_frac") * 1000000.0) / 1000000.0).alias(
+            "explained_frac"
+        ),
+        "top_dim",
+        (F.round(F.col("_load") * 1000000.0) / 1000000.0).alias("top_loading"),
+    )

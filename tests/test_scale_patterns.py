@@ -917,3 +917,32 @@ def test_dsir_weights_upweight_target_language(spark):
     # weight-proportional acceptance: the en keep-rate must also lead
     rates = {r["lang"]: r["n_kept"] / r["n_docs"] for r in rows}
     assert rates["en"] == max(rates.values())
+
+
+def test_pca_power_iteration_finds_planted_direction(spark, tmp_path):
+    """embedding_pca_top_component must recover a planted dominant
+    direction: vectors = spread·e_7 + small noise → top_dim == 7 with
+    a large explained-variance share, and the run is deterministic."""
+    import random
+
+    from data_engineer_task_spark.plans.analytics_ext25 import (
+        embedding_pca_top_component,
+    )
+
+    rng = random.Random(3)
+    d = 64
+    rows = []
+    for i in range(200):
+        v = [rng.uniform(-0.01, 0.01) for _ in range(d)]
+        v[6] += (i % 21 - 10) * 0.05  # planted variance on dim 7 (1-based)
+        rows.append((i, v))
+    spark.createDataFrame(rows, ["vec_id", "embedding"]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+
+    r1 = embedding_pca_top_component(spark, str(tmp_path)).collect()[0]
+    r2 = embedding_pca_top_component(spark, str(tmp_path)).collect()[0]
+    assert r1 == r2  # deterministic
+    assert r1["top_dim"] == 7
+    assert r1["explained_frac"] > 0.9
+    assert r1["top_loading"] > 0.99
