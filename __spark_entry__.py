@@ -44,9 +44,17 @@ _WINDOW_PRIORITY = [
     "embedding_semantic_dup_pairs",
     "embedding_semantic_dedup_survivors",
     "doc_dsir_importance_sample",
-    # newest r4 code: integer-exact PCA power method (pushes
-    # orders_zorder_locality to window 5)
+    # newest r4 code: integer-exact PCA power method, ranking AUC,
+    # and the KMV sketch pair (push the three pure-SQL tail rows —
+    # corpus_dedup_savings, doc_token_entropy, orders_zorder_locality —
+    # to window 5)
     "embedding_pca_top_component",
+    "doc_quality_score_auc",
+    "event_kmv_user_days",
+    "audience_kmv_jaccard",
+    "embedding_pq_adc_topk",
+    "customer_bloom_prefilter",
+    "price_histogram_quantiles",
     # SQL-surface family (VERDICT r3 next-3 named rows)
     "segment_acctbal_ranks",
     "order_priority_status_cube",

@@ -511,3 +511,97 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the embedding-compression half of a
+# production IVF-PQ ANN index (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search"). Split each d-dim vector into m subvectors,
+# k-means each subspace independently (the codebooks), and store every
+# vector as m small integer codes: d×4 bytes → m bytes (here 64 floats
+# → 4 codes). Search never decodes: a query builds an m×k table of
+# subspace distances ONCE, and each candidate's approximate distance is
+# m table lookups summed (ADC — asymmetric distance computation).
+# At 100 TB the codes column (plus the O(m·k·d) codebooks) replaces the
+# raw embedding column for candidate scoring — the corpus scan becomes
+# integer lookups against a broadcast-sized table, and exact re-ranking
+# touches only the final shortlist.
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int = 4,
+    k: int = 4,
+    n_iters: int = 2,
+    round_to: int = 6,
+) -> list[list[list[float]]]:
+    """Train m independent subspace codebooks (each k × d/m) with the
+    deterministic ``kmeans_fit`` contract (lowest-id init, per-iteration
+    half-away-rounded centroids, quantized-d2 argmin). Training state is
+    O(m·k·d) on the driver; at corpus scale you fit on a sample and
+    encode everything — the fit never needs the full table."""
+    dim = emb.select(F.size(vec_col).alias("n")).limit(1).collect()[0]["n"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        sub = emb.select(
+            id_col,
+            F.slice(as_double(F.col(vec_col)), j * dsub + 1, dsub).alias(
+                "_sub"
+            ),
+        )
+        cb, assigned = kmeans_fit(
+            sub, id_col, "_sub", k=k, n_iters=n_iters, round_to=round_to
+        )
+        # only the codebook is needed; drop the assignment plan
+        del assigned
+        codebooks.append(cb)
+    return codebooks
+
+
+def pq_encode(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Encode every vector to its m PQ codes in ONE map-only Arrow pass
+    (all m codebooks ride the closure — O(m·k·d), broadcast-sized).
+    Per subspace: expanded-form squared L2 to each code centroid,
+    clamped at zero and QUANTIZED to ``round_to`` decimals before the
+    argmin (lowest-code tie-break) — the exact ``_assign_to_centroids``
+    cross-engine contract, so a SQL oracle that sums (x−c)² directly
+    and rounds reproduces the same codes. Output: (id, codes array<int>)."""
+    m = len(codebooks)
+    Cs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    dsub = Cs[0].shape[1]
+    csq = [(C * C).sum(axis=1) for C in Cs]
+
+    @F.pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray(vs.tolist(), dtype=np.float64)
+        codes = np.empty((len(V), m), dtype=np.int32)
+        for j in range(m):
+            Vj = V[:, j * dsub : (j + 1) * dsub]
+            d2 = (
+                (Vj * Vj).sum(axis=1)[:, None]
+                - 2.0 * (Vj @ Cs[j].T)
+                + csq[j][None, :]
+            )
+            q2 = _round_half_away(np.maximum(d2, 0.0), round_to)
+            codes[:, j] = q2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return emb.select(
+        id_col, encode(as_double(F.col(vec_col))).alias("codes")
+    )

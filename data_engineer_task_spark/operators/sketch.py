@@ -111,3 +111,118 @@ def cms_estimate(
         .groupBy(*probe_cols)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch — mergeable cardinality
+# estimation. The 100 TB counterpart of COUNT(DISTINCT …): the exact
+# count shuffles every distinct value; a KMV sketch keeps only the k
+# smallest 48-bit hashes per group (O(k) state, mergeable by
+# union-then-re-min, the theta-sketch building block), and estimates
+#   n̂ = (k-1) · 2^48 / h_(k)        (|sketch| < k → exact |sketch|)
+# with relative error ~1/sqrt(k-2). Hashing is the engine-portable
+# salted-md5 spelling shared with operators/sampling.py, so a DuckDB
+# oracle reproduces the exact same sketch, estimate, and (for the
+# theta-style overlap) the exact same intersection membership —
+# every decision this family makes rides exact integers; the only
+# floats are single correctly-rounded IEEE divisions of exactly-
+# representable doubles (h < 2^48 < 2^53; (k-1)·2^48 has ≤10
+# significant bits), bitwise identical cross-engine.
+# ---------------------------------------------------------------------------
+
+_KMV_BITS = 48
+
+
+def kmv_hash(col: Column, salt: str = "kmv:") -> Column:
+    """First 12 md5 nibbles (0 … 2^48-1) of salt + stringified value —
+    the sketch's portable uniform. 48 bits keeps h exactly
+    representable as a DOUBLE for the final division while making
+    full-prefix collisions negligible (~n²/2^49)."""
+    from .sampling import _HEX
+
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    hv = lambda p: F.instr(F.lit(_HEX), F.substring(h, p, 1)) - 1  # noqa: E731
+    # LONG accumulator from the start: 12 nibbles overflow INT, and
+    # ANSI mode throws on overflow instead of wrapping.
+    acc: Column = hv(1).cast("long")
+    for p in range(2, 13):
+        acc = acc * 16 + hv(p)
+    return acc
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    k: int = 64,
+    group_cols: tuple[str, ...] = (),
+    salt: str = "kmv:",
+) -> DataFrame:
+    """Build the sketch: the k smallest DISTINCT hashes per group,
+    ``group_cols + (h,)``.
+
+    The one corpus-sized shuffle carries a single row per distinct
+    (group, hash) — map-side partial distinct collapses duplicates
+    before the exchange — and the rank-k filter drops everything else.
+    At production scale you never rebuild from raw data: per-shard /
+    per-day sketches persist and ``kmv_merge`` folds them (union →
+    re-min, exactly one-shot-equivalent — property-tested)."""
+    from pyspark.sql import Window as W
+
+    hashed = df.select(
+        *group_cols, kmv_hash(F.col(value_col), salt).alias("h")
+    ).distinct()
+    w = W.partitionBy(*group_cols).orderBy("h") if group_cols else W.orderBy("h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_merge(
+    *sketches: DataFrame, k: int = 64, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge sketches: union the retained hashes, dedupe, re-take the
+    k smallest per group. Exact (≡ one-shot build over the combined
+    input) because the k smallest of A ∪ B all lie within
+    k-min(A) ∪ k-min(B)."""
+    from pyspark.sql import Window as W
+
+    if not sketches:
+        raise ValueError("kmv_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    w = W.partitionBy(*group_cols).orderBy("h") if group_cols else W.orderBy("h")
+    return (
+        out.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, *, k: int = 64, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Collapse a sketch to per-group ``(n_sketch, kmv_raw)``.
+
+    ``kmv_raw`` is the UNROUNDED estimate — a single IEEE division of
+    exactly-representable doubles, bitwise identical cross-engine;
+    display rounding is the caller's (scale-then-divide, per the
+    authoring rules)."""
+    scale = float((k - 1) << _KMV_BITS)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sketch"),
+        F.max("h").alias("_hk"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_sketch",
+        F.when(
+            F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+        )
+        .otherwise(F.lit(scale) / F.col("_hk").cast("double"))
+        .alias("kmv_raw"),
+    )

@@ -395,3 +395,8 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_dim",
         (F.round(F.col("_load") * 1000000.0) / 1000000.0).alias("top_loading"),
     )
+
+
+# Twenty-seventh-batch entries register themselves into QUERIES/ORACLE
+# on import.
+from . import analytics_ext26  # noqa: E402,F401  isort:skip

@@ -946,3 +946,158 @@ def test_pca_power_iteration_finds_planted_direction(spark, tmp_path):
     assert r1["top_dim"] == 7
     assert r1["explained_frac"] > 0.9
     assert r1["top_loading"] > 0.99
+
+
+def test_kmv_sketch_merge_matches_one_shot(spark):
+    """KMV merge contract: per-shard sketches folded with kmv_merge
+    must equal the one-shot sketch of the combined input EXACTLY
+    (hash sets, not just estimates) — the property that lets 100 TB
+    distinct-counts compose across shards/days without re-scanning.
+    Estimate must track the exact count within ~3/sqrt(k-2)."""
+    from data_engineer_task_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    vals = orders.select(
+        F.col("o_custkey").cast("string").alias("v"),
+        (F.col("o_orderkey") % 3).alias("shard"),
+    )
+    k = 32
+    one_shot = kmv_sketch(vals, "v", k=k)
+    shards = [
+        kmv_sketch(vals.where(F.col("shard") == s), "v", k=k)
+        for s in range(3)
+    ]
+    merged = kmv_merge(*shards, k=k)
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in one_shot.collect()
+    )
+    est = kmv_estimate(one_shot, k=k).collect()[0]["kmv_raw"]
+    exact = vals.select("v").distinct().count()
+    assert abs(est - exact) / exact < 3.0 / (k - 2) ** 0.5
+    # run-to-run determinism (md5 ranks, no rand())
+    est2 = kmv_estimate(kmv_sketch(vals, "v", k=k), k=k).collect()[0][
+        "kmv_raw"
+    ]
+    assert est == est2
+
+
+def test_kmv_small_set_is_exact(spark):
+    """|distinct| < k ⇒ the sketch IS the value set and the estimate
+    is the exact count (the CASE branch both engines spell)."""
+    from data_engineer_task_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(f"u{i % 7}",) for i in range(100)], ["v"]
+    )
+    est = kmv_estimate(kmv_sketch(df, "v", k=64), k=64).collect()[0]
+    assert est["n_sketch"] == 7
+    assert est["kmv_raw"] == 7.0
+
+
+def test_pq_encode_deterministic_and_compresses(spark):
+    """PQ contract: (a) encode is a pure function of (vectors,
+    codebooks) — two passes produce identical codes (quantized-d2
+    argmin, no rand()); (b) codes actually compress — every vector
+    reduces to m small ints in [0, k); (c) ADC is faithful enough
+    that the query's own code-cell reconstruction beats the corpus
+    median exact distance (the property that makes the codes column
+    usable for candidate scoring at all)."""
+    from data_engineer_task_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    m, k = 4, 4
+    codebooks = pq_fit(emb, "vec_id", "embedding", m=m, k=k, n_iters=2)
+    assert len(codebooks) == m
+    assert all(len(cb) == k and len(cb[0]) == 16 for cb in codebooks)
+    enc1 = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(emb, "vec_id", "embedding", codebooks).collect()
+    }
+    enc2 = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(emb, "vec_id", "embedding", codebooks).collect()
+    }
+    assert enc1 == enc2
+    n = emb.count()
+    assert len(enc1) == n
+    assert all(
+        len(c) == m and all(0 <= x < k for x in c) for c in enc1.values()
+    )
+    # blobs-separated testdata: vectors sharing the query's full code
+    # word should be its near-neighborhood, not a random subset
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    qid = min(vecs)
+    q = vecs[qid]
+    d2 = {i: float(((v - q) ** 2).sum()) for i, v in vecs.items() if i != qid}
+    same_word = [
+        i for i in d2 if enc1[i] == enc1[qid]
+    ]
+    assert same_word, "query's code cell should not be empty"
+    med = sorted(d2.values())[len(d2) // 2]
+    cell_mean = sum(d2[i] for i in same_word) / len(same_word)
+    assert cell_mean < med
+
+
+def test_bloom_prefilter_never_misses_a_member(spark):
+    """Bloom contract: zero false negatives by construction — every
+    member's H positions are set, so every member must hit. (False
+    positives are allowed and measured by the declared entry.)"""
+    from data_engineer_task_spark.plans.analytics import QUERIES
+
+    row = QUERIES["customer_bloom_prefilter"](spark, SF_SMOKE).collect()[0]
+    # members who are customers always hit: hits >= members∩customers,
+    # and hits - false_pos == true member hits
+    assert row["n_hits"] - row["n_false_pos"] <= row["n_members"]
+    # direct check: recompute membership and assert every member hits
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    members_probed = (
+        customer.join(
+            orders.where(F.col("o_orderpriority") == "1-URGENT")
+            .select(F.col("o_custkey").alias("c_custkey"))
+            .distinct(),
+            "c_custkey",
+            "semi",
+        ).count()
+    )
+    assert row["n_hits"] - row["n_false_pos"] == members_probed
+
+
+def test_histogram_merge_equals_one_shot(spark):
+    """Fixed-grid histograms are mergeable by integer addition:
+    per-shard histograms summed equal the one-shot histogram EXACTLY
+    — the property that lets 100 TB percentile dashboards keep
+    O(buckets) state per shard instead of re-sorting history."""
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (F.col("l_orderkey") % 4).alias("shard"),
+    )
+    one_shot = {
+        r["bucket"]: r["cnt"]
+        for r in li.groupBy(
+            F.expr("cents DIV 100000").alias("bucket")
+        ).agg(F.count(F.lit(1)).cast("long").alias("cnt")).collect()
+    }
+    per_shard = li.groupBy(
+        "shard", F.expr("cents DIV 100000").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    merged = {
+        r["bucket"]: r["m"]
+        for r in per_shard.groupBy("bucket")
+        .agg(F.sum("cnt").cast("long").alias("m"))
+        .collect()
+    }
+    assert merged == one_shot
