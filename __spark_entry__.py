@@ -55,6 +55,8 @@ _WINDOW_PRIORITY = [
     "embedding_pq_adc_topk",
     "customer_bloom_prefilter",
     "price_histogram_quantiles",
+    "doc_bpe_phrase_merges",
+    "quantity_shape_moments",
     # SQL-surface family (VERDICT r3 next-3 named rows)
     "segment_acctbal_ranks",
     "order_priority_status_cube",

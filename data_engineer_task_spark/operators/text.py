@@ -445,3 +445,82 @@ def tfidf_cosine_pairs(
         .select("doc_a", "doc_b", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def phrase_merge_rounds(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    rounds: int = 4,
+) -> tuple[list[tuple[str, str, int, int]], DataFrame]:
+    """BPE-style merge training over the corpus (word-level symbols —
+    the phrase variant of the byte-pair loop tokenizer training runs):
+    per round, count ADJACENT symbol pairs corpus-wide, pick the most
+    frequent (count DESC, pair ASC tie-break), and greedily rewrite
+    every document left-to-right replacing each (a, b) occurrence with
+    the merged symbol ``a + ' ' + b``.
+
+    100 TB shape: this is the canonical tokenizer-training loop — the
+    mutable state crossing the driver per round is ONE pair (O(1));
+    pair counting is a vocabulary²-bounded shuffle with map-side
+    combine (pairs are built IN-ROW, never via a position self-join);
+    the rewrite is a map-only in-row left fold. ``rounds`` bounds the
+    job count exactly like the kmeans/pagerank fixed unrolling.
+
+    DETERMINISM: counts are exact integers; the greedy rewrite folds
+    left-to-right (``F.aggregate`` ↔ DuckDB ``list_reduce``, both left
+    folds — overlapping occurrences like "a a a" under merge (a, a)
+    resolve identically); sentinel-seeded so the accumulator is
+    list-typed on both engines (``F.get`` / DuckDB OOB indexing return
+    NULL, never throw, on the empty prefix).
+
+    Returns (per-round stats [(a, b, pair_count, total_tokens_after)],
+    final tokenized frame ``(id_col, toks)``)."""
+    toks = docs.select(
+        id_col, F.split(F.col(text_col), " ").alias("toks")
+    )
+    stats: list[tuple[str, str, int, int]] = []
+    for _ in range(rounds):
+        pairs = toks.select(
+            F.explode(
+                F.when(
+                    F.size("toks") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1), "
+                        "i -> struct(toks[i-1] AS a, toks[i] AS b))"
+                    ),
+                ).otherwise(F.expr("array()").cast("array<struct<a:string,b:string>>"))
+            ).alias("p")
+        ).select("p.a", "p.b")
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merged = f"{a} {b}"
+        la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
+        toks = toks.select(
+            id_col,
+            F.aggregate(
+                "toks",
+                F.array(F.lit("")),
+                lambda acc, x: F.when(
+                    (F.get(acc, F.size(acc) - 1) == la) & (x == lb),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(lm)
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+                lambda acc: F.slice(acc, 2, F.size(acc) - 1),
+            ).alias("toks"),
+        )
+        total_after = toks.agg(
+            F.sum(F.size("toks")).cast("long").alias("t")
+        ).collect()[0]["t"]
+        stats.append((a, b, cnt, int(total_after)))
+    return stats, toks

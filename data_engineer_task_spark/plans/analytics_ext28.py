@@ -333,3 +333,8 @@ def price_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+# Thirtieth-batch entries register themselves into QUERIES/ORACLE
+# on import.
+from . import analytics_ext29  # noqa: E402,F401  isort:skip

@@ -1101,3 +1101,34 @@ def test_histogram_merge_equals_one_shot(spark):
         .collect()
     }
     assert merged == one_shot
+
+
+def test_phrase_merge_greedy_overlap_and_exact_counts(spark):
+    """BPE greedy-rewrite contract on the overlap case: 'a a a' under
+    merge (a, a) COUNTS two adjacencies but MERGES once (left-to-right
+    greedy), and the learned pair is the (count DESC, pair ASC) top-1.
+    Pins the exact fold semantics the oracle reproduces."""
+    from data_engineer_task_spark.operators.text import (
+        phrase_merge_rounds,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b c"),
+            (2, "a a b c"),
+            (3, "b c b c"),
+        ],
+        ["doc_id", "text"],
+    )
+    stats, toks = phrase_merge_rounds(docs, "doc_id", "text", rounds=2)
+    # round 1: pairs (a,a)x3? doc1 has 2, doc2 has 1 -> 3; (b,c) = 1+1+2 = 4
+    (a1, b1, cnt1, tot1), (a2, b2, cnt2, tot2) = stats
+    assert (a1, b1, cnt1) == ("b", "c", 4)
+    assert tot1 == 13 - 4  # every (b,c) adjacency merges (no overlaps)
+    assert (a2, b2, cnt2) == ("a", "a", 3)
+    # doc1 'a a a' merges ONCE (greedy), doc2 'a a' merges once
+    assert tot2 == tot1 - 2
+    rows = {r["doc_id"]: r["toks"] for r in toks.collect()}
+    assert rows[1] == ["a a", "a", "b c"]
+    assert rows[2] == ["a a", "b c"]
+    assert rows[3] == ["b c", "b c"]
