@@ -37,6 +37,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # Registration order in plans/ is unchanged — only this contract
 # surface reorders. Residue after this window: 22 never-checked
 # entries (simple integer/string SQL rows), queued for window 5.
+# Window-5 staging (rotate these in next round): the 31 entries never
+# yet driver-checked after window 4 — audience_overlap_matrix,
+# brand_metric_unpivot, brand_type_listing, corpus_dedup_savings,
+# customer_l_diversity, customer_page_two, customers_no_urgent_notin,
+# doc_bigram_counts, doc_curriculum_buckets, doc_frequent_long_tokens,
+# doc_leading_tokens, doc_normalization_profile, doc_token_entropy,
+# embedding_matryoshka_truncation, event_path_trigrams,
+# events_null_profile, fd_violation_audit,
+# full_priority_coverage_customers, hourly_event_spine_filled,
+# open_order_aging_buckets, order_due_calendar, orders_vs_global_avg,
+# orders_zorder_locality, purchase_click_user_recon,
+# ship_calendar_profile, sliding_event_counts,
+# source_lang_nullsafe_recon, split_leakage_audit,
+# suppliers_with_orders_exists, user_event_locf_fill,
+# user_funnel_counts — plus any entries new in round 5.
 _WINDOW_PRIORITY = [
     # red row r3, re-nominated after the transcendental-free rebuild
     "user_survival_km",
