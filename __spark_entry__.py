@@ -68,6 +68,7 @@ _WINDOW_PRIORITY = [
     "event_kmv_user_days",
     "audience_kmv_jaccard",
     "embedding_pq_adc_topk",
+    "embedding_ivfpq_topk",
     "customer_bloom_prefilter",
     "price_histogram_quantiles",
     "doc_bpe_phrase_merges",

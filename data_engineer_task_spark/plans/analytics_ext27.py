@@ -31,6 +31,40 @@ _RT = 6  # d2 / centroid quantization decimals (the kmeans contract)
 _TOPK = 10
 
 
+def _adc_table(
+    qvec: list[float], codebooks: list[list[list[float]]], round_to: int = _RT
+) -> list[list[float]]:
+    """m×k ADC table: subspace-j squared distance from the query to
+    each code centroid, folded left-to-right over the dsub dims (the
+    oracle's sum() re-associates, so quantize at the shared 1e-6 grid
+    — the same contract the codebooks themselves ride)."""
+    from ..operators.similarity import _round_half_away_scalar
+
+    dsub = len(codebooks[0][0])
+    table: list[list[float]] = []
+    for j, cb in enumerate(codebooks):
+        row = []
+        for cvec in cb:
+            acc = 0.0
+            for d in range(dsub):
+                diff = qvec[j * dsub + d] - cvec[d]
+                acc += diff * diff
+            row.append(_round_half_away_scalar(acc, round_to))
+        table.append(row)
+    return table
+
+
+def _adc_col(table: list[list[float]]):
+    """Left-to-right sum of the per-subspace table lookups over a
+    ``codes`` array column — spelled identically to the oracle's
+    ``q0.t + q1.t + …`` so the unrounded doubles match bitwise."""
+    t_lits = [F.array(*[F.lit(v) for v in row]) for row in table]
+    col = F.element_at(t_lits[0], F.col("codes")[0] + 1)
+    for j in range(1, len(table)):
+        col = col + F.element_at(t_lits[j], F.col("codes")[j] + 1)
+    return col
+
+
 def _pq_subspace_ctes(j: int, *, k: int, n_iters: int, round_to: int) -> str:
     """Unrolled Lloyd chain for subspace ``j`` over the sliced list
     ``embedding[lo:hi]`` — a parametrized twin of
@@ -183,12 +217,7 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (bitwise-identical doubles), and exact_d2 folds
     in-row (`F.aggregate` ↔ `list_reduce`, both left folds), so rank
     and both display columns agree given code agreement."""
-    from ..operators.similarity import (
-        _round_half_away_scalar,
-        as_double,
-        pq_encode,
-        pq_fit,
-    )
+    from ..operators.similarity import as_double, pq_encode, pq_fit
 
     emb = _t(spark, sf_dir, "embeddings")
     codebooks = pq_fit(
@@ -206,29 +235,7 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]
     )
     qvec = [float(x) for x in qrow["_v"]]
-
-    # m×k ADC table: subspace-j distance from the query to each code
-    # centroid, folded left-to-right over the dsub dims (the oracle's
-    # sum() re-associates, so quantize at the shared 1e-6 grid — the
-    # same contract the codebooks themselves ride).
-    table: list[list[float]] = []
-    for j in range(_M):
-        row = []
-        for c in range(_PQ_K):
-            acc = 0.0
-            for d in range(_DSUB):
-                diff = qvec[j * _DSUB + d] - codebooks[j][c][d]
-                acc += diff * diff
-            row.append(_round_half_away_scalar(acc, _RT))
-        table.append(row)
-
-    t_lits = [F.array(*[F.lit(v) for v in row]) for row in table]
-    adc_col = (
-        F.element_at(t_lits[0], F.col("codes")[0] + 1)
-        + F.element_at(t_lits[1], F.col("codes")[1] + 1)
-        + F.element_at(t_lits[2], F.col("codes")[2] + 1)
-        + F.element_at(t_lits[3], F.col("codes")[3] + 1)
-    )
+    adc_col = _adc_col(_adc_table(qvec, codebooks))
     qlit = F.array(*[F.lit(x) for x in qvec])
     # orderBy + limit plans as TakeOrderedAndProject (per-partition
     # top-k + driver merge, no global sort); the rank window then runs

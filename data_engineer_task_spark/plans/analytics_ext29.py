@@ -224,3 +224,8 @@ def quantity_shape_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((m4 / (m2 * m2) - F.lit(3.0)) * 1000000.0) / 1000000.0
         ).alias("excess_kurtosis"),
     ).orderBy("l_returnflag")
+
+
+# Thirty-first-batch entries register themselves into QUERIES/ORACLE
+# on import.
+from . import analytics_ext30  # noqa: E402,F401  isort:skip

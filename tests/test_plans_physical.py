@@ -811,6 +811,7 @@ def test_no_cartesian_or_row_udfs_in_any_declared_entry(spark):
         "embedding_semantic_dup_pairs",
         "embedding_semantic_dedup_survivors",
         "embedding_pq_adc_topk",
+        "embedding_ivfpq_topk",
     }
     # the Python UDTF API-surface demo is the ONE sanctioned
     # BatchEvalPython site (its codegen twin doc_overlap_chunks is
