@@ -116,8 +116,16 @@ def ranking_auc(
     U2 = Σ_s c_pos(s)·(2·cum_neg_below(s) + c_neg(s)) — the ×2
     scaling keeps the half-credit tie term integral — and
     AUC = U2 / (2·n_pos·n_neg) under a 1e-6 display round (two
-    correctly-rounded IEEE ops on exact BIGINTs, cross-engine
-    deterministic). Scale shape: one groupBy on (group, score) whose
+    correctly-rounded IEEE ops on exact integers, cross-engine
+    deterministic). Overflow headroom (ADVICE r4): U2 ≤ 2·n_pos·n_neg
+    exceeds BIGINT (ANSI throw) once n_pos·n_neg > ~4.6e18 (~3e9
+    balanced rows per group), so U2 accumulates in DECIMAL(38,0) —
+    headroom to ~10^19 rows per group, same escape hatch as
+    embedding_pca_top_component. Past ~2^53 (≈9e15, i.e. n_pos·n_neg
+    > ~4.5e15) the final decimal→double conversion is still correctly
+    rounded but the quotient's 1e-6 display round can sit at a
+    half-way boundary — display-only, never membership. Scale shape:
+    one groupBy on (group, score) whose
     output is score-cardinality-bounded (≪ corpus) and a window over
     that small frame — the corpus never sorts globally. Output:
     (*group_cols, n_pos, n_neg, auc); groups with an empty class get
@@ -144,14 +152,19 @@ def ranking_auc(
     t = c.groupBy(*gcols).agg(
         F.sum("_cp").cast("long").alias("n_pos"),
         F.sum("_cn").cast("long").alias("n_neg"),
-        F.sum(F.col("_cp") * (2 * F.col("_cl") + F.col("_cn")))
-        .cast("long")
+        F.sum(
+            F.col("_cp").cast("decimal(38,0)")
+            * (2 * F.col("_cl") + F.col("_cn")).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
         .alias("_u2"),
     )
     auc = F.when(
         (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
         F.round(
-            F.col("_u2") / (2.0 * F.col("n_pos") * F.col("n_neg")) * 1000000.0
+            F.col("_u2").cast("double")
+            / (2.0 * F.col("n_pos") * F.col("n_neg"))
+            * 1000000.0
         )
         / 1000000.0,
     )

@@ -150,6 +150,40 @@ def kmv_hash(col: Column, salt: str = "kmv:") -> Column:
     return acc
 
 
+def _k_smallest(
+    df: DataFrame, k: int, group_cols: tuple[str, ...], *, salt_buckets: int = 64
+) -> DataFrame:
+    """The k smallest ``h`` per group via a SALTED two-level rank —
+    never a single-task global sort (ADVICE r4). Level 1 partitions by
+    (group, h % salt_buckets): h is md5-uniform so the salt spreads a
+    hot group evenly, and the rank-k filter cuts each salt bucket to
+    ≤ k rows. Level 2 re-ranks the ≤ salt_buckets·k survivors per
+    group — a bounded frame. Exact: every global k-smallest hash is
+    among its own salt bucket's k smallest, so level 1 never drops a
+    winner; the salt is derived from h itself, so the result is
+    deterministic regardless of physical partitioning."""
+    from pyspark.sql import Window as W
+
+    w1 = W.partitionBy(
+        *group_cols, F.pmod(F.col("h"), F.lit(salt_buckets))
+    ).orderBy("h")
+    pre = (
+        df.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    if not group_cols:
+        # global sketch: TakeOrderedAndProject (per-partition top-k +
+        # driver merge of ≤ salt_buckets·k rows) — no window at all
+        return pre.orderBy("h").limit(k)
+    w2 = W.partitionBy(*group_cols).orderBy("h")
+    return (
+        pre.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def kmv_sketch(
     df: DataFrame,
     value_col: str,
@@ -163,21 +197,16 @@ def kmv_sketch(
 
     The one corpus-sized shuffle carries a single row per distinct
     (group, hash) — map-side partial distinct collapses duplicates
-    before the exchange — and the rank-k filter drops everything else.
-    At production scale you never rebuild from raw data: per-shard /
-    per-day sketches persist and ``kmv_merge`` folds them (union →
-    re-min, exactly one-shot-equivalent — property-tested)."""
-    from pyspark.sql import Window as W
-
+    before the exchange — and the salted two-level rank-k filter
+    (``_k_smallest``) drops everything else without ever funneling a
+    group's full distinct-hash set through one task. At production
+    scale you never rebuild from raw data: per-shard / per-day
+    sketches persist and ``kmv_merge`` folds them (union → re-min,
+    exactly one-shot-equivalent — property-tested)."""
     hashed = df.select(
         *group_cols, kmv_hash(F.col(value_col), salt).alias("h")
     ).distinct()
-    w = W.partitionBy(*group_cols).orderBy("h") if group_cols else W.orderBy("h")
-    return (
-        hashed.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _k_smallest(hashed, k, tuple(group_cols))
 
 
 def kmv_merge(
@@ -186,21 +215,15 @@ def kmv_merge(
     """Merge sketches: union the retained hashes, dedupe, re-take the
     k smallest per group. Exact (≡ one-shot build over the combined
     input) because the k smallest of A ∪ B all lie within
-    k-min(A) ∪ k-min(B)."""
-    from pyspark.sql import Window as W
-
+    k-min(A) ∪ k-min(B). Merging many shard sketches re-uses the
+    salted two-level rank, so even a million-shard union never sorts
+    in one task."""
     if not sketches:
         raise ValueError("kmv_merge needs at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    w = W.partitionBy(*group_cols).orderBy("h") if group_cols else W.orderBy("h")
-    return (
-        out.distinct()
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _k_smallest(out.distinct(), k, tuple(group_cols))
 
 
 def kmv_estimate(

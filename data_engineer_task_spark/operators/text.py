@@ -473,7 +473,12 @@ def phrase_merge_rounds(
     folds — overlapping occurrences like "a a a" under merge (a, a)
     resolve identically); sentinel-seeded so the accumulator is
     list-typed on both engines (``F.get`` / DuckDB OOB indexing return
-    NULL, never throw, on the empty prefix).
+    NULL, never throw, on the empty prefix). The sentinel is NULL, not
+    '' — ``F.split`` on ' ' yields GENUINE empty-string tokens for
+    leading/double spaces, so '' is a reachable real symbol and an ''
+    sentinel would phantom-merge a learned ('' , b) pair at position 0
+    (ADVICE r4); NULL never equals any real token under ``==`` (split
+    never yields NULL), so the seed can't match.
 
     Returns (per-round stats [(a, b, pair_count, total_tokens_after)],
     final tokenized frame ``(id_col, toks)``)."""
@@ -509,7 +514,10 @@ def phrase_merge_rounds(
             id_col,
             F.aggregate(
                 "toks",
-                F.array(F.lit("")),
+                # NULL sentinel: unreachable (real tokens are never
+                # NULL; '' IS reachable via double spaces) — NULL == a
+                # yields NULL, which when() treats as no-match.
+                F.array(F.lit(None).cast("string")),
                 lambda acc, x: F.when(
                     (F.get(acc, F.size(acc) - 1) == la) & (x == lb),
                     F.concat(

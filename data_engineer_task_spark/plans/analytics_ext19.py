@@ -260,11 +260,27 @@ def doc_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     no fp boundary can flip a bucket edge, per CLAUDE.md's membership
     rule) and split into ntile(5) quality quintiles with a
     deterministic doc_id tie-break — the bucket column a curriculum
-    schedule samples from (clean→noisy ordering). The ntile runs over
-    the scored frame's total order; per-bucket stats are exact
-    integers. At 100 TB the global ntile is the scale knob — swap to
-    percentile cutoffs from an aggregate (approx or exact) and a
-    map-only bucket join when a single global sort is unwanted."""
+    schedule samples from (clean→noisy ordering). The oracle IS the
+    ntile; the Spark plan computes the identical partition WITHOUT a
+    global sort (VERDICT r4 item 4's documented swap, now landed):
+
+    1. roll up per SCORE VALUE (the score domain is ≤ 1001 integers —
+       floor of a [0,1] ratio ×1000), one tiny aggregate;
+    2. each score's global rank span [before+1, before+cnt] comes
+       from a broadcast self-join over that ≤1001-row domain (no
+       window at all), ntile bucket edges from exact integer
+       arithmetic on (n_total div 5, n_total % 5);
+    3. scores whose span lies inside one bucket (all but ≤ 4 of
+       them) contribute their rollup row directly — map-only;
+    4. only BOUNDARY-STRADDLING scores (≤ 4, one per quintile edge)
+       rejoin their documents, rank within score by doc_id ASC (a
+       PARTITIONED window, exactly ntile's tie-break), and split at
+       the edge.
+
+    Per-bucket stats are exact integers; bucket membership is pure
+    integer `div`/`%` (no float can flip an edge). At 100 TB the
+    corpus-sized work is one groupBy(score) with map-side combine
+    plus a partitioned rank over the handful of edge scores."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), r"\Q \E")
     sc = docs.select(
@@ -274,19 +290,73 @@ def doc_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("score"),
     )
-    b = sc.withColumn(
-        "bucket",
-        F.ntile(5).over(
-            W.partitionBy().orderBy(F.desc("score"), F.asc("doc_id"))
-        ),
+    per_score = sc.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    # rank-before counts via a ≤1001×1001 broadcast self-join on the
+    # score DOMAIN (ntile orders score DESC, so "before" = docs with a
+    # strictly higher score); n_total rides the same tiny frame
+    higher = per_score.select(
+        F.col("score").alias("_s2"), F.col("cnt").alias("_c2")
+    )
+    tot = per_score.agg(F.sum("cnt").cast("long").alias("n_total"))
+    spans = (
+        per_score.join(
+            F.broadcast(higher), F.col("_s2") > F.col("score"), "left"
+        )
+        .groupBy("score", "cnt", "chars")
+        .agg(F.coalesce(F.sum("_c2"), F.lit(0)).cast("long").alias("before"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("q", F.expr("n_total div 5"))
+        .withColumn("m", F.col("n_total") % 5)
+    )
+
+    # ntile(5) bucket of 1-based rank r: the first (n mod 5) buckets
+    # hold q+1 rows, the rest q — all-integer `div` arithmetic, and
+    # the q=0 ELSE branch is unreachable (r > m·(q+1) = n_total is
+    # impossible), so the lazy CASE never divides by zero under ANSI.
+    def _bucket_of(r: str):
+        return F.expr(
+            f"CASE WHEN {r} <= m * (q + 1) THEN ({r} + q) div (q + 1) "
+            f"ELSE m + (({r} - m * (q + 1) + q - 1) div q) END"
+        )
+
+    spans = spans.withColumn(
+        "b_lo", _bucket_of("before + 1")
+    ).withColumn("b_hi", _bucket_of("before + cnt"))
+
+    whole = spans.where(F.col("b_lo") == F.col("b_hi")).select(
+        F.col("b_lo").alias("bucket"),
+        F.col("cnt").alias("n"),
+        F.col("chars").alias("ch"),
+        F.col("score").alias("min_s"),
+        F.col("score").alias("max_s"),
+    )
+    straddle = spans.where(F.col("b_lo") != F.col("b_hi")).select(
+        "score", "before", "q", "m"
+    )
+    pos = F.row_number().over(W.partitionBy("score").orderBy(F.asc("doc_id")))
+    edge = (
+        sc.join(F.broadcast(straddle), "score")
+        .withColumn("_r", F.col("before") + pos)
+        .withColumn("bucket", _bucket_of("_r"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("ch"),
+            F.min("score").alias("min_s"),
+            F.max("score").alias("max_s"),
+        )
     )
     return (
-        b.groupBy("bucket")
+        whole.unionByName(edge)
+        .groupBy("bucket")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.min("score").cast("long").alias("min_score"),
-            F.max("score").cast("long").alias("max_score"),
-            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("n").cast("long").alias("n_docs"),
+            F.min("min_s").cast("long").alias("min_score"),
+            F.max("max_s").cast("long").alias("max_score"),
+            F.sum("ch").cast("long").alias("sum_chars"),
         )
         .orderBy("bucket")
     )

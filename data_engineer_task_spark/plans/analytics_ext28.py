@@ -79,9 +79,11 @@ def _pos_col(col, salt: str):
          WHERE c_custkey NOT IN (SELECT o_custkey FROM a)) AS n_false_pos
     )
     SELECT n_members, n_probed, n_bits_set, n_hits, n_false_pos,
-           round((CAST(n_false_pos AS DOUBLE)
-                  / CAST(n_probed - n_members AS DOUBLE)) * 1000000.0)
-             / 1000000.0 AS fpr_measured,
+           CASE WHEN n_probed > n_members THEN
+             round((CAST(n_false_pos AS DOUBLE)
+                    / CAST(n_probed - n_members AS DOUBLE)) * 1000000.0)
+               / 1000000.0
+           END AS fpr_measured,
            round((CAST(n_bits_set AS DOUBLE) / {_M_BITS}.0)
                  * (CAST(n_bits_set AS DOUBLE) / {_M_BITS}.0)
                  * (CAST(n_bits_set AS DOUBLE) / {_M_BITS}.0)
@@ -159,7 +161,13 @@ def customer_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bits_set",
             "n_hits",
             "n_false_pos",
-            (
+            # NULL-guard the degenerate every-probe-is-a-member case:
+            # the denominator (non-member probes) is 0 there and the
+            # unguarded division would emit Infinity through round()
+            # on both engines (ADVICE r4) — mirror ranking_auc's
+            # empty-class NULL convention instead.
+            F.when(
+                F.col("n_probed") > F.col("n_members"),
                 F.round(
                     (
                         F.col("n_false_pos").cast("double")
@@ -169,7 +177,7 @@ def customer_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     * 1000000.0
                 )
-                / 1000000.0
+                / 1000000.0,
             ).alias("fpr_measured"),
             (F.round(p * p * p * 1000000.0) / 1000000.0).alias("fpr_theory"),
         )

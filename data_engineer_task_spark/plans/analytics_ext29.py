@@ -26,9 +26,10 @@ def _merge_round_ctes(r: int) -> str:
     """CTE block for merge round ``r``: in-row adjacent pairs of the
     previous round's token lists, exact-integer counts, the (cnt DESC,
     a ASC, b ASC) top-1, and the greedy left-fold rewrite (sentinel
-    [''] seed keeps the accumulator list-typed; ``acc[len(acc)]`` on
-    the sentinel never equals a real symbol, mirroring Spark's
-    ``F.get`` NULL semantics on the empty prefix)."""
+    [NULL] seed keeps the accumulator list-typed; ``acc[len(acc)]`` on
+    the sentinel is NULL, which never equals a real symbol — unlike
+    '', which string_split DOES emit for leading/double spaces
+    (ADVICE r4) — mirroring Spark's NULL-seeded ``F.aggregate``)."""
     prev = r - 1
     return f"""pr{r} AS (
       SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
@@ -44,7 +45,7 @@ def _merge_round_ctes(r: int) -> str:
     ),
     tok{r} AS (
       SELECT doc_id,
-             list_reduce([['']] || list_transform(t.toks, s -> [s]),
+             list_reduce([[NULL]] || list_transform(t.toks, s -> [s]),
                (acc, x) -> CASE WHEN acc[len(acc)] = p.a AND x[1] = p.b
                                 THEN acc[1:len(acc)-1]
                                      || [p.a || ' ' || p.b]
