@@ -1,0 +1,66 @@
+"""Plan-introspection helpers for the scale gates.
+
+``unpartitioned_specs`` finds window specs with NO partition columns in
+an analyzed logical plan string — the `WindowExec: No Partition
+Defined` class that moves all data to a single task. The plan gate in
+``tests/test_plans_physical.py`` keeps an explicit allowlist of
+domain-bounded frames; everything else is a scale regression.
+"""
+
+from __future__ import annotations
+
+
+def split_top_level(s: str) -> list[str]:
+    """Split on commas at paren/bracket depth 0."""
+    out: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def unpartitioned_specs(plan: str) -> list[str]:
+    """All ``windowspecdefinition(...)`` bodies whose first top-level
+    argument is an ORDER expression — i.e. the spec declares no
+    partition columns. Spark prints partition columns first, then
+    ordering expressions (``expr ASC|DESC NULLS ...``), then the
+    frame; a spec that LEADS with an ordered expression is
+    unpartitioned."""
+    hits: list[str] = []
+    needle = "windowspecdefinition("
+    i = 0
+    while True:
+        j = plan.find(needle, i)
+        if j < 0:
+            break
+        k = j + len(needle)
+        depth = 1
+        while depth and k < len(plan):
+            if plan[k] == "(":
+                depth += 1
+            elif plan[k] == ")":
+                depth -= 1
+            k += 1
+        body = plan[j + len(needle) : k - 1]
+        args = split_top_level(body)
+        first = args[0] if args else ""
+        if " ASC NULLS" in first or " DESC NULLS" in first:
+            hits.append(body[:160])
+        i = k
+    return hits
+
+
+def analyzed_plan(df) -> str:
+    """The analyzed logical plan as a string (no execution)."""
+    return df._jdf.queryExecution().analyzed().toString()

@@ -12,6 +12,7 @@ from __future__ import annotations
 import re
 
 from data_engineer_task_spark.plans.analytics import QUERIES
+from data_engineer_task_spark.plans.audit import unpartitioned_specs
 
 from conftest import SF_SMOKE
 
@@ -818,6 +819,7 @@ def test_no_cartesian_or_row_udfs_in_any_declared_entry(spark):
     # the production path)
     udtf_ok = {"doc_fixed_chunks_udtf"}
     offenders = []
+    window_flags: dict[str, int] = {}
     for name, fn in QUERIES.items():
         try:
             plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
@@ -834,4 +836,47 @@ def test_no_cartesian_or_row_udfs_in_any_declared_entry(spark):
             or "FlatMapCoGroupsInPandas" in plan
         ):
             offenders.append((name, "undocumented Arrow stage"))
+        n_unpart = len(unpartitioned_specs(plan))
+        if n_unpart:
+            window_flags[name] = n_unpart
     assert not offenders, offenders
+
+    # Unpartitioned-window gate (VERDICT r4 item 5): a window with no
+    # partition spec moves ALL its input to one task. Allowed ONLY
+    # over frames bounded by something other than the corpus — shrink
+    # this allowlist, never grow it without a bound argument.
+    allow = {
+        # dimension/domain-bounded frames (the window input is an
+        # aggregate over a small or fixed domain)
+        "brand_surrogate_keys": "distinct-brand dimension build (ref T13)",
+        "corpus_zipf_curve": "vocabulary-frequency frame",
+        "daily_new_returning_users": "calendar-day frame",
+        "rolling_weekly_revenue": "calendar-week frame",
+        "order_growth_by_year": "order-year frame",
+        "part_skyline_frontier": "per-size frontier frame",
+        "price_histogram_quantiles": "fixed $1000-bucket grid",
+        # constant-k shortlist ranks (the window input is limit(k)-
+        # or probe-bounded)
+        "embedding_pq_adc_topk": "ADC shortlist rank",
+        "embedding_ivfpq_topk": "IVF-PQ shortlist rank",
+        "hybrid_rrf_search": "two top-K=300 retriever shortlist ranks",
+        # KNOWN scale-weak (global rank over a per-entity frame that
+        # grows with the corpus; each docstring names the swap —
+        # approx-percentile cuts / two-level rank). Fixing one of
+        # these MUST also remove it here.
+        "customer_revenue_gini": "scale-weak: global customer rank",
+        "customer_rfm_segments": "scale-weak: three ntiles over customers",
+        "doc_negative_pairs": "scale-weak: global doc row_number",
+        "order_acctbal_spearman": "scale-weak: two global order ranks",
+        "order_price_woe_bins": "scale-weak: global order ntile",
+        "part_abc_classification": "scale-weak: global part revenue rank",
+    }
+    unexpected = {n: c for n, c in window_flags.items() if n not in allow}
+    assert not unexpected, (
+        f"unpartitioned windows outside the allowlist: {unexpected} — "
+        "partition the window, bound its input, or justify it above"
+    )
+    stale = sorted(set(allow) - set(window_flags))
+    assert not stale, (
+        f"allowlist entries no longer flagged (shrink the list): {stale}"
+    )
