@@ -151,7 +151,12 @@ def kmv_hash(col: Column, salt: str = "kmv:") -> Column:
 
 
 def _k_smallest(
-    df: DataFrame, k: int, group_cols: tuple[str, ...], *, salt_buckets: int = 64
+    df: DataFrame,
+    k: int,
+    group_cols: tuple[str, ...],
+    *,
+    salt_buckets: int = 64,
+    tiebreak: tuple[str, ...] = (),
 ) -> DataFrame:
     """The k smallest ``h`` per group via a SALTED two-level rank —
     never a single-task global sort (ADVICE r4). Level 1 partitions by
@@ -161,12 +166,17 @@ def _k_smallest(
     group — a bounded frame. Exact: every global k-smallest hash is
     among its own salt bucket's k smallest, so level 1 never drops a
     winner; the salt is derived from h itself, so the result is
-    deterministic regardless of physical partitioning."""
+    deterministic regardless of physical partitioning.
+
+    ``tiebreak``: extra ascending order columns after ``h`` for
+    callers whose h values can collide (KMV frames are DISTINCT
+    hashes, so they pass none)."""
     from pyspark.sql import Window as W
 
+    order = [F.asc("h"), *(F.asc(t) for t in tiebreak)]
     w1 = W.partitionBy(
         *group_cols, F.pmod(F.col("h"), F.lit(salt_buckets))
-    ).orderBy("h")
+    ).orderBy(*order)
     pre = (
         df.withColumn("_rn", F.row_number().over(w1))
         .where(F.col("_rn") <= k)
@@ -175,8 +185,8 @@ def _k_smallest(
     if not group_cols:
         # global sketch: TakeOrderedAndProject (per-partition top-k +
         # driver merge of ≤ salt_buckets·k rows) — no window at all
-        return pre.orderBy("h").limit(k)
-    w2 = W.partitionBy(*group_cols).orderBy("h")
+        return pre.orderBy(*order).limit(k)
+    w2 = W.partitionBy(*group_cols).orderBy(*order)
     return (
         pre.withColumn("_rn", F.row_number().over(w2))
         .where(F.col("_rn") <= k)

@@ -1539,22 +1539,38 @@ def full_priority_coverage_customers(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quartiles) —
-    the classic customer-scoring matrix. One fact aggregate, then
-    three ntile windows over the per-customer table (bounded by
-    customer count, not fact volume); custkey tie-breaks make every
-    quartile assignment engine-identical. Output is the segment-cell
-    census."""
+    the classic customer-scoring matrix. One fact aggregate; the
+    oracle keeps the three literal ntile windows, while the Spark
+    plan computes IDENTICAL quartiles without any single-partition
+    window (the r4 allowlist's documented swap, now landed): three
+    ``ordered_prefix`` global ranks (range-bucket two-level,
+    exact-integer offsets; recency keys on epoch-days so the cut
+    sampling stays numeric) + ``ntile_of_rank`` integer bucket
+    arithmetic. custkey tie-breaks make every quartile assignment
+    engine-identical. Output is the segment-cell census."""
+    from ..operators.ranking import ntile_of_rank, ordered_prefix
+
     orders = _t(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).cast("long").alias("frequency"),
         (F.round((F.sum("o_totalprice")) * 100.0) / 100.0).alias("monetary"),
     )
-    scored = per_cust.select(
+    n = per_cust.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    g = ordered_prefix(
+        per_cust,
+        F.datediff(F.col("last_order"), F.lit("1970-01-01").cast("date")),
+        ["o_custkey"],
+        rank_col="_rr",
+        buckets=32,
+    )
+    g = ordered_prefix(g, "frequency", ["o_custkey"], rank_col="_rf", buckets=32)
+    g = ordered_prefix(g, "monetary", ["o_custkey"], rank_col="_rm", buckets=32)
+    scored = g.crossJoin(F.broadcast(n)).select(
         "o_custkey", "frequency", "monetary",
-        F.ntile(4).over(W.orderBy(F.asc("last_order"), F.asc("o_custkey"))).alias("r_q"),
-        F.ntile(4).over(W.orderBy(F.asc("frequency"), F.asc("o_custkey"))).alias("f_q"),
-        F.ntile(4).over(W.orderBy(F.asc("monetary"), F.asc("o_custkey"))).alias("m_q"),
+        ntile_of_rank(F.col("_rr"), F.col("_n"), 4).alias("r_q"),
+        ntile_of_rank(F.col("_rf"), F.col("_n"), 4).alias("f_q"),
+        ntile_of_rank(F.col("_rm"), F.col("_n"), 4).alias("m_q"),
     )
     return (
         scored.groupBy("r_q", "f_q", "m_q")

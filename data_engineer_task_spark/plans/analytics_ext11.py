@@ -297,21 +297,21 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     over ascending-sorted revenue with customer-key tie-breaks.
     Per-customer revenue is cents-rounded BEFORE ranking, so ranks
     and both moment sums are exact-integer-derived and the final
-    expression is bit-identical across engines. The global sort is
-    the one scale bottleneck — at 100 TB swap exact ranks for
-    percentile-bucket midpoint ranks (the same approx-cuts move as
-    the WOE/decile entries); the Gini algebra is unchanged."""
+    expression is bit-identical across engines. Ranks come from
+    ``ordered_prefix`` (range-bucket two-level rank: approx-cut
+    placement, exact-integer offsets — the r4 allowlist's documented
+    swap, now landed), so no task ever sorts the whole customer
+    frame; the Gini algebra is unchanged."""
+    from ..operators.ranking import ordered_prefix
+
     rev = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice") * 100.0).cast("long").alias("cents"))
     )
-    ranked = rev.select(
-        "cents",
-        F.row_number()
-        .over(W.orderBy(F.asc("cents"), F.asc("o_custkey")))
-        .alias("i"),
-    )
+    ranked = ordered_prefix(
+        rev, "cents", ["o_custkey"], rank_col="i", buckets=32
+    ).select("cents", "i")
     m = ranked.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("cents").cast("double").alias("s"),

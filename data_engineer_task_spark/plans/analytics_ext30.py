@@ -262,3 +262,8 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# Thirty-second-batch entries register themselves into QUERIES/ORACLE
+# on import.
+from . import analytics_ext31  # noqa: E402,F401  isort:skip

@@ -588,80 +588,86 @@ def orders_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT l_partkey,
-             round(sum(l_extendedprice * (1 - l_discount)) * 100.0) / 100.0
-               AS revenue
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100.0)
+                  AS BIGINT) AS cents
       FROM lineitem GROUP BY l_partkey
     ),
     c AS (
-      SELECT l_partkey, revenue,
-             sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
-                                ROWS UNBOUNDED PRECEDING) AS cum_rev,
-             sum(revenue) OVER () AS total_rev
+      SELECT cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             sum(cents) OVER () AS total_cents
       FROM rev
     ),
     k AS (
-      SELECT CASE WHEN cum_rev <= 0.80 * total_rev THEN 'A'
-                  WHEN cum_rev <= 0.95 * total_rev THEN 'B'
+      SELECT CASE WHEN 5 * cum_cents <= 4 * total_cents THEN 'A'
+                  WHEN 20 * cum_cents <= 19 * total_cents THEN 'B'
                   ELSE 'C' END AS abc_class,
-             revenue
+             cents, total_cents
       FROM c
     )
     SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
-           round(sum(revenue) * 100.0) / 100.0 AS class_revenue,
-           round(sum(revenue) * 10000.0 / max(total)) / 10000.0
-             AS revenue_share
-    FROM (SELECT k.*, (SELECT max(total_rev) FROM c) AS total FROM k)
-    GROUP BY abc_class ORDER BY abc_class
+           CAST(sum(cents) AS DOUBLE) / 100.0 AS class_revenue,
+           round(CAST(sum(cents) AS DOUBLE) * 10000.0 / max(total_cents))
+             / 10000.0 AS revenue_share
+    FROM k GROUP BY abc_class ORDER BY abc_class
     """,
 )
 def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto classification of parts by revenue: rank by
     revenue, A = parts inside the first 80% of cumulative revenue,
     B = next 15%, C = the tail — the standard inventory-prioritization
-    cut. Per-part revenue is rounded to cents BEFORE ranking so the
-    (revenue desc, partkey) order — and therefore every cumulative
-    sum — is bit-identical across engines (unrounded doubles differ in
-    the last ulp by summation order, which could swap near-tied ranks).
-    The cumulative window runs over the PART-level frame (bounded by
-    the part dimension, not the fact); the fact contributes one grouped
-    aggregate. Global window noted: at extreme part cardinality the
-    rank/cumsum would shard via repartitionByRange + per-range offsets."""
-    from pyspark.sql import Window as W
+    cut. Per-part revenue lives as exact-integer CENTS end to end
+    (CLAUDE.md's membership rule): the cumulative sums are BIGINTs —
+    order-independent, so the two-level prefix can't re-associate a
+    float — and the 80/95% thresholds are integer cross-
+    multiplications (5·cum ≤ 4·total, 20·cum ≤ 19·total; headroom:
+    20·total_cents overflows BIGINT only past ~4.6e17 cents ≈ $4.6
+    quadrillion). The prefix sums come from ``ordered_prefix``
+    (range-bucket two-level: approx-cut placement, exact-integer
+    offsets — the r4 allowlist's documented repartitionByRange swap,
+    now landed), so no task ever sorts the whole part frame; the fact
+    contributes one grouped aggregate."""
+    from ..operators.ranking import ordered_prefix
 
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
-        (
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                * 100.0
-            )
-            / 100.0
-        ).alias("revenue")
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            * 100.0
+        )
+        .cast("long")
+        .alias("cents")
     )
-    wc = W.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    tot = rev.agg(F.sum("cents").cast("long").alias("total_cents"))
+    pre = ordered_prefix(
+        rev.withColumn("_negc", -F.col("cents")),
+        "_negc",
+        ["l_partkey"],
+        rank_col=None,
+        sums={"_before": "cents"},
+        buckets=32,
     )
-    wt = W.partitionBy()
-    c = rev.select(
-        "revenue",
-        F.sum("revenue").over(wc).alias("cum_rev"),
-        F.sum("revenue").over(wt).alias("total_rev"),
-    )
-    k = c.select(
-        F.when(F.col("cum_rev") <= 0.80 * F.col("total_rev"), "A")
-        .when(F.col("cum_rev") <= 0.95 * F.col("total_rev"), "B")
+    cum = F.col("_before") + F.col("cents")
+    k = pre.crossJoin(F.broadcast(tot)).select(
+        F.when(5 * cum <= 4 * F.col("total_cents"), "A")
+        .when(20 * cum <= 19 * F.col("total_cents"), "B")
         .otherwise("C")
         .alias("abc_class"),
-        "revenue",
-        "total_rev",
+        "cents",
+        "total_cents",
     )
     return (
         k.groupBy("abc_class")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_parts"),
-            (F.round(F.sum("revenue") * 100.0) / 100.0).alias("class_revenue"),
+            (F.sum("cents").cast("double") / 100.0).alias("class_revenue"),
             (
-                F.round(F.sum("revenue") * 10000.0 / F.max("total_rev"))
+                F.round(
+                    F.sum("cents").cast("double")
+                    * 10000.0
+                    / F.max("total_cents")
+                )
                 / 10000.0
             ).alias("revenue_share"),
         )

@@ -339,17 +339,30 @@ def order_price_woe_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     term whose column sum is the feature's IV — the classic
     supervised binning for risk scorecards and a leakage-free
     categorical encoder. ntile ties break on o_orderkey so both
-    engines assign identical bins. The global ntile is a
-    single-ordering window — fine here; at 100 TB swap the exact
-    decile edges for approx_percentile cuts and a map-only bin
-    lookup (the `order_price_winsorized` / `segment_balance_deciles`
-    pattern)."""
+    engines assign identical bins. The oracle keeps the literal
+    ntile; the Spark plan computes the IDENTICAL deciles without a
+    single-partition window (the r4 allowlist's documented swap, now
+    landed): ``ordered_prefix`` global ranks (range-bucket two-level,
+    exact-integer offsets) + ``ntile_of_rank`` integer bucket
+    arithmetic — no float can flip a bin edge."""
+    from ..operators.ranking import ntile_of_rank, ordered_prefix
+
     orders = _t(spark, sf_dir, "orders")
-    r = orders.select(
+    base = orders.select(
+        "o_totalprice",
+        "o_orderkey",
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
-        F.ntile(10)
-        .over(W.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey")))
-        .alias("bin"),
+    )
+    n = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    r = (
+        ordered_prefix(
+            base, "o_totalprice", ["o_orderkey"], rank_col="_r", buckets=32
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bad",
+            ntile_of_rank(F.col("_r"), F.col("_n"), 10).alias("bin"),
+        )
     )
     c = r.groupBy("bin").agg(
         F.count(F.lit(1)).cast("double").alias("n"),

@@ -188,27 +188,46 @@ def order_acctbal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between order price and the ordering
     customer's account balance — the robust (monotonic, outlier-proof)
     sibling of the Pearson `priority_price_dispersion` entry. Ties get
-    proper AVERAGE ranks, spelled engine-portably as
-    rank() + (tie_count − 1)/2 (two windows over the pair frame;
-    `avg(rank)` grouping would need an extra self-join). The rho
+    proper AVERAGE ranks — and an average rank is a pure function of
+    the VALUE: avg_rank(v) = before(v) + (count(v)+1)/2, where
+    before(v) counts rows with a strictly smaller value. So the plan
+    never ranks rows at all: it rolls the pair frame up per distinct
+    value (one map-side-combinable aggregate), adds exclusive prefix
+    COUNTS over the value frame via ``ordered_prefix`` (range-bucket
+    two-level — no single-partition window; the r4 allowlist's
+    documented swap, now landed), and joins the per-value rank back
+    map-only. before/count are exact integers; the +/2 halves are
+    exact in doubles, so both engines assign identical ranks. The rho
     itself is the moment-decomposed Pearson over ranks: one final
-    aggregate of five sums, map-side combined. At 100 TB global exact
-    ranking is the bottleneck — swap in approx-percentile bucket
-    ranks; the moment algebra is unchanged."""
+    aggregate of five sums, map-side combined."""
+    from ..operators.ranking import ordered_prefix
+
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     pairs = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("o_totalprice").alias("x"), F.col("c_acctbal").alias("y")
     )
-    rx = (
-        F.rank().over(W.orderBy(F.asc("x")))
-        + (F.count(F.lit(1)).over(W.partitionBy("x")).cast("double") - 1.0) / 2.0
+
+    def _avg_ranks(col: str, out: str):
+        vals = pairs.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("_c")
+        )
+        pre = ordered_prefix(
+            vals, col, rank_col=None, sums={"_before": "_c"}, buckets=32
+        )
+        return pre.select(
+            col,
+            (
+                F.col("_before").cast("double")
+                + (F.col("_c").cast("double") + 1.0) / 2.0
+            ).alias(out),
+        )
+
+    ranked = (
+        pairs.join(_avg_ranks("x", "rx"), "x")
+        .join(_avg_ranks("y", "ry"), "y")
+        .select("rx", "ry")
     )
-    ry = (
-        F.rank().over(W.orderBy(F.asc("y")))
-        + (F.count(F.lit(1)).over(W.partitionBy("y")).cast("double") - 1.0) / 2.0
-    )
-    ranked = pairs.select(rx.alias("rx"), ry.alias("ry"))
     m = ranked.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("rx").alias("sx"),
@@ -256,16 +275,19 @@ def doc_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs, partitionings, and engines — the property rand() negatives
     lose under task retries, the classic silent-contrastive-leak).
     The join back is rn → neg_rn, a plain key equi-join; same_lang
-    marks in-batch 'hard' negatives for loss weighting. At 100 TB
-    the global row_number becomes the one bottleneck — swap for a
-    per-partition offset + partition-size prefix sums (zipWithIndex
-    shape) or hash the id space directly; the ring-hop algebra is
-    unchanged."""
-    d = _t(spark, sf_dir, "documents").select(
+    marks in-batch 'hard' negatives for loss weighting. The ring
+    position comes from ``ordered_prefix`` (range-bucket two-level
+    rank — approx-cut placement, exact-integer offsets), so no task
+    ever sorts the whole corpus (the r4 allowlist's documented swap,
+    now landed); the ring-hop algebra is unchanged."""
+    from ..operators.ranking import ordered_prefix
+
+    d = ordered_prefix(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
         "doc_id",
-        "lang",
-        (F.row_number().over(W.orderBy(F.asc("doc_id"))) - 1).alias("rn"),
-    )
+        rank_col="_rk",
+        buckets=32,
+    ).select("doc_id", "lang", (F.col("_rk") - 1).alias("rn"))
     cnt = d.agg(F.count(F.lit(1)).alias("n"))
     ks = F.explode(F.array(F.lit(1), F.lit(2))).alias("k")
     h = _md5_uint16(

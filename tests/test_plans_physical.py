@@ -860,16 +860,9 @@ def test_no_cartesian_or_row_udfs_in_any_declared_entry(spark):
         "embedding_pq_adc_topk": "ADC shortlist rank",
         "embedding_ivfpq_topk": "IVF-PQ shortlist rank",
         "hybrid_rrf_search": "two top-K=300 retriever shortlist ranks",
-        # KNOWN scale-weak (global rank over a per-entity frame that
-        # grows with the corpus; each docstring names the swap —
-        # approx-percentile cuts / two-level rank). Fixing one of
-        # these MUST also remove it here.
-        "customer_revenue_gini": "scale-weak: global customer rank",
-        "customer_rfm_segments": "scale-weak: three ntiles over customers",
-        "doc_negative_pairs": "scale-weak: global doc row_number",
-        "order_acctbal_spearman": "scale-weak: two global order ranks",
-        "order_price_woe_bins": "scale-weak: global order ntile",
-        "part_abc_classification": "scale-weak: global part revenue rank",
+        # (r5) the six former scale-weak global ranks/ntiles/cumsums —
+        # gini, rfm, negative_pairs, spearman, woe_bins, abc — now ride
+        # operators/ranking.py::ordered_prefix and left this list.
     }
     unexpected = {n: c for n, c in window_flags.items() if n not in allow}
     assert not unexpected, (
