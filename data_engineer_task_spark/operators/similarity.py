@@ -82,7 +82,12 @@ def cosine_topk(
     batch × query matrix in one matmul — and only the narrow
     (query_id, neighbor_id, cos) triples shuffle for the top-k window.
     Ranking uses the ROUNDED similarity with an id tie-break so results
-    are stable under fp reassociation."""
+    are stable under fp reassociation. Scale note: the top-k window
+    partitions by query_id, so one query's candidates land in one task
+    — this is the declared BRUTE-FORCE baseline; at corpus scale use
+    the IVF / PQ / IVF-PQ entries (pruned candidates) or interpose a
+    salted two-level rank like ``sketch._k_smallest`` when exact
+    full-corpus top-k is really wanted."""
     base = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
     qrows = base.where(query_filter).orderBy(id_col).collect()
     if not qrows:
