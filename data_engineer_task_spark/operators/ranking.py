@@ -54,6 +54,7 @@ def ordered_prefix(
     rank_col: str | None = "rank",
     sums: dict[str, str] | None = None,
     buckets: int = 64,
+    materialize: bool = False,
 ) -> DataFrame:
     """Add a 1-based global ``rank_col`` (dense total-order position)
     and/or EXCLUSIVE prefix sums over integral columns, ordered by
@@ -73,11 +74,27 @@ def ordered_prefix(
     tb = [F.col(t) if isinstance(t, str) else t for t in tiebreak]
     sums = sums or {}
 
+    # The cut pass, the per-bucket stats pass, and the final plan are
+    # three driver jobs that each re-execute the caller's upstream
+    # lineage. Deliberately NOT checkpointed: measured at sf0.1,
+    # eager localCheckpoint cost MORE than the recomputation it saved
+    # (materialization blocks + an ExistingRDD scan that forfeits
+    # column pruning / codegen downstream) — see BASELINE.md's r5
+    # builder note. On a real cluster, persist() the input before
+    # calling when its lineage is expensive; pass materialize=True to
+    # opt into the local checkpoint instead.
+    if materialize:
+        df = df.localCheckpoint(eager=True)
+
     with_key = df.withColumn("_opk", kcol.cast("double"))
     probs = [i / buckets for i in range(1, buckets)]
+    # accuracy 1000 (not the 10000 default): the cuts only control
+    # PLACEMENT — every rank/sum is exact-integer and cut-invariant —
+    # so cheap sketching is free; 1000 still bounds bucket imbalance
+    # to ~0.1% of rows per cut at any scale.
     cuts_row = with_key.agg(
         F.expr(
-            f"approx_percentile(_opk, array({', '.join(str(p) for p in probs)}), 10000)"
+            f"approx_percentile(_opk, array({', '.join(str(p) for p in probs)}), 1000)"
         ).alias("c")
     ).collect()[0]["c"]
     cuts = sorted(set(cuts_row or []))

@@ -505,3 +505,80 @@ def doc_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- Quality-score calibration curve ------------------------------------------
+
+
+@q(
+    "doc_quality_calibration",
+    """
+    WITH s AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CAST(floor(1000.0 * len(list_distinct(string_split(text, ' ')))
+                        / len(string_split(text, ' '))) AS BIGINT) AS score
+      FROM documents
+    ),
+    b AS (
+      SELECT least(score // 100, 9) AS bin, y, score FROM s
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(CAST(sum(y) AS BIGINT) * 1000000.0 / count(*))
+             / 1000000.0 AS pos_rate,
+           round(CAST(sum(score) AS BIGINT) * 10000.0 / count(*))
+             / 10000.0 AS avg_score,
+           round(abs(CAST(sum(y) AS BIGINT) * 1000.0 / count(*)
+                     - CAST(sum(score) AS BIGINT) * 1.0 / count(*))
+                 * 1000.0) / 1000.0 AS calib_gap_permille
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability curve for a quality score: the
+    lexical-diversity permille score (the curriculum entry's integer
+    score, read as 'probability of being the en target slice' /1000)
+    bucketed into 10 FIXED permille bins, each reporting observed
+    positive rate vs mean claimed score — the reliability diagram
+    whose per-bin |gap| terms sum to ECE, completing the eval family
+    next to the threshold-free `doc_quality_score_auc`. Bin
+    membership is integer `div` on the exact permille score (the 1000
+    edge clamps into bin 9 via least); counts and score sums are
+    exact BIGINTs; rates/gaps are single display divisions of exact
+    integers, spelled identically on both engines. 100 TB shape: one
+    map-only scoring scan + a 10-row aggregate with map-side
+    combine."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\Q \E")
+    s = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.floor(1000.0 * F.size(F.array_distinct(toks)) / F.size(toks))
+        .cast("long")
+        .alias("score"),
+    )
+    b = s.select(
+        F.least(F.expr("score div 100"), F.lit(9).cast("long")).alias("bin"),
+        "y",
+        "score",
+    )
+    n = F.count(F.lit(1))
+    sy = F.sum("y").cast("long")
+    ss = F.sum("score").cast("long")
+    return (
+        b.groupBy("bin")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            sy.alias("n_pos"),
+            (F.round(sy * 1000000.0 / n) / 1000000.0).alias("pos_rate"),
+            (F.round(ss * 10000.0 / n) / 10000.0).alias("avg_score"),
+            (
+                F.round(
+                    F.abs(sy * 1000.0 / n - ss * 1.0 / n)
+                    * 1000.0
+                )
+                / 1000.0
+            ).alias("calib_gap_permille"),
+        )
+        .orderBy("bin")
+    )

@@ -647,6 +647,7 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col=None,
         sums={"_before": "cents"},
         buckets=32,
+        materialize=False,
     )
     cum = F.col("_before") + F.col("cents")
     k = pre.crossJoin(F.broadcast(tot)).select(

@@ -207,7 +207,6 @@ def order_acctbal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("o_totalprice").alias("x"), F.col("c_acctbal").alias("y")
     )
-
     def _avg_ranks(col: str, out: str):
         vals = pairs.groupBy(col).agg(
             F.count(F.lit(1)).cast("long").alias("_c")

@@ -496,3 +496,42 @@ def test_ranking_auc_matches_pair_counting(spark, rows):
     )
     want = round(u2 / (2.0 * len(pos) * len(neg)) * 1000000.0) / 1000000.0
     assert abs(r["auc"] - want) < 1e-9, (r["auc"], want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.integers(min_value=-20, max_value=20),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    buckets=st.sampled_from([2, 3, 8, 64]),
+)
+@settings(**SETTINGS)
+def test_ordered_prefix_matches_python_enumeration(spark, rows, buckets):
+    """ordered_prefix rank/prefix-sum ≡ plain Python sorted
+    enumeration for ANY bucket count — ranks and integral prefix sums
+    must be cut-invariant (that's the property that makes the
+    approx-percentile placement safe)."""
+    from data_engineer_task_spark.operators.ranking import ordered_prefix
+
+    # unique (v, id) total order: dedupe ids
+    rows = [(i, v, c) for i, (_, v, c) in enumerate(rows)]
+    df = spark.createDataFrame(rows, ["id", "v", "c"])
+    got = {
+        r["id"]: (r["rk"], r["cb"])
+        for r in ordered_prefix(
+            df, "v", ["id"], rank_col="rk", sums={"cb": "c"}, buckets=buckets
+        ).collect()
+    }
+    want = {}
+    run = 0
+    for rk, (i, v, c) in enumerate(
+        sorted(rows, key=lambda t: (t[1], t[0])), start=1
+    ):
+        want[i] = (rk, run)
+        run += c
+    assert got == want
