@@ -2,8 +2,8 @@
 t-closeness (the EMD completion of the k-anonymity / l-diversity
 privacy trio), a deterministic per-group reservoir sample, a temporal
 train/test split with an embargo gap (plus user-contamination count),
-a join-key skew histogram, Benford first-digit auditing, and BPE
-tokenizer APPLICATION (encode with the learned merges).
+a join-key skew histogram, and BPE tokenizer APPLICATION (encode
+with the learned merges).
 
 Reference scope note: the reference (``coded4alex/data_engineer_task``)
 has none of these (SURVEY §2.5); they extend the engine for the 100 TB
@@ -218,7 +218,11 @@ def events_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     event type's full history ever sorts in one task; the event_id
     tie-break pins the (astronomically unlikely) 48-bit collision.
     The retained set is a valid KMV sketch of the same salt — one scan
-    can serve both sampling and cardinality estimation."""
+    can serve both sampling and cardinality estimation. Relationship
+    to `doc_source_capped_sample` (ext): same deterministic-lottery
+    idea, but this one survives a single corpus-sized group (two-level
+    rank vs one partitioned window) and RETURNS the sampled rows
+    rather than a checksum."""
     from ..operators.sketch import _k_smallest, kmv_hash
 
     ev = _t(spark, sf_dir, "events")
@@ -389,70 +393,6 @@ def orders_custkey_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_factor"),
         )
         .orderBy("orders_per_customer")
-    )
-
-
-# --- Benford first-digit audit ------------------------------------------------
-
-
-@q(
-    "customer_acctbal_benford",
-    """
-    WITH d AS (
-      SELECT CAST(substr(CAST(abs(CAST(round(c_acctbal * 100) AS BIGINT))
-                               AS VARCHAR), 1, 1) AS BIGINT) AS digit
-      FROM customer
-      WHERE CAST(round(c_acctbal * 100) AS BIGINT) <> 0
-    ),
-    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
-    SELECT digit,
-           CAST(count(*) AS BIGINT) AS n_accounts,
-           round(CAST(count(*) AS BIGINT) * 1000000.0 / max(t.n))
-             / 1000000.0 AS share,
-           round(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000.0)
-             / 1000000.0 AS benford_share
-    FROM d CROSS JOIN t
-    GROUP BY digit ORDER BY digit
-    """,
-)
-def customer_acctbal_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford first-digit audit of account balances — the classic
-    fabricated-data / unit-mixing detector for numeric columns: the
-    leading digit of |cents| against the Benford expectation
-    log10(1+1/d). Digit extraction is pure integer/string arithmetic
-    on exact cents BIGINTs (no float log bucketing, so membership
-    can't flip); share is one display division; the Benford reference
-    shares are display-rounded transcendentals (ln-ratio spelled
-    identically on both engines, measure-zero boundary risk per the
-    house display-site rule). Zero balances are excluded (no leading
-    digit); negatives audit by magnitude. Scale shape: map-only digit
-    extraction + a 9-row aggregate."""
-    cust = _t(spark, sf_dir, "customer")
-    cents = F.round(F.col("c_acctbal") * 100).cast("long")
-    d = cust.where(cents != 0).select(
-        F.substring(F.abs(cents).cast("string"), 1, 1)
-        .cast("long")
-        .alias("digit")
-    )
-    t = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    benford = F.round(
-        F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)) * 1000000.0
-    ) / 1000000.0
-    return (
-        d.crossJoin(F.broadcast(t))
-        .groupBy("digit")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_accounts"),
-            (
-                F.round(
-                    F.count(F.lit(1)).cast("long") * 1000000.0 / F.max("n")
-                )
-                / 1000000.0
-            ).alias("share"),
-        )
-        .withColumn("benford_share", benford)
-        .select("digit", "n_accounts", "share", "benford_share")
-        .orderBy("digit")
     )
 
 

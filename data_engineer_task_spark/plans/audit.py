@@ -36,7 +36,18 @@ def unpartitioned_specs(plan: str) -> list[str]:
     partition columns. Spark prints partition columns first, then
     ordering expressions (``expr ASC|DESC NULLS ...``), then the
     frame; a spec that LEADS with an ordered expression is
-    unpartitioned."""
+    unpartitioned.
+
+    DELIBERATE exclusion: unpartitioned windows with NO ORDER BY
+    either (``sum(x) OVER ()`` scalar totals) don't match — those are
+    the house piggyback pattern for attaching a grand total to an
+    already-aggregated tiny frame (VERDICT r4 accepted them as
+    "scalar-total frames"), and flagging them would bury the real
+    signal (rank/cumsum over an unbounded frame) under hundreds of
+    benign hits. A scalar total over a NON-aggregated frame would
+    still be caught by the cartesian/scan plan tests' cost profile,
+    and reviewers grep `WindowExec` warnings in bench stderr for the
+    full census."""
     hits: list[str] = []
     needle = "windowspecdefinition("
     i = 0
