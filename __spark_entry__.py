@@ -35,26 +35,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # any entry new this round is automatically among them — followed by
 # the explicit re-check nominations below, then the rest in
 # registration order (harmless re-verification fills spare slots).
+# Re-check nominations: every entry whose SPARK PLAN was rewritten or
+# whose kernel changed this round — the old plan's driver-green row
+# says nothing about the new plan. (The r1-r3 historically-red rows —
+# kmeans/IVF/survival — were already re-driven green post-hardening in
+# r3/r4 and give way to this round's 12 changed entries: 38 never-
+# checked + 12 rechecks fills the 50-slot window exactly.)
 _RECHECK = [
-    # historically-red rows, re-confirmed green post-hardening
-    # (VERDICT r5 item 1 named all three)
-    "embedding_kmeans_clusters",
-    "embedding_ivf_topk",
-    "user_survival_km",
-    # entries whose plans/kernels changed this round (bounded-K RRF,
-    # NULL fold sentinel, two-level KMV rank, DECIMAL U2, fpr guard)
+    # bounded-K RRF contract, NULL fold sentinel, two-level KMV rank,
+    # DECIMAL U2 accumulator, bloom fpr guard
     "hybrid_rrf_search",
     "doc_bpe_phrase_merges",
     "event_kmv_user_days",
     "audience_kmv_jaccard",
     "doc_quality_score_auc",
     "customer_bloom_prefilter",
+    # the six ordered_prefix global-rank rewrites (code-review r5:
+    # only their DELETED single-window plans were ever driver-green)
+    "customer_revenue_gini",
+    "customer_rfm_segments",
+    "doc_negative_pairs",
+    "order_acctbal_spearman",
+    "order_price_woe_bins",
+    "part_abc_classification",
 ]
 
 
 def driver_checked() -> set[str]:
-    """Union of entry names across every committed driver correctness
-    report — the set the window head must NOT waste slots on."""
+    """Entry names with at least one GREEN row across the committed
+    driver correctness reports — the set the window head need not
+    spend slots on. Verdict-aware (code-review r5): a red row
+    (hash/rows/schema mismatch or an error) does NOT count as
+    checked, so a driver-red entry automatically re-enters the next
+    window head without anyone hand-editing a list."""
     import glob
     import json
 
@@ -62,7 +75,15 @@ def driver_checked() -> set[str]:
     seen: set[str] = set()
     for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         with open(p) as f:
-            seen |= set(json.load(f))
+            for name, row in json.load(f).items():
+                ok = (
+                    row.get("err") is None
+                    and row.get("hash_match", row.get("rows_match", False))
+                    and row.get("schema_match", True)
+                    and row.get("rows_match", True)
+                )
+                if ok:
+                    seen.add(name)
     return seen
 
 

@@ -152,9 +152,15 @@ def ranking_auc(
     t = c.groupBy(*gcols).agg(
         F.sum("_cp").cast("long").alias("n_pos"),
         F.sum("_cn").cast("long").alias("n_neg"),
+        # cast BEFORE the ×2: `2 * _cl` in LONG would ANSI-throw at
+        # n_neg ≈ 4.6e18, short of the decimal headroom promised
+        # above (code-review r5)
         F.sum(
             F.col("_cp").cast("decimal(38,0)")
-            * (2 * F.col("_cl") + F.col("_cn")).cast("decimal(38,0)")
+            * (
+                2 * F.col("_cl").cast("decimal(38,0)")
+                + F.col("_cn").cast("decimal(38,0)")
+            )
         )
         .cast("decimal(38,0)")
         .alias("_u2"),

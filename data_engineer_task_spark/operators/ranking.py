@@ -104,6 +104,15 @@ def ordered_prefix(
         F.sum(src).cast("long").alias(f"_s_{out}") for out, src in sums.items()
     ]
     stats = {r["_b"]: r for r in b.groupBy("_b").agg(*stat_aggs).collect()}
+    if None in stats:
+        # a NULL key yields a NULL bucket (`key > cut` is NULL); the
+        # replaced single-window spelling would have ranked such rows
+        # NULLS FIRST, but none of the house callers produce them —
+        # fail loudly rather than TypeError in the offset sort below
+        raise ValueError(
+            "ordered_prefix requires a non-null key; filter or "
+            "coalesce NULL keys (and decide their rank order) first"
+        )
 
     # exclusive running offsets per bucket, computed on ≤`buckets`
     # rows of driver metadata

@@ -308,23 +308,19 @@ def doc_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("score", "cnt", "chars")
         .agg(F.coalesce(F.sum("_c2"), F.lit(0)).cast("long").alias("before"))
         .crossJoin(F.broadcast(tot))
-        .withColumn("q", F.expr("n_total div 5"))
-        .withColumn("m", F.col("n_total") % 5)
     )
 
-    # ntile(5) bucket of 1-based rank r: the first (n mod 5) buckets
-    # hold q+1 rows, the rest q — all-integer `div` arithmetic, and
-    # the q=0 ELSE branch is unreachable (r > m·(q+1) = n_total is
-    # impossible), so the lazy CASE never divides by zero under ANSI.
-    def _bucket_of(r: str):
-        return F.expr(
-            f"CASE WHEN {r} <= m * (q + 1) THEN ({r} + q) div (q + 1) "
-            f"ELSE m + (({r} - m * (q + 1) + q - 1) div q) END"
-        )
+    # ntile(5) bucket of a 1-based rank — the shared integer-div
+    # arithmetic in operators/ranking.py (code-review r5 deduped the
+    # former local CASE-expr copy of the same formula)
+    from ..operators.ranking import ntile_of_rank
+
+    def _bucket_of(r):
+        return ntile_of_rank(r, F.col("n_total"), 5)
 
     spans = spans.withColumn(
-        "b_lo", _bucket_of("before + 1")
-    ).withColumn("b_hi", _bucket_of("before + cnt"))
+        "b_lo", _bucket_of(F.col("before") + 1)
+    ).withColumn("b_hi", _bucket_of(F.col("before") + F.col("cnt")))
 
     whole = spans.where(F.col("b_lo") == F.col("b_hi")).select(
         F.col("b_lo").alias("bucket"),
@@ -334,13 +330,13 @@ def doc_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").alias("max_s"),
     )
     straddle = spans.where(F.col("b_lo") != F.col("b_hi")).select(
-        "score", "before", "q", "m"
+        "score", "before", "n_total"
     )
     pos = F.row_number().over(W.partitionBy("score").orderBy(F.asc("doc_id")))
     edge = (
         sc.join(F.broadcast(straddle), "score")
         .withColumn("_r", F.col("before") + pos)
-        .withColumn("bucket", _bucket_of("_r"))
+        .withColumn("bucket", _bucket_of(F.col("_r")))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
