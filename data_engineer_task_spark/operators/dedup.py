@@ -164,6 +164,12 @@ def near_duplicates(
     sigs = minhash_signatures(
         df, id_col, text_col, n_hashes=n_hashes, shingle_sets=sets
     ).persist()
+    # Materialize eagerly (code-review r5): the LSH band self-join
+    # consumes sigs on BOTH sides, and a lazily-persisted
+    # InMemoryRelation lets AQE's racing scan stages each recompute
+    # partitions of the widest aggregation — the same racing-writers
+    # hazard the sets.count() above documents.
+    sigs.count()
     # Persist + materialize candidates as well: jaccard_verify references
     # them twice (intersection branch + final assembly), and without the
     # cache the whole signature/band-join subplan executes twice.
@@ -662,8 +668,16 @@ def containment_verify(
     )
     za = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
     zb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    # LEFT join + zero fill, mirroring jaccard_verify (code-review r5):
+    # a candidate pair with NO shared shingles (a band collision of
+    # disjoint sets) must report containment 0.0, not vanish — the
+    # ext23 oracle has ALWAYS spelled the LEFT JOIN/coalesce(0), so
+    # the former inner join here was a latent cross-engine divergence
+    # waiting for the first disjoint banded candidate.
     return (
-        inter.join(za, "id_a")
+        candidates.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(za, "id_a")
         .join(zb, "id_b")
         .select(
             "id_a",

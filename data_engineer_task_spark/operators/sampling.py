@@ -120,17 +120,44 @@ def weighted_hash_sample(
     count/sum aggregate broadcast back (no second pass over rows),
     then a map-only filter of IEEE-double products — bit-identical in
     any engine that can md5, so the membership is reproducible across
-    runs, partitionings, and the SQL oracle."""
+    runs, partitionings, and the SQL oracle.
+
+    INTEGRAL-WEIGHT CONTRACT (code-review r5): membership compares
+    against the corpus weight total W, and a float W re-associates
+    across partitions run-to-run — the CLAUDE.md gate-flake class. W
+    therefore accumulates as an exact BIGINT, which requires integral
+    weights (cents/token-counts — what every house caller passes);
+    fractional weights fail loudly instead of silently flaking.
+    Quantize float weights at the call site first."""
+    w_long = F.col(weight_col).cast("long")
     tot = df.agg(
-        F.sum(F.col(weight_col).cast("double")).alias("_W"),
-        F.count(F.lit(1)).cast("double").alias("_N"),
+        F.sum(w_long).cast("long").alias("_W"),
+        F.count(F.lit(1)).cast("long").alias("_N"),
+        F.sum(
+            (F.col(weight_col).cast("double") != w_long.cast("double"))
+            .cast("int")
+        ).alias("_frac"),
     )
     u = _md5_uint16(F.col(id_col), salt="ws:").cast("double")
+    ok = F.assert_true(
+        F.coalesce(F.col("_frac"), F.lit(0)) == 0,
+        F.lit(
+            "weighted_hash_sample requires integral weights "
+            "(quantize to cents/counts first) — float totals "
+            "re-associate across partitions and flake membership"
+        ),
+    )
     return (
         df.crossJoin(F.broadcast(tot))
         .where(
-            u * F.col("_W")
-            < F.lit(float(rate)) * F.col("_N") * F.col(weight_col).cast("double") * F.lit(65536.0)
+            ok.isNull()
+            & (
+                u * F.col("_W").cast("double")
+                < F.lit(float(rate))
+                * F.col("_N").cast("double")
+                * F.col(weight_col).cast("double")
+                * F.lit(65536.0)
+            )
         )
-        .drop("_W", "_N")
+        .drop("_W", "_N", "_frac")
     )

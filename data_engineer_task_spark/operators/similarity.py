@@ -36,9 +36,11 @@ def _round_half_away(v: "np.ndarray", round_to: int) -> "np.ndarray":
     — numpy's np.round is half-EVEN, which disagrees with both Spark's
     BigDecimal HALF_UP and DuckDB's std::round exactly on half-way
     values (the same divergence class the plans' authoring rules ban);
-    this matches round(x * 10^n) / 10^n on both engines bit-for-bit."""
+    this matches round(x * 10^n) / 10^n on both engines bit-for-bit
+    (the trailing +0.0 normalizes the sign(v)·0 = -0.0 case — the
+    engines' rounds return +0.0 — code-review r5)."""
     s = 10.0 ** round_to
-    return np.sign(v) * np.floor(np.abs(v) * s + 0.5) / s
+    return np.sign(v) * np.floor(np.abs(v) * s + 0.5) / s + 0.0
 
 
 def _round_half_away_scalar(x: float, round_to: int) -> float:
@@ -48,9 +50,11 @@ def _round_half_away_scalar(x: float, round_to: int) -> float:
     decimal value, which disagrees with the engines' half-away display
     round exactly on representable half-way values — and k-means init
     rounds RAW float32 embedding coordinates, where dyadic values like
-    odd/128 (x·10⁶ exactly N.5) are reachable (ADVICE r3)."""
+    odd/128 (x·10⁶ exactly N.5) are reachable (ADVICE r3). The +0.0
+    normalizes copysign's -0.0 (engines return +0.0 — code-review
+    r5)."""
     s = 10.0 ** round_to
-    return math.copysign(math.floor(abs(x) * s + 0.5) / s, x)
+    return math.copysign(math.floor(abs(x) * s + 0.5) / s, x) + 0.0
 
 
 def _safe_cos(num: "np.ndarray", den: "np.ndarray", round_to: int) -> "np.ndarray":
@@ -136,12 +140,24 @@ def cosine_topk(
 def sign_bucket(vec_col: str, n_bits: int = 6) -> Column:
     """Sign-LSH bucket id: concatenated sign bits of the leading dims.
     (A full random-hyperplane LSH replaces element_at with dot products
-    against broadcast hyperplanes — same downstream shape.)"""
+    against broadcast hyperplanes — same downstream shape.) Vectors
+    shorter than ``n_bits`` raise a named error up front instead of
+    ANSI element_at's mid-stage INVALID_ARRAY_INDEX (code-review
+    r5)."""
+    guard = F.when(
+        F.size(F.col(vec_col)) < n_bits,
+        F.raise_error(
+            F.concat(
+                F.lit(f"sign_bucket needs >= {n_bits} dims, got "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        ),
+    )
     bits = [
         F.when(F.element_at(F.col(vec_col), i) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for i in range(1, n_bits + 1)
     ]
-    return F.concat(*bits)
+    return F.coalesce(guard, F.concat(*bits))
 
 
 def bucketed_similar_pairs(
@@ -308,6 +324,17 @@ def _assign_to_centroids(
             return pd.DataFrame({"cluster": pd.array([], dtype="int32"),
                                  "d2": pd.array([], dtype="float64")})
         V = np.asarray(vs.tolist(), dtype=np.float64)
+        if np.isnan(V).any():
+            # fail LOUDLY: np.argmin treats NaN as the minimum, so one
+            # NaN coordinate assigns its row to cluster 0, poisons that
+            # centroid's mean, and next iteration collapses the WHOLE
+            # corpus into cluster 0 with no error (code-review r5 —
+            # the cosine kernels have _safe_cos for this class; an L2
+            # argmin has no analogous safe ordering to pin)
+            raise ValueError(
+                "NaN embedding coordinate in k-means assignment — "
+                "filter or impute vectors before clustering"
+            )
         d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
         # clamp BEFORE rounding: the expanded form can dip a few ulps
         # below zero on self-distances, while the oracle's direct form
@@ -481,12 +508,11 @@ def ivf_topk(
         if qn == 0.0:
             raise ValueError(f"query {qid!r} has zero norm — cosine undefined")
         den = cnorm * qn
-        # zero-norm centroid (empty cell kept its init) → never probed
-        sims = np.where(den > 0, (C @ q) / np.where(den > 0, den, 1.0), -1.0)
-        # half-away rounding (np.round is half-EVEN — the oracle routes
-        # on DuckDB round(), half away from zero); stable argsort =
-        # lowest-cluster tie-break, matching ORDER BY rsim DESC, cluster
-        cells = np.argsort(-_round_half_away(sims, round_to), kind="stable")[:nprobe]
+        # zero-norm centroid (empty cell kept its init) → never probed;
+        # shared guard + half-away rounding (code-review r5 deduped the
+        # former inline np.where copy); stable argsort = lowest-cluster
+        # tie-break, matching ORDER BY rsim DESC, cluster
+        cells = np.argsort(-_safe_cos(C @ q, den, round_to), kind="stable")[:nprobe]
         probe_rows.extend(
             (qid, int(c), [float(x) for x in q]) for c in cells
         )
@@ -501,10 +527,9 @@ def ivf_topk(
         B = np.asarray(b.tolist(), dtype=np.float64)
         num = (A * B).sum(axis=1)
         den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
-        # zero-norm corpus vector → -1, not NaN (Spark sorts NaN ABOVE
-        # every real value on DESC, so a NaN would hijack rank 1)
-        sim = np.where(den > 0, num / np.where(den > 0, den, 1.0), -1.0)
-        return pd.Series(_round_half_away(sim, round_to))
+        # shared zero-norm/NaN guard (code-review r5 deduped the
+        # former inline copy of the same np.where spelling)
+        return pd.Series(_safe_cos(num, den, round_to))
 
     cand = assigned.join(F.broadcast(probes), "cluster")
     w = W.partitionBy("query_id").orderBy(
@@ -595,6 +620,13 @@ def pq_encode(
         if len(vs) == 0:
             return pd.Series([], dtype=object)
         V = np.asarray(vs.tolist(), dtype=np.float64)
+        if np.isnan(V).any():
+            # same loud-fail contract as _assign_to_centroids: argmin
+            # treats NaN as the minimum and would silently emit code 0
+            raise ValueError(
+                "NaN embedding coordinate in PQ encoding — filter or "
+                "impute vectors before encoding"
+            )
         codes = np.empty((len(V), m), dtype=np.int32)
         for j in range(m):
             Vj = V[:, j * dsub : (j + 1) * dsub]

@@ -72,6 +72,35 @@ def unpartitioned_specs(plan: str) -> list[str]:
     return hits
 
 
+def scalar_total_specs(plan: str) -> list[str]:
+    """The complementary census: ``windowspecdefinition`` bodies with
+    NEITHER partition columns NOR ordering — the ``sum(x) OVER ()``
+    scalar-total piggybacks that ``unpartitioned_specs`` deliberately
+    excludes. Useful for auditing that each rides a tiny aggregated
+    frame (run via ``tools/window_audit.py --scalars``)."""
+    hits: list[str] = []
+    needle = "windowspecdefinition("
+    i = 0
+    while True:
+        j = plan.find(needle, i)
+        if j < 0:
+            break
+        k = j + len(needle)
+        depth = 1
+        while depth and k < len(plan):
+            if plan[k] == "(":
+                depth += 1
+            elif plan[k] == ")":
+                depth -= 1
+            k += 1
+        body = plan[j + len(needle) : k - 1]
+        args = split_top_level(body)
+        if args and args[0].startswith("specifiedwindowframe"):
+            hits.append(body[:160])
+        i = k
+    return hits
+
+
 def analyzed_plan(df) -> str:
     """The analyzed logical plan as a string (no execution)."""
     return df._jdf.queryExecution().analyzed().toString()

@@ -7,6 +7,8 @@ maintain the allowlist in tests/test_plans_physical.py (the plan gate
 runs the same scan as a test).
 
     python tools/window_audit.py [entry ...]     # default: all
+    python tools/window_audit.py --scalars [entry ...]
+        # census the sum() OVER () scalar-total windows instead
 """
 
 from __future__ import annotations
@@ -20,17 +22,23 @@ def main() -> None:
     from data_engineer_task_spark.plans.analytics import QUERIES
     from data_engineer_task_spark.plans.audit import (
         analyzed_plan,
+        scalar_total_specs,
         unpartitioned_specs,
     )
     from data_engineer_task_spark.session import get_spark
 
+    args = sys.argv[1:]
+    detect = unpartitioned_specs
+    if args and args[0] == "--scalars":
+        detect = scalar_total_specs
+        args = args[1:]
     sf = "/root/testdata/sf0.001"
     spark = get_spark("window-audit", cpus=8)
-    names = sys.argv[1:] or sorted(QUERIES)
+    names = args or sorted(QUERIES)
     flagged: dict[str, list[str]] = {}
     for name in names:
         try:
-            specs = unpartitioned_specs(analyzed_plan(QUERIES[name](spark, sf)))
+            specs = detect(analyzed_plan(QUERIES[name](spark, sf)))
         except Exception as exc:  # noqa: BLE001
             print(f"ERROR {name}: {exc}", flush=True)
             continue
