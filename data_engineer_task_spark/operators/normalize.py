@@ -54,15 +54,36 @@ def surrogate_key(
     query in the workload depends on specific id values, only on
     join-consistency.
 
+    ``order_by`` must be a TOTAL order (unique key tuples): ties would
+    let row_number assign ids in run-varying order, and since the dim
+    frame re-executes per action, a dimension write and a bridge build
+    could even disagree WITHIN one run — silently breaking the
+    join-consistency this function exists to guarantee. Duplicates
+    raise a named error (code-review r5) instead.
+
     Scale note: ``row_number`` over a global window is a single-reducer
     sort — fine up to ~10^7 dimension rows (dimensions are small by
     definition). For a >10^8-row key assignment use
-    ``monotonically_increasing_id`` (sparse but parallel) or
-    ``zipWithIndex``; dense *and* parallel requires a two-pass partition
-    offset scheme — deliberately out of scope until a real need.
+    ``operators/ranking.py::ordered_prefix`` (two-level range-bucket
+    rank — dense AND parallel).
     """
     w = Window.orderBy(*[F.col(c) for c in order_by])
-    return df.withColumn(key_col, F.row_number().over(w).cast("long"))
+    dup = F.count(F.lit(1)).over(Window.partitionBy(*[F.col(c) for c in order_by]))
+    guard = F.when(
+        dup > 1,
+        F.raise_error(
+            F.concat(
+                F.lit("surrogate_key: order_by is not unique at ("),
+                F.concat_ws(
+                    ", ", *[F.col(c).cast("string") for c in order_by]
+                ),
+                F.lit(") — ids would be run-order-dependent"),
+            )
+        ),
+    ).cast("long")
+    return df.withColumn(
+        key_col, F.coalesce(guard, F.row_number().over(w).cast("long"))
+    )
 
 
 def normalize_multivalue(

@@ -71,7 +71,11 @@ def quality_gate(
         & (F.col("stopword_ratio") <= max_stopword_ratio)
         & (F.col("punct_ratio") <= max_punct_ratio)
     )
-    return stats.withColumn("passed", passed)
+    # NULL text → NULL stats → NULL AND-chain, and a NULL flag
+    # vanishes from BOTH where(passed) and where(~passed) routes —
+    # the rows the gate most exists to reject would escape the audit
+    # sink (code-review r5). Pin to an explicit False.
+    return stats.withColumn("passed", F.coalesce(passed, F.lit(False)))
 
 
 def null_counts(df: DataFrame) -> dict[str, int]:

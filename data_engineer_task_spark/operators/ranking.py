@@ -69,6 +69,15 @@ def ordered_prefix(
     Cost: one ``approx_percentile`` pass for the cuts, one per-bucket
     aggregate (collected: ≤ ``buckets`` rows of driver metadata), one
     balanced shuffle for the partitioned rank window.
+
+    INPUT CONTRACT (code-review r5): the three passes re-execute
+    ``df``'s lineage, so the input must be DETERMINISTIC across jobs —
+    no unordered ``.limit()``, ``monotonically_increasing_id``, or
+    mutating source underneath. A nondeterministic input can make the
+    collected bucket offsets disagree with the rows ranked in the
+    final job (duplicate/gapped ranks, or an out-of-range bucket id).
+    ``materialize=True`` snapshots the input first when you can't
+    guarantee that.
     """
     kcol = F.col(key) if isinstance(key, str) else key
     tb = [F.col(t) if isinstance(t, str) else t for t in tiebreak]

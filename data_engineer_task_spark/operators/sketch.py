@@ -36,9 +36,15 @@ from .sampling import _md5_byte0
 def _bucket(j: Column | int, token: Column) -> Column:
     jcol = F.lit(j) if isinstance(j, int) else j
     # shared engine-portable md5-byte helper (one copy to keep the
-    # Spark and SQL-oracle spellings in lockstep)
+    # Spark and SQL-oracle spellings in lockstep). 'cms:' salt per the
+    # house per-operator-salt rule (code-review r5): unsalted
+    # 'j:value' was byte-identical to dedup.py's minhash seeding
+    # md5('i:' || shingle), so a CMS built over minhash-selected
+    # shingles would concentrate those keys in the low buckets of the
+    # matching row and break the depth rows' independence.
     return _md5_byte0(
-        F.concat(jcol.cast("string"), F.lit(":"), token.cast("string"))
+        F.concat(jcol.cast("string"), F.lit(":"), token.cast("string")),
+        salt="cms:",
     )
 
 
@@ -213,9 +219,16 @@ def kmv_sketch(
     scale you never rebuild from raw data: per-shard / per-day
     sketches persist and ``kmv_merge`` folds them (union → re-min,
     exactly one-shot-equivalent — property-tested)."""
-    hashed = df.select(
-        *group_cols, kmv_hash(F.col(value_col), salt).alias("h")
-    ).distinct()
+    hashed = (
+        df.select(*group_cols, kmv_hash(F.col(value_col), salt).alias("h"))
+        # NULL values hash to NULL (concat propagates), and Spark's
+        # ASC NULLS FIRST would seat the NULL at rank 1, wasting a
+        # sketch slot and skewing the estimate by ~k/(k-1)
+        # (code-review r5). COUNT(DISTINCT) semantics ignore NULL —
+        # so does the sketch.
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
     return _k_smallest(hashed, k, tuple(group_cols))
 
 

@@ -196,7 +196,15 @@ def language_scores(
         ],
     )
     langs = sorted(keyword_sets)
-    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    if not langs:
+        raise ValueError("language_scores needs at least one keyword set")
+    # F.greatest demands >= 2 columns; a one-language call is a
+    # legitimate single-filter use (code-review r5)
+    best = (
+        F.col(f"score_{langs[0]}")
+        if len(langs) == 1
+        else F.greatest(*[F.col(f"score_{l}") for l in langs])
+    )
     pred = F.coalesce(
         *[F.when(F.col(f"score_{l}") == best, F.lit(l)) for l in langs]
     )
@@ -240,7 +248,22 @@ def winnow_fingerprints(
         .orderBy("pos")
         .rowsBetween(W.currentRow, window - 1)
     )
-    local_min = sh.select(id_col, F.min(h).over(w).alias("fp"))
+    # Only FULL windows select fingerprints (code-review r5): the
+    # rowsBetween frame CLIPS at the partition end, so the trailing
+    # window-1 partial frames would unconditionally fingerprint every
+    # document's final shingle (up to window-1 spurious mins per doc),
+    # deviating from Schleimer et al.'s guarantee. Positions are
+    # 1-based and contiguous, so full windows start at
+    # pos <= n_shingles - window + 1; a doc shorter than one window
+    # keeps its single global min (pos == 1) so every doc still
+    # fingerprints.
+    n_sh = F.count(F.lit(1)).over(W.partitionBy(id_col))
+    local_min = sh.select(
+        id_col,
+        "pos",
+        F.min(h).over(w).alias("fp"),
+        n_sh.alias("_n_sh"),
+    ).where(F.col("pos") <= F.greatest(F.col("_n_sh") - (window - 1), F.lit(1)))
     return (
         local_min.groupBy(id_col)
         .agg(F.countDistinct("fp").alias("n_fingerprints"))
@@ -364,7 +387,16 @@ def scrub_pii(
     shape that lets a scrub pass run as a pure narrow stage over 100 TB
     and fuse with whatever filter/write follows. Counting runs against
     the ORIGINAL text while replacement is sequential, so markers never
-    feed later rules (no marker contains a scrubbable span)."""
+    feed later rules (no marker contains a scrubbable span).
+
+    COUNT SEMANTICS (code-review r5): ``n_<kind>`` is DEFINED as the
+    rule's match count in the ORIGINAL text, NOT the number of markers
+    in the output — when two rules' spans overlap (an email whose
+    local part embeds a phone-shaped token), the earlier rule's
+    replacement consumes the span and the later rule's counted match
+    produces no marker. Auditing that must reconcile against the
+    redacted corpus should regexp_count the markers in ``out_col``
+    instead."""
     out = F.col(text_col)
     counts = []
     for kind, pat, marker in patterns:
@@ -392,8 +424,19 @@ def tfidf_cosine_pairs(
     standard df-pruning knob — they carry ~zero idf signal but ~all of
     the join cost, and they are exactly the skewed shuffle keys).
     Weights use the smoothed sklearn idf (ln((N+1)/(df+1))+1, matching
-    ``tfidf_top_terms``). Norms are computed over the SAME pruned
-    space, so similarities stay true cosines of the pruned vectors.
+    ``tfidf_top_terms``), QUANTIZED to exact milli-unit BIGINTs at the
+    posting list (code-review r5): the pair dot products and norms are
+    grouped SUMS, and float sums re-associate across partitions
+    run-to-run — the CLAUDE.md gate-flake class, since both the 1e-4
+    display round and the threshold membership hang off them. With
+    integer weights every sum is exact and order-free (accumulated in
+    DECIMAL(38,0) — per-term products reach ~1e14 at plausible tf·idf,
+    so BIGINT headroom is thin at corpus scale), and the one float
+    expression (dot/√(na²·nb²)) evaluates identically on identical
+    exact operands. The single ln per (doc, token) is quantized at
+    1e-3 — the documented display-site libm convention. Norms are
+    computed over the SAME pruned space, so similarities stay true
+    cosines of the pruned (quantized) vectors.
     The posting list is computed once and persisted (three consumers:
     norms + both join sides); it stays cached after the returned frame
     is consumed (it backs its lineage), so loop/service callers should
@@ -412,12 +455,17 @@ def tfidf_cosine_pairs(
     # a second time on the skew-prone token key
     posting = (
         tf.join(F.broadcast(kept), "token")
-        .select(F.col(id_col), "token", (F.col("tf") * idf).alias("w"))
+        .select(
+            F.col(id_col),
+            "token",
+            F.round(F.col("tf") * idf * 1000.0).cast("long").alias("w"),
+        )
         .persist()
     )
     posting.count()  # materialize before AQE races the three consumers
-    norms = posting.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    wd = F.col("w").cast("decimal(38,0)")
+    norms2 = posting.groupBy(id_col).agg(
+        F.sum(wd * F.col("w")).cast("decimal(38,0)").alias("n2")
     )
     pa = posting.select(F.col(id_col).alias("doc_a"), "token", F.col("w").alias("w_a"))
     pb = posting.select(
@@ -428,15 +476,26 @@ def tfidf_cosine_pairs(
     dots = (
         pa.join(pb, (pa.token == pb.token_b) & (pa.doc_a < pb.doc_b))
         .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
+        .agg(
+            F.sum(F.col("w_a").cast("decimal(38,0)") * F.col("w_b"))
+            .cast("decimal(38,0)")
+            .alias("dot")
+        )
     )
-    na = norms.select(F.col(id_col).alias("doc_a"), F.col("norm").alias("norm_a"))
-    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("norm").alias("norm_b"))
-    # norms are > 0 by construction (every posting weight is > 0: tf >= 1,
-    # smoothed idf >= 1), so the division is ANSI-total; docs with NO
-    # surviving terms have no postings and thus no pairs at all
+    na = norms2.select(F.col(id_col).alias("doc_a"), F.col("n2").alias("n2_a"))
+    nb = norms2.select(F.col(id_col).alias("doc_b"), F.col("n2").alias("n2_b"))
+    # n2 > 0 by construction (tf >= 1, idf >= 1 → w >= 1000), so the
+    # division is ANSI-total; docs with NO surviving terms have no
+    # postings and thus no pairs at all. All operands below are exact
+    # integers, so the float expression — and therefore the rounded
+    # value AND the threshold membership — is run- and
+    # partition-invariant.
     cos = (
-        F.round(F.col("dot") * 10000.0 / (F.col("norm_a") * F.col("norm_b")))
+        F.round(
+            F.col("dot").cast("double")
+            * 10000.0
+            / F.sqrt(F.col("n2_a").cast("double") * F.col("n2_b").cast("double"))
+        )
         / 10000.0
     )
     return (

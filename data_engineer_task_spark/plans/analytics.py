@@ -1026,13 +1026,15 @@ _SHINGLE_CTE = """
     f"""
     WITH {_SHINGLE_CTE},
     loc AS (
-      SELECT doc_id,
+      SELECT doc_id, pos,
              min(md5(shingle)) OVER (PARTITION BY doc_id ORDER BY pos
-                                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS n_sh
       FROM shf
     )
     SELECT doc_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints
-    FROM loc GROUP BY doc_id ORDER BY doc_id
+    FROM loc WHERE pos <= greatest(n_sh - 3, 1)
+    GROUP BY doc_id ORDER BY doc_id
     """,
 )
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

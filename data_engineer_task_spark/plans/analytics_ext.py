@@ -804,9 +804,9 @@ def order_due_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
     cells AS (
       SELECT j, (instr('0123456789abcdef',
-                       substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 1)) - 1) * 16
+                       substr(md5('cms:' || CAST(j AS VARCHAR) || ':' || token), 1, 1)) - 1) * 16
                + (instr('0123456789abcdef',
-                        substr(md5(CAST(j AS VARCHAR) || ':' || token), 2, 1)) - 1)
+                        substr(md5('cms:' || CAST(j AS VARCHAR) || ':' || token), 2, 1)) - 1)
                AS bucket,
              cnt
       FROM vocab CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
@@ -826,9 +826,9 @@ def order_due_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sketch s
         ON s.j = d.j
        AND s.bucket = (instr('0123456789abcdef',
-                             substr(md5(CAST(d.j AS VARCHAR) || ':' || t.token), 1, 1)) - 1) * 16
+                             substr(md5('cms:' || CAST(d.j AS VARCHAR) || ':' || t.token), 1, 1)) - 1) * 16
                      + (instr('0123456789abcdef',
-                              substr(md5(CAST(d.j AS VARCHAR) || ':' || t.token), 2, 1)) - 1)
+                              substr(md5('cms:' || CAST(d.j AS VARCHAR) || ':' || t.token), 2, 1)) - 1)
       GROUP BY t.token, t.true_cnt
     )
     SELECT token, true_cnt, CAST(cms_est AS BIGINT) AS cms_est

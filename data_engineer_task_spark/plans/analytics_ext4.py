@@ -37,10 +37,11 @@ from .analytics import _SHINGLE_CTE, _t, _t_wide, q
     n AS (SELECT count(*) AS n FROM documents),
     w AS (
       SELECT tf.doc_id, tf.token,
-             tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0) AS w
+             CAST(round(tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0)
+                        * 1000.0) AS BIGINT) AS w
       FROM tf, dfq, n WHERE tf.token = dfq.token AND dfq.df <= n.n * 0.2
     ),
-    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w GROUP BY doc_id),
+    nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
     dot AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
       FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
@@ -48,7 +49,9 @@ from .analytics import _SHINGLE_CTE, _t, _t_wide, q
     ),
     c AS (
       SELECT doc_a, doc_b,
-             round(dot * 10000.0 / (x.nn * y.nn)) / 10000.0 AS cos_sim
+             round(CAST(dot AS DOUBLE) * 10000.0
+                   / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)))
+               / 10000.0 AS cos_sim
       FROM dot JOIN nrm x ON doc_a = x.doc_id JOIN nrm y ON doc_b = y.doc_id
     )
     SELECT doc_a, doc_b, cos_sim FROM c WHERE cos_sim >= 0.5
