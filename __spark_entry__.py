@@ -41,23 +41,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # kmeans/IVF/survival — were already re-driven green post-hardening in
 # r3/r4 and give way to this round's 12 changed entries: 38 never-
 # checked + 12 rechecks fills the 50-slot window exactly.)
+# Priority: result-CHANGING rewrites first (their old driver-green
+# rows certify answers that no longer exist), then result-invariant
+# plan rewrites. The r5 self-review's result-invariant hardening
+# (two-level KMV rank, bloom fpr guard — parity-proven unchanged)
+# yields its slots to the three value-changing fixes (winnow
+# full-window selection, salted CMS grid, integer-quantized TF-IDF
+# weights).
 _RECHECK = [
-    # bounded-K RRF contract, NULL fold sentinel, two-level KMV rank,
-    # DECIMAL U2 accumulator, bloom fpr guard
+    # value-changing this round
     "hybrid_rrf_search",
+    "doc_winnow_fingerprints",
+    "doc_token_cms_topk",
+    "doc_tfidf_cosine_pairs",
+    "part_abc_classification",
+    # plan/kernel rewrites, values parity-proven unchanged
     "doc_bpe_phrase_merges",
-    "event_kmv_user_days",
-    "audience_kmv_jaccard",
     "doc_quality_score_auc",
-    "customer_bloom_prefilter",
-    # the six ordered_prefix global-rank rewrites (code-review r5:
-    # only their DELETED single-window plans were ever driver-green)
     "customer_revenue_gini",
     "customer_rfm_segments",
     "doc_negative_pairs",
     "order_acctbal_spearman",
     "order_price_woe_bins",
-    "part_abc_classification",
 ]
 
 

@@ -90,7 +90,7 @@ def cosine_topk(
     partitions by query_id, so one query's candidates land in one task
     — this is the declared BRUTE-FORCE baseline; at corpus scale use
     the IVF / PQ / IVF-PQ entries (pruned candidates) or interpose a
-    salted two-level rank like ``sketch._k_smallest`` when exact
+    salted two-level rank like ``sketch.k_smallest`` when exact
     full-corpus top-k is really wanted."""
     base = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
     qrows = base.where(query_filter).orderBy(id_col).collect()

@@ -16,7 +16,7 @@ the textbook guarantee: overestimate only, by at most ``e/width``
 of the total count with probability ``1 - e^-depth``.
 
 Hashing is the engine-portable md5-byte trick shared with
-``operators/sampling.py``: ``h_j(token) = byte0(md5(j || ':' || token))``
+``operators/sampling.py``: ``h_j(token) = byte0(md5('cms:' || j || ':' || token))``
 so a SQL oracle (DuckDB) reproduces the exact same grid and estimates.
 
 Reference scope note: the reference (``coded4alex/data_engineer_task``)
@@ -156,7 +156,7 @@ def kmv_hash(col: Column, salt: str = "kmv:") -> Column:
     return acc
 
 
-def _k_smallest(
+def k_smallest(
     df: DataFrame,
     k: int,
     group_cols: tuple[str, ...],
@@ -200,6 +200,9 @@ def _k_smallest(
     )
 
 
+_k_smallest = k_smallest  # private alias kept for callers predating the public name
+
+
 def kmv_sketch(
     df: DataFrame,
     value_col: str,
@@ -214,7 +217,7 @@ def kmv_sketch(
     The one corpus-sized shuffle carries a single row per distinct
     (group, hash) — map-side partial distinct collapses duplicates
     before the exchange — and the salted two-level rank-k filter
-    (``_k_smallest``) drops everything else without ever funneling a
+    (``k_smallest``) drops everything else without ever funneling a
     group's full distinct-hash set through one task. At production
     scale you never rebuild from raw data: per-shard / per-day
     sketches persist and ``kmv_merge`` folds them (union → re-min,
@@ -229,7 +232,7 @@ def kmv_sketch(
         .where(F.col("h").isNotNull())
         .distinct()
     )
-    return _k_smallest(hashed, k, tuple(group_cols))
+    return k_smallest(hashed, k, tuple(group_cols))
 
 
 def kmv_merge(
@@ -246,7 +249,7 @@ def kmv_merge(
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return _k_smallest(out.distinct(), k, tuple(group_cols))
+    return k_smallest(out.distinct(), k, tuple(group_cols))
 
 
 def kmv_estimate(

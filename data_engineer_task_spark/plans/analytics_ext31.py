@@ -214,7 +214,7 @@ def events_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     that stays reproducible across runs, task retries, partitionings,
     and engines (rand() reservoirs lose all four; salt 'rsv:' keeps it
     independent of the split/strat/ws samplers per the house salting
-    rule). Rides ``sketch._k_smallest``'s salted two-level rank, so no
+    rule). Rides ``sketch.k_smallest``'s salted two-level rank, so no
     event type's full history ever sorts in one task; the event_id
     tie-break pins the (astronomically unlikely) 48-bit collision.
     The retained set is a valid KMV sketch of the same salt — one scan
@@ -223,7 +223,7 @@ def events_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     idea, but this one survives a single corpus-sized group (two-level
     rank vs one partitioned window) and RETURNS the sampled rows
     rather than a checksum."""
-    from ..operators.sketch import _k_smallest, kmv_hash
+    from ..operators.sketch import k_smallest, kmv_hash
 
     ev = _t(spark, sf_dir, "events")
     hashed = ev.select(
@@ -231,7 +231,7 @@ def events_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         kmv_hash(F.col("event_id"), "rsv:").alias("h"),
     )
-    small = _k_smallest(
+    small = k_smallest(
         hashed, _RSV_K, ("event_type",), tiebreak=("event_id",)
     )
     wr = W.partitionBy("event_type").orderBy(F.asc("h"), F.asc("event_id"))
