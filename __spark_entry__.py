@@ -37,32 +37,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # registration order (harmless re-verification fills spare slots).
 # Re-check nominations: every entry whose SPARK PLAN was rewritten or
 # whose kernel changed this round — the old plan's driver-green row
-# says nothing about the new plan. (The r1-r3 historically-red rows —
-# kmeans/IVF/survival — were already re-driven green post-hardening in
-# r3/r4 and give way to this round's 12 changed entries: 38 never-
-# checked + 12 rechecks fills the 50-slot window exactly.)
-# Priority: result-CHANGING rewrites first (their old driver-green
-# rows certify answers that no longer exist), then result-invariant
-# plan rewrites. The r5 self-review's result-invariant hardening
-# (two-level KMV rank, bloom fpr guard — parity-proven unchanged)
-# yields its slots to the three value-changing fixes (winnow
-# full-window selection, salted CMS grid, integer-quantized TF-IDF
-# weights).
+# says nothing about the new plan. Round 6: the `ordered_prefix` core
+# was restructured (shared cuts + single tagged stats job; RFM moved
+# to the multi-key API; Spearman/WOE/RFM inputs persisted) — all six
+# callers re-enter; `sign_bucket` gained the NULL-vector loud-fail
+# guard — both embedding entries riding it re-enter (values
+# parity-proven unchanged at sf0.01 for all eight). The new
+# `curation_pipeline_survivors` entry is never-checked and leads the
+# window automatically via the mechanical head.
 _RECHECK = [
-    # value-changing this round
-    "hybrid_rrf_search",
-    "doc_winnow_fingerprints",
-    "doc_token_cms_topk",
-    "doc_tfidf_cosine_pairs",
-    "part_abc_classification",
-    # plan/kernel rewrites, values parity-proven unchanged
-    "doc_bpe_phrase_merges",
-    "doc_quality_score_auc",
-    "customer_revenue_gini",
+    # ordered_prefix core rewrite (r6)
     "customer_rfm_segments",
-    "doc_negative_pairs",
     "order_acctbal_spearman",
     "order_price_woe_bins",
+    "customer_revenue_gini",
+    "part_abc_classification",
+    "doc_negative_pairs",
+    # sign_bucket NULL guard (r6)
+    "embedding_ann_bucketed",
+    "embedding_near_dup_pairs",
+    # phrase_merge_rounds restructure: fused round jobs, vectorized
+    # a!=b rewrite path (r6; values parity-proven unchanged)
+    "doc_bpe_phrase_merges",
+    "doc_bpe_encode_lengths",
 ]
 
 

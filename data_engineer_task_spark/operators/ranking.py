@@ -11,10 +11,19 @@ two-level spelling:
    physical placement, never the answer, so sketch approximation is
    harmless);
 2. aggregate per-bucket counts / sums (one tiny frame, ≤ `buckets`
-   rows) and turn them into exclusive running offsets ON THE DRIVER —
-   bounded metadata, the same class as collected k-means centroids;
+   rows per key) and turn them into exclusive running offsets ON THE
+   DRIVER — bounded metadata, the same class as collected k-means
+   centroids — baked into the final plan as literal arrays;
 3. rank / prefix-sum WITHIN each bucket via a PARTITIONED window and
    add the bucket's offset — map-only after one balanced shuffle.
+
+Auxiliary driver jobs: TWO for ANY number of keys (VERDICT r5 item 5 —
+``ordered_prefix_multi`` shares one percentile-cuts job and one
+per-bucket stats job across all its specs, where r5 paid two jobs per
+key; an in-plan broadcast variant that cut it to one job was measured
+SLOWER at sf0.1 — the per-spec BroadcastNestedLoopJoin cost more than
+the saved dispatch — and rejected). Callers whose upstream lineage is
+expensive should persist() the input: every aux job re-executes it.
 
 DETERMINISM CONTRACT (CLAUDE.md float rule): ranks are exact integers
 by construction; prefix sums are only offered over INTEGRAL columns
@@ -29,7 +38,8 @@ move a row between buckets.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -46,6 +56,20 @@ def _bucket_expr(key: Column, cuts: Sequence[float | int]) -> Column:
     return b
 
 
+@dataclass
+class RankSpec:
+    """One global order to materialize: ``key`` ASC with ``tiebreak``
+    ASC tie-breaks, emitting ``rank_col`` (1-based global position,
+    or None to skip) and/or exclusive prefix ``sums`` (output column →
+    INTEGRAL source column). Descending orders: negate the key at the
+    call site — integer negation is exact."""
+
+    key: str | Column
+    tiebreak: Sequence[str | Column] = ()
+    rank_col: str | None = "rank"
+    sums: Mapping[str, str] = field(default_factory=dict)
+
+
 def ordered_prefix(
     df: DataFrame,
     key: str | Column,
@@ -55,112 +79,233 @@ def ordered_prefix(
     sums: dict[str, str] | None = None,
     buckets: int = 64,
     materialize: bool = False,
+    validate: bool = False,
 ) -> DataFrame:
     """Add a 1-based global ``rank_col`` (dense total-order position)
     and/or EXCLUSIVE prefix sums over integral columns, ordered by
-    ``(key ASC, *tiebreak ASC)``.
+    ``(key ASC, *tiebreak ASC)``. Single-spec convenience wrapper over
+    ``ordered_prefix_multi`` — see it for cost/contract details."""
+    return ordered_prefix_multi(
+        df,
+        [RankSpec(key, tiebreak, rank_col, sums or {})],
+        buckets=buckets,
+        materialize=materialize,
+        validate=validate,
+    )
 
-    ``sums`` maps output column → existing INTEGRAL column; each
-    output holds the sum of that column over all rows STRICTLY before
-    this one in the total order. Descending orders: negate the key
-    (and flip tie-breaks) at the call site — integer negation is
-    exact.
 
-    Cost: one ``approx_percentile`` pass for the cuts, one per-bucket
-    aggregate (collected: ≤ ``buckets`` rows of driver metadata), one
-    balanced shuffle for the partitioned rank window.
+def ordered_prefix_multi(
+    df: DataFrame,
+    specs: Sequence[RankSpec],
+    *,
+    buckets: int = 64,
+    materialize: bool = False,
+    validate: bool = False,
+) -> DataFrame:
+    """Materialize SEVERAL independent global orders over one frame in
+    one pass: all specs share a single ``approx_percentile`` cuts job
+    and a single per-bucket stats job — the multi-quantile callers
+    (RFM's three quartile ranks) pay the two aux-job latencies once
+    instead of per key (ADVICE r5 / VERDICT r5 item 5).
 
-    INPUT CONTRACT (code-review r5): the three passes re-execute
-    ``df``'s lineage, so the input must be DETERMINISTIC across jobs —
-    no unordered ``.limit()``, ``monotonically_increasing_id``, or
-    mutating source underneath. A nondeterministic input can make the
-    collected bucket offsets disagree with the rows ranked in the
-    final job (duplicate/gapped ranks, or an out-of-range bucket id).
-    ``materialize=True`` snapshots the input first when you can't
-    guarantee that.
+    Cost: two aux driver jobs total (cuts; tagged per-bucket stats,
+    collected as ≤ len(specs)·buckets rows of metadata), then one
+    balanced shuffle per spec for its partitioned rank window.
+
+    INPUT CONTRACT (code-review r5): the aux jobs and the final plan
+    re-execute ``df``'s lineage, so the input
+    must be DETERMINISTIC across executions — no unordered
+    ``.limit()``, ``monotonically_increasing_id``, or mutating source
+    underneath. A nondeterministic input can make a bucket's broadcast
+    offsets disagree with the rows ranked beside them (duplicate or
+    gapped ranks). ``materialize=True`` snapshots the input first when
+    you can't guarantee that; ``validate=True`` (debug/test mode) runs
+    an extra action per spec asserting the contract held — ranks must
+    be a permutation of 1..n — and raises instead of corrupting.
+
+    NULL keys fail loudly here (ALL-null included — the
+    approx_percentile row carries per-key non-null counts, closing
+    ADVICE r5's all-NULL gap where empty cuts silently ranked NULLs
+    first): filter or coalesce NULL keys, deciding their order,
+    before calling.
     """
-    kcol = F.col(key) if isinstance(key, str) else key
-    tb = [F.col(t) if isinstance(t, str) else t for t in tiebreak]
-    sums = sums or {}
+    specs = list(specs)
+    if not specs:
+        raise ValueError("ordered_prefix_multi needs at least one RankSpec")
 
-    # The cut pass, the per-bucket stats pass, and the final plan are
-    # three driver jobs that each re-execute the caller's upstream
-    # lineage. Deliberately NOT checkpointed: measured at sf0.1,
+    # Deliberately NOT checkpointed by default: measured at sf0.1,
     # eager localCheckpoint cost MORE than the recomputation it saved
     # (materialization blocks + an ExistingRDD scan that forfeits
     # column pruning / codegen downstream) — see BASELINE.md's r5
     # builder note. On a real cluster, persist() the input before
-    # calling when its lineage is expensive; pass materialize=True to
-    # opt into the local checkpoint instead.
+    # calling when its lineage is expensive.
     if materialize:
         df = df.localCheckpoint(eager=True)
 
-    with_key = df.withColumn("_opk", kcol.cast("double"))
-    probs = [i / buckets for i in range(1, buckets)]
+    kcols = [
+        (F.col(s.key) if isinstance(s.key, str) else s.key).cast("double")
+        for s in specs
+    ]
+    probs = ", ".join(str(i / buckets) for i in range(1, buckets))
     # accuracy 1000 (not the 10000 default): the cuts only control
     # PLACEMENT — every rank/sum is exact-integer and cut-invariant —
     # so cheap sketching is free; 1000 still bounds bucket imbalance
     # to ~0.1% of rows per cut at any scale.
-    cuts_row = with_key.agg(
-        F.expr(
-            f"approx_percentile(_opk, array({', '.join(str(p) for p in probs)}), 1000)"
-        ).alias("c")
-    ).collect()[0]["c"]
-    cuts = sorted(set(cuts_row or []))
+    keyed = df.select([k.alias(f"_opk_{i}") for i, k in enumerate(kcols)])
+    agg_row = keyed.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.expr(f"approx_percentile(_opk_{i}, array({probs}), 1000)").alias(
+                f"_c_{i}"
+            )
+            for i in range(len(specs))
+        ],
+        *[F.count(f"_opk_{i}").alias(f"_nn_{i}") for i in range(len(specs))],
+    ).collect()[0]
+    for i, s in enumerate(specs):
+        if agg_row[f"_nn_{i}"] != agg_row["_n"]:
+            raise ValueError(
+                f"ordered_prefix requires a non-null key (spec {i}: "
+                f"{agg_row['_n'] - agg_row[f'_nn_{i}']} null of "
+                f"{agg_row['_n']} rows); filter or coalesce NULL keys "
+                "(and decide their rank order) first"
+            )
+    all_cuts = [sorted(set(agg_row[f"_c_{i}"] or [])) for i in range(len(specs))]
 
-    b = df.withColumn("_b", _bucket_expr(kcol.cast("double"), cuts))
-    stat_aggs = [F.count(F.lit(1)).cast("long").alias("_cnt")] + [
-        F.sum(src).cast("long").alias(f"_s_{out}") for out, src in sums.items()
-    ]
-    stats = {r["_b"]: r for r in b.groupBy("_b").agg(*stat_aggs).collect()}
-    if None in stats:
-        # a NULL key yields a NULL bucket (`key > cut` is NULL); the
-        # replaced single-window spelling would have ranked such rows
-        # NULLS FIRST, but none of the house callers produce them —
-        # fail loudly rather than TypeError in the offset sort below
-        raise ValueError(
-            "ordered_prefix requires a non-null key; filter or "
-            "coalesce NULL keys (and decide their rank order) first"
-        )
-
-    # exclusive running offsets per bucket, computed on ≤`buckets`
-    # rows of driver metadata
-    offsets: dict[int, dict[str, int]] = {}
-    run_cnt = 0
-    run_sums = {out: 0 for out in sums}
-    for bid in sorted(stats):
-        offsets[bid] = {"_cnt": run_cnt, **dict(run_sums)}
-        run_cnt += stats[bid]["_cnt"]
-        for out in sums:
-            run_sums[out] += stats[bid][f"_s_{out}"] or 0
-
-    max_b = max(offsets, default=0)
-    cnt_arr = F.array(
-        *[F.lit(offsets.get(i, {"_cnt": 0})["_cnt"]) for i in range(max_b + 1)]
+    # --- second (and last) auxiliary job: per-bucket stats for ALL
+    # specs at once. Each spec's bucket id rides a tagged struct and
+    # one explode feeds one groupBy(spec, bucket) — map-side partial
+    # aggregation collapses the ×len(specs) fan-out before anything
+    # shuffles, and the collect is ≤ len(specs)·buckets rows of driver
+    # metadata (same audited bound as k-means centroids). Single-spec
+    # calls skip the explode entirely.
+    bucketed = df.select(
+        "*",
+        *[
+            _bucket_expr(kcol, cuts).alias(f"_b_{i}")
+            for i, (kcol, cuts) in enumerate(zip(kcols, all_cuts))
+        ],
     )
-    w = W.partitionBy("_b").orderBy(kcol.asc(), *[t.asc() for t in tb])
-    out_df = b
-    if rank_col is not None:
-        out_df = out_df.withColumn(
-            rank_col,
-            (
-                F.element_at(cnt_arr, F.col("_b") + 1)
-                + F.row_number().over(w)
-            ).cast("long"),
+    sum_srcs = sorted({src for s in specs for src in s.sums.values()})
+    stat_aggs = [F.count(F.lit(1)).cast("long").alias("_cnt")] + [
+        F.coalesce(F.sum(src).cast("long"), F.lit(0)).alias(f"_s_{src}")
+        for src in sum_srcs
+    ]
+    if len(specs) == 1:
+        grouped = (
+            bucketed.groupBy(F.lit(0).alias("_spec"), F.col("_b_0").alias("_b"))
+            .agg(*stat_aggs)
         )
-    for out, src in sums.items():
-        sum_arr = F.array(
-            *[F.lit(offsets.get(i, {}).get(out, 0)) for i in range(max_b + 1)]
+    else:
+        tagged = bucketed.select(
+            *sum_srcs,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("_spec"), F.col(f"_b_{i}").alias("_b")
+                        )
+                        for i in range(len(specs))
+                    ]
+                )
+            ).alias("_sb"),
         )
-        local = F.coalesce(
-            F.sum(src).over(w.rowsBetween(W.unboundedPreceding, -1)),
-            F.lit(0),
+        grouped = tagged.groupBy(
+            F.col("_sb._spec").alias("_spec"), F.col("_sb._b").alias("_b")
+        ).agg(*stat_aggs)
+    stats: dict[int, dict[int, dict]] = {i: {} for i in range(len(specs))}
+    for r in grouped.collect():
+        stats[r["_spec"]][r["_b"]] = r
+
+    out_df = bucketed
+    for i, spec in enumerate(specs):
+        bname = f"_b_{i}"
+        kcol = kcols[i]
+        sums = dict(spec.sums)
+        # exclusive running offsets per bucket, computed on the
+        # driver-metadata stats rows, baked into the plan as literal
+        # arrays — the final stage is pure codegen + one partitioned
+        # window, no extra join.
+        offsets: dict[int, dict[str, int]] = {}
+        run_cnt = 0
+        run_sums = {out: 0 for out in sums}
+        for bid in sorted(stats[i]):
+            offsets[bid] = {"_cnt": run_cnt, **dict(run_sums)}
+            run_cnt += stats[i][bid]["_cnt"]
+            for out, src in sums.items():
+                run_sums[out] += stats[i][bid][f"_s_{src}"]
+
+        max_b = max(offsets, default=0)
+        w = W.partitionBy(bname).orderBy(
+            kcol.asc(),
+            *[
+                (F.col(t) if isinstance(t, str) else t).asc()
+                for t in spec.tiebreak
+            ],
         )
-        out_df = out_df.withColumn(
-            out,
-            (F.element_at(sum_arr, F.col("_b") + 1) + local).cast("long"),
-        )
-    return out_df.drop("_b")
+        if spec.rank_col is not None:
+            cnt_arr = F.array(
+                *[
+                    F.lit(offsets.get(j, {"_cnt": 0})["_cnt"])
+                    for j in range(max_b + 1)
+                ]
+            )
+            out_df = out_df.withColumn(
+                spec.rank_col,
+                (
+                    F.element_at(cnt_arr, F.col(bname) + 1)
+                    + F.row_number().over(w)
+                ).cast("long"),
+            )
+        for out, src in sums.items():
+            sum_arr = F.array(
+                *[
+                    F.lit(offsets.get(j, {}).get(out, 0))
+                    for j in range(max_b + 1)
+                ]
+            )
+            local = F.coalesce(
+                F.sum(src).over(w.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            out_df = out_df.withColumn(
+                out,
+                (F.element_at(sum_arr, F.col(bname) + 1) + local).cast("long"),
+            )
+    out_df = out_df.drop(*[f"_b_{i}" for i in range(len(specs))])
+
+    if validate:
+        checks = out_df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                c
+                for s in specs
+                if s.rank_col is not None
+                for c in (
+                    F.max(s.rank_col).alias(f"_max_{s.rank_col}"),
+                    F.count_distinct(F.col(s.rank_col)).alias(
+                        f"_dst_{s.rank_col}"
+                    ),
+                )
+            ],
+        ).collect()[0]
+        for s in specs:
+            if s.rank_col is None:
+                continue
+            n, mx, dst = (
+                checks["_n"],
+                checks[f"_max_{s.rank_col}"],
+                checks[f"_dst_{s.rank_col}"],
+            )
+            if n and (mx != n or dst != n):
+                raise ValueError(
+                    f"ordered_prefix input-determinism contract violated "
+                    f"for {s.rank_col!r}: {n} rows but max rank {mx}, "
+                    f"{dst} distinct ranks — the input plan produced "
+                    "different rows across executions (see INPUT "
+                    "CONTRACT; pass materialize=True to snapshot)"
+                )
+    return out_df
 
 
 def ntile_of_rank(rank: Column, n_total: Column, n_tiles: int) -> Column:

@@ -142,14 +142,22 @@ def sign_bucket(vec_col: str, n_bits: int = 6) -> Column:
     (A full random-hyperplane LSH replaces element_at with dot products
     against broadcast hyperplanes — same downstream shape.) Vectors
     shorter than ``n_bits`` raise a named error up front instead of
-    ANSI element_at's mid-stage INVALID_ARRAY_INDEX (code-review
-    r5)."""
+    ANSI element_at's mid-stage INVALID_ARRAY_INDEX (code-review r5);
+    NULL vectors raise through the same guard (ADVICE r5: size(NULL)
+    is NULL, so the short-vector condition alone is NULL for them and
+    they'd silently collapse into bucket '000…0' — every NULL
+    embedding in one hot bucket, inconsistent with the loud-fail
+    convention)."""
     guard = F.when(
-        F.size(F.col(vec_col)) < n_bits,
+        F.col(vec_col).isNull() | (F.size(F.col(vec_col)) < n_bits),
         F.raise_error(
             F.concat(
                 F.lit(f"sign_bucket needs >= {n_bits} dims, got "),
-                F.size(F.col(vec_col)).cast("string"),
+                # NULL vector → NULL size; coalesce keeps the error
+                # message itself non-NULL
+                F.coalesce(
+                    F.size(F.col(vec_col)).cast("string"), F.lit("NULL vector")
+                ),
             )
         ),
     )

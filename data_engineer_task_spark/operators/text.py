@@ -512,6 +512,7 @@ def phrase_merge_rounds(
     text_col: str,
     *,
     rounds: int = 4,
+    final_total: bool = True,
 ) -> tuple[list[tuple[str, str, int, int]], DataFrame]:
     """BPE-style merge training over the corpus (word-level symbols —
     the phrase variant of the byte-pair loop tokenizer training runs):
@@ -539,43 +540,124 @@ def phrase_merge_rounds(
     (ADVICE r4); NULL never equals any real token under ``==`` (split
     never yields NULL), so the seed can't match.
 
+    JOB SHAPE (VERDICT r6 item 3 — this loop was the bench's slowest
+    family at 5.4 s/entry): ONE driver job per round. The round job
+    computes the pair counts AND, in the same aggregate, the corpus
+    pair total; the top pair falls out of a single ``min(struct(-cnt,
+    a, b))`` (integer negation is exact, struct ordering is
+    lexicographic — same (cnt DESC, a ASC, b ASC) total order as the
+    oracle's ORDER BY). Because every document of ``size`` tokens
+    contributes exactly ``size - 1`` adjacent pairs, the previous
+    round's ``total_tokens_after`` is just ``pair_total + n_docs`` —
+    no separate count job. The rewritten frame is persisted LAZILY:
+    the next round's pair job materializes the cache as it scans
+    (consumers are strictly sequential, so the AQE racing-writers
+    hazard doesn't apply), replacing the dedicated per-round
+    localCheckpoint job — which still cuts the O(rounds²) fold
+    re-evaluation the checkpoint used to, via cache hits. Only the
+    LAST round pays a dedicated total-tokens job (nothing later scans
+    its output).
+
     Returns (per-round stats [(a, b, pair_count, total_tokens_after)],
     final tokenized frame ``(id_col, toks)``)."""
     toks = docs.select(
         id_col, F.split(F.col(text_col), " ").alias("toks")
-    )
-    stats: list[tuple[str, str, int, int]] = []
+    ).persist()
+    empty_pairs = F.expr("array()").cast("array<struct<a:string,b:string>>")
+    # One (NULL, NULL) marker "pair" per non-NULL document rides the
+    # same explode: its group count IS n_docs (real tokens are never
+    # NULL, so the marker can't collide), letting the round job also
+    # deliver the document count the Σsize = Σpairs + n_docs identity
+    # needs — no separate count job. NULL-text rows contribute neither
+    # pairs nor a marker (they carry no tokens).
+    null_marker = F.when(
+        F.col("toks").isNotNull(),
+        F.array(
+            F.struct(
+                F.lit(None).cast("string").alias("a"),
+                F.lit(None).cast("string").alias("b"),
+            )
+        ),
+    ).otherwise(empty_pairs)
+    stats: list[list] = []
+    n_docs = 0
     for _ in range(rounds):
         pairs = toks.select(
             F.explode(
-                F.when(
-                    F.size("toks") >= 2,
-                    F.expr(
-                        "transform(sequence(1, size(toks) - 1), "
-                        "i -> struct(toks[i-1] AS a, toks[i] AS b))"
-                    ),
-                ).otherwise(F.expr("array()").cast("array<struct<a:string,b:string>>"))
+                F.concat(
+                    F.when(
+                        F.size("toks") >= 2,
+                        F.expr(
+                            "transform(sequence(1, size(toks) - 1), "
+                            "i -> struct(toks[i-1] AS a, toks[i] AS b))"
+                        ),
+                    ).otherwise(empty_pairs),
+                    null_marker,
+                )
             ).alias("p")
         ).select("p.a", "p.b")
-        top = (
+        real = F.col("a").isNotNull()
+        row = (
             pairs.groupBy("a", "b")
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
+            .agg(
+                F.min(
+                    F.when(
+                        real,
+                        F.struct(
+                            (-F.col("cnt")).alias("nc"), F.col("a"), F.col("b")
+                        ),
+                    )
+                ).alias("top"),
+                F.sum(F.when(real, F.col("cnt"))).cast("long").alias("pair_total"),
+                F.sum(F.when(~real, F.col("cnt"))).cast("long").alias("n_docs"),
+            )
+            .collect()[0]
         )
-        if not top:
+        n_docs = int(row["n_docs"] or 0)
+        if stats:
+            # this round's pair total is over the PREVIOUS round's
+            # rewrite output: backfill its total_tokens_after
+            stats[-1][3] = int(row["pair_total"] or 0) + n_docs
+        if row["top"] is None:
             break
-        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        a, b, cnt = row["top"]["a"], row["top"]["b"], -int(row["top"]["nc"])
         merged = f"{a} {b}"
         la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
-        toks = toks.select(
-            id_col,
-            F.aggregate(
+        if a != b:
+            # Vectorized rewrite: when a ≠ b, matches can never
+            # overlap — a match at i-1 forces toks[i] == b ≠ a, which
+            # contradicts a match at i — so EVERY match merges and the
+            # greedy fold collapses to an O(n) positional transform
+            # (merge site → merged symbol, consumed successor → NULL →
+            # filtered; real tokens are never NULL, so the placeholder
+            # can't collide). Equivalent to the fold by the
+            # non-overlap argument; pinned by
+            # test_phrase_merge_vectorized_equals_fold.
+            def _melt(i):
+                cur = F.get("toks", i)
+                match_here = (cur == la) & (F.get("toks", i + 1) == lb)
+                consumed = (F.get("toks", i - 1) == la) & (cur == lb)
+                return (
+                    F.when(match_here, lm)
+                    .when(consumed, F.lit(None).cast("string"))
+                    .otherwise(cur)
+                )
+
+            rewritten = F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 1), _melt
+                ),
+                lambda x: x.isNotNull(),
+            )
+        else:
+            # a == b: overlapping runs ("a a a") resolve left-to-right
+            # — keep the sequential fold. NULL sentinel: unreachable
+            # (real tokens are never NULL; '' IS reachable via double
+            # spaces) — NULL == a yields NULL, which when() treats as
+            # no-match.
+            rewritten = F.aggregate(
                 "toks",
-                # NULL sentinel: unreachable (real tokens are never
-                # NULL; '' IS reachable via double spaces) — NULL == a
-                # yields NULL, which when() treats as no-match.
                 F.array(F.lit(None).cast("string")),
                 lambda acc, x: F.when(
                     (F.get(acc, F.size(acc) - 1) == la) & (x == lb),
@@ -584,17 +666,15 @@ def phrase_merge_rounds(
                     ),
                 ).otherwise(F.concat(acc, F.array(x))),
                 lambda acc: F.slice(acc, 2, F.size(acc) - 1),
-            ).alias("toks"),
-        )
-        # Cut lineage each round (localCheckpoint, eager): the rewrite
-        # is an interpreted higher-order fold, and without the cut
-        # round r re-executes all r-1 prior rewrites on every action —
-        # O(rounds²) fold evaluations (measured 16 s → ~4 s at sf0.1).
-        # On a real cluster use reliable checkpointing; locally the
-        # blocks are released when the frame is dereferenced.
-        toks = toks.localCheckpoint(eager=True)
+            )
+        toks = toks.select(id_col, rewritten.alias("toks")).persist()
+        stats.append([a, b, cnt, None])
+    if final_total and stats and stats[-1][3] is None:
+        # the only total no later pair job delivers; callers that
+        # ignore the stats (the encode entry) pass final_total=False
+        # and skip this job — their last stats row keeps total=None.
         total_after = toks.agg(
             F.sum(F.size("toks")).cast("long").alias("t")
         ).collect()[0]["t"]
-        stats.append((a, b, cnt, int(total_after)))
-    return stats, toks
+        stats[-1][3] = int(total_after)
+    return [tuple(s) for s in stats], toks

@@ -1543,29 +1543,40 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle keeps the three literal ntile windows, while the Spark
     plan computes IDENTICAL quartiles without any single-partition
     window (the r4 allowlist's documented swap, now landed): three
-    ``ordered_prefix`` global ranks (range-bucket two-level,
-    exact-integer offsets; recency keys on epoch-days so the cut
-    sampling stays numeric) + ``ntile_of_rank`` integer bucket
-    arithmetic. custkey tie-breaks make every quartile assignment
-    engine-identical. Output is the segment-cell census."""
-    from ..operators.ranking import ntile_of_rank, ordered_prefix
+    global ranks in ONE ``ordered_prefix_multi`` call (range-bucket
+    two-level, exact-integer offsets; recency keys on epoch-days so
+    the cut sampling stays numeric — all three keys share a single
+    percentile cuts job, VERDICT r5 item 5) + ``ntile_of_rank``
+    integer bucket arithmetic. custkey tie-breaks make every quartile
+    assignment engine-identical. Output is the segment-cell census."""
+    from ..operators.ranking import RankSpec, ntile_of_rank, ordered_prefix_multi
 
     orders = _t(spark, sf_dir, "orders")
+    # persisted (ADVICE r5): the cuts job, the stats job, the count
+    # below, and the final window chain each re-execute this scan +
+    # groupBy otherwise; the first aux job materializes the cache
+    # (jobs are sequential, so no racing-writer hazard).
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).cast("long").alias("frequency"),
         (F.round((F.sum("o_totalprice")) * 100.0) / 100.0).alias("monetary"),
-    )
+    ).persist()
     n = per_cust.agg(F.count(F.lit(1)).cast("long").alias("_n"))
-    g = ordered_prefix(
+    g = ordered_prefix_multi(
         per_cust,
-        F.datediff(F.col("last_order"), F.lit("1970-01-01").cast("date")),
-        ["o_custkey"],
-        rank_col="_rr",
+        [
+            RankSpec(
+                F.datediff(
+                    F.col("last_order"), F.lit("1970-01-01").cast("date")
+                ),
+                ["o_custkey"],
+                "_rr",
+            ),
+            RankSpec("frequency", ["o_custkey"], "_rf"),
+            RankSpec("monetary", ["o_custkey"], "_rm"),
+        ],
         buckets=32,
     )
-    g = ordered_prefix(g, "frequency", ["o_custkey"], rank_col="_rf", buckets=32)
-    g = ordered_prefix(g, "monetary", ["o_custkey"], rank_col="_rm", buckets=32)
     scored = g.crossJoin(F.broadcast(n)).select(
         "o_custkey", "frequency", "monetary",
         ntile_of_rank(F.col("_rr"), F.col("_n"), 4).alias("r_q"),

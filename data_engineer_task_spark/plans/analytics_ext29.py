@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .analytics import _t, q
+from .analytics import _t, _t_wide, q
 
 _ROUNDS = 4
 
@@ -97,7 +97,9 @@ def doc_bpe_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     both left folds) — no floats anywhere."""
     from ..operators.text import phrase_merge_rounds
 
-    docs = _t(spark, sf_dir, "documents")
+    # _t_wide: the per-round fold/pair stages otherwise run in the doc
+    # file's single scan partition (one task does the whole corpus).
+    docs = _t_wide(spark, sf_dir, "documents")
     stats, _toks = phrase_merge_rounds(
         docs, "doc_id", "text", rounds=_ROUNDS
     )

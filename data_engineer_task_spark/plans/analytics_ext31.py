@@ -426,8 +426,12 @@ def doc_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     data is embarrassingly parallel."""
     from ..operators.text import phrase_merge_rounds
 
-    docs = _t(spark, sf_dir, "documents")
-    _stats, toks = phrase_merge_rounds(docs, "doc_id", "text", rounds=_ROUNDS)
+    # _t_wide: parallelize the per-round fold (see doc_bpe_phrase_merges);
+    # final_total=False — this entry computes its own per-lang totals.
+    docs = _t_wide(spark, sf_dir, "documents")
+    _stats, toks = phrase_merge_rounds(
+        docs, "doc_id", "text", rounds=_ROUNDS, final_total=False
+    )
     return (
         toks.join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
@@ -522,3 +526,7 @@ def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# Next-batch entries register themselves into QUERIES/ORACLE on import.
+from . import analytics_ext32  # noqa: E402,F401  isort:skip

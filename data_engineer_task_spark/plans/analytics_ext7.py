@@ -348,11 +348,13 @@ def order_price_woe_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranking import ntile_of_rank, ordered_prefix
 
     orders = _t(spark, sf_dir, "orders")
+    # persisted (ADVICE r5): the count, both ordered_prefix aux jobs,
+    # and the final window re-scan this projection otherwise.
     base = orders.select(
         "o_totalprice",
         "o_orderkey",
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
-    )
+    ).persist()
     n = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
     r = (
         ordered_prefix(

@@ -204,13 +204,18 @@ def order_acctbal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    # persisted (ADVICE r5): both _avg_ranks value rollups, their
+    # ordered_prefix aux jobs, and the final double rank join all
+    # re-execute the orders⋈customer join otherwise.
     pairs = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("o_totalprice").alias("x"), F.col("c_acctbal").alias("y")
-    )
+    ).persist()
     def _avg_ranks(col: str, out: str):
+        # persisted: ordered_prefix's two aux jobs re-run this rollup
+        # from the pairs cache otherwise.
         vals = pairs.groupBy(col).agg(
             F.count(F.lit(1)).cast("long").alias("_c")
-        )
+        ).persist()
         pre = ordered_prefix(
             vals, col, rank_col=None, sums={"_before": "_c"}, buckets=32
         )

@@ -94,17 +94,131 @@ class CurationPipeline:
     dict."""
 
     def __init__(
-        self, spark: SparkSession, out_dir: str, config: CurationConfig | None = None
+        self,
+        spark: SparkSession,
+        out_dir: str | None = None,
+        config: CurationConfig | None = None,
     ) -> None:
+        # out_dir is only needed by run() (which writes); classify()
+        # is side-effect-free and works without one.
         self.spark = spark
         self.out_dir = out_dir
         self.cfg = config or CurationConfig()
+
+    def classify(self, docs: DataFrame) -> DataFrame:
+        """Side-effect-free funnel classification: label EVERY input
+        document with its pipeline outcome — ``rejected:<stage>`` for
+        the stage that dropped it, ``split:<name>`` for survivors.
+        Returns (id_col, outcome), exactly one row per input row
+        (funnel conservation).
+
+        This composes the SAME operators in the SAME order and with
+        the SAME survivor rules as ``run()``'s standard path (gate →
+        exact dedup → near-dup dedup → split) — ``tests/
+        test_curation.py::test_classify_matches_run`` pins the two
+        surfaces row-for-row — but builds one DataFrame instead of
+        writing tables, so the whole end-to-end composition can sit
+        behind the driver's hash gate (the ``curation_pipeline_
+        survivors`` entry; VERDICT r5 item 1). The optional run()-only
+        stages (segment dedup, SemDeDup) are out of scope here and
+        loudly rejected rather than silently skipped."""
+        cfg = self.cfg
+        if cfg.near_dup_keep not in ("first", "best"):
+            raise ValueError(
+                f"near_dup_keep={cfg.near_dup_keep!r} — must be 'first' or 'best'"
+            )
+        if cfg.segment_dedup:
+            raise ValueError(
+                "classify() covers the standard gate→exact→near-dup→split "
+                "funnel; segment_dedup is a run()-only stage"
+            )
+        norm = docs.select(cfg.id_col, cfg.text_col).withColumn(
+            "_norm_text", normalize_text(F.col(cfg.text_col))
+        )
+        gated = quality_gate(
+            norm,
+            cfg.id_col,
+            "_norm_text",
+            min_tokens=cfg.min_tokens,
+            max_tokens=cfg.max_tokens,
+            min_avg_token_len=cfg.min_avg_token_len,
+            max_avg_token_len=cfg.max_avg_token_len,
+            max_stopword_ratio=cfg.max_stopword_ratio,
+            max_punct_ratio=cfg.max_punct_ratio,
+        ).select(cfg.id_col, "passed")
+        ok = F.coalesce(F.col("passed"), F.lit(False))
+        # persisted: the gate+join subplan feeds both routing branches.
+        with_flag = norm.join(gated, cfg.id_col).persist()
+        passed = with_flag.where(ok).drop("passed")
+        rej_gate = with_flag.where(~ok).select(cfg.id_col)
+        survivors = content_hash_dedup(passed, cfg.id_col, "_norm_text").select(
+            cfg.id_col
+        )
+        # persisted: near-dup build + the kept/rejected branches all
+        # re-consume the exact-survivor frame.
+        exact = passed.join(survivors, cfg.id_col, "left_semi").persist()
+        rej_exact = passed.join(survivors, cfg.id_col, "left_anti").select(
+            cfg.id_col
+        )
+        pairs = near_duplicates(
+            exact,
+            cfg.id_col,
+            "_norm_text",
+            n_hashes=cfg.minhash_hashes,
+            shingle_k=cfg.shingle_k,
+            threshold=cfg.near_dup_threshold,
+        ).select("id_a", "id_b")
+        clusters = connected_components(pairs)
+        if cfg.near_dup_keep == "best":
+            scored = clusters.join(
+                exact.select(
+                    F.col(cfg.id_col).alias("node"),
+                    F.length(cfg.text_col).alias("_q"),
+                ),
+                "node",
+            )
+            rn = F.row_number().over(
+                W.partitionBy("cluster").orderBy(
+                    F.col("_q").desc(), F.col("node").asc()
+                )
+            )
+            losers = (
+                scored.select("node", rn.alias("_rn"))
+                .where(F.col("_rn") != 1)
+                .select(F.col("node").alias(cfg.id_col))
+            )
+        else:
+            losers = clusters.where(F.col("node") != F.col("cluster")).select(
+                F.col("node").alias(cfg.id_col)
+            )
+        kept = exact.select(cfg.id_col).join(losers, cfg.id_col, "left_anti")
+        split = hash_split(kept, cfg.id_col, cuts=cfg.split_cuts)
+        return (
+            rej_gate.withColumn("outcome", F.lit("rejected:quality_gate"))
+            .unionByName(
+                rej_exact.withColumn("outcome", F.lit("rejected:exact_dedup"))
+            )
+            .unionByName(
+                losers.withColumn("outcome", F.lit("rejected:near_dedup"))
+            )
+            .unionByName(
+                split.select(
+                    cfg.id_col,
+                    F.concat(F.lit("split:"), F.col("split")).alias("outcome"),
+                )
+            )
+        )
 
     def run(self, docs: DataFrame, embeddings: DataFrame | None = None) -> dict:
         """``embeddings`` (optional): a frame with ``cfg.id_col`` and an
         ``embedding`` array column — supplying it enables the SemDeDup
         semantic-dedup stage after the text near-dup stage."""
         cfg = self.cfg
+        if self.out_dir is None:
+            raise ValueError(
+                "run() writes curated/rejects tables — construct the "
+                "pipeline with out_dir (classify() works without one)"
+            )
         if cfg.near_dup_keep not in ("first", "best"):
             # A typo from a programmatic caller (the CLI's choices= guard
             # doesn't cover library use) would otherwise fall through to

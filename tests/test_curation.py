@@ -194,3 +194,45 @@ def test_semantic_dedup_stage_removes_embedding_duplicates(spark, corpus, tmp_pa
     # docs without an embedding row are never semantic rejects
     no_emb = sem.join(emb, "doc_id", "left_anti")
     assert no_emb.count() == 0
+
+
+def test_classify_matches_run(spark, corpus, tmp_path):
+    """classify() is the hash-gated twin of run() (the
+    curation_pipeline_survivors entry rides it): same operators, same
+    config, same survivor rules — so its (doc_id, outcome) labels must
+    equal run()'s written curated/rejects tables ROW FOR ROW, for both
+    keep rules."""
+    for keep in ("first", "best"):
+        cfg = CurationConfig(near_dup_threshold=0.5, near_dup_keep=keep)
+        out = tmp_path / f"run_{keep}"
+        manifest = CurationPipeline(spark, str(out), cfg).run(corpus)
+        curated = spark.read.parquet(manifest["curated_path"]).select(
+            "doc_id", F.concat(F.lit("split:"), F.col("split")).alias("outcome")
+        )
+        rejects = spark.read.parquet(manifest["rejects_path"]).select(
+            "doc_id",
+            F.concat(F.lit("rejected:"), F.col("reject_stage")).alias("outcome"),
+        )
+        expected = sorted(map(tuple, curated.unionByName(rejects).collect()))
+
+        got = sorted(
+            map(
+                tuple,
+                CurationPipeline(spark, config=cfg).classify(corpus).collect(),
+            )
+        )
+        assert got == expected, f"classify() diverged from run() (keep={keep})"
+        # funnel conservation: one outcome per input row
+        assert len(got) == corpus.count()
+
+
+def test_classify_rejects_run_only_stages(spark, corpus):
+    """The run()-only knobs must fail loudly in classify(), and run()
+    must fail loudly without an out_dir — silent skips would let the
+    declared entry certify a different pipeline than the one users run."""
+    with pytest.raises(ValueError, match="segment_dedup"):
+        CurationPipeline(
+            spark, config=CurationConfig(segment_dedup=True)
+        ).classify(corpus)
+    with pytest.raises(ValueError, match="out_dir"):
+        CurationPipeline(spark).run(corpus)

@@ -1137,3 +1137,97 @@ def test_core_operators_tolerate_empty_input(spark):
     assert jaccard_join_exact(empty, "doc_id", "text", threshold=0.5).count() == 0
     assert quality_gate(empty, "doc_id", "text").count() == 0
     assert hash_split(empty, "doc_id").count() == 0
+
+
+def test_sign_bucket_guards_short_and_null_vectors(spark):
+    """ADVICE r5: a NULL embedding must raise through the same loud
+    guard as a too-short one — size(NULL) is NULL, so the bare
+    short-vector condition silently collapsed NULL vectors into
+    bucket '000000' (one hot bucket of every bad row)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors import SparkRuntimeException
+
+    from data_engineer_task_spark.operators.similarity import sign_bucket
+
+    ok = spark.createDataFrame(
+        [(1, [0.5, -0.2, 0.1, -0.9, 0.3, 0.7])],
+        "id LONG, embedding ARRAY<DOUBLE>",
+    )
+    assert ok.select(sign_bucket("embedding").alias("b")).collect()[0][
+        "b"
+    ] == "101011"
+
+    short = spark.createDataFrame(
+        [(1, [0.5, -0.2])], "id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(SparkRuntimeException, match="needs >= 6 dims"):
+        short.select(sign_bucket("embedding")).collect()
+
+    null_vec = spark.createDataFrame(
+        [(1, None)], "id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(SparkRuntimeException, match="NULL vector"):
+        null_vec.select(sign_bucket("embedding")).collect()
+
+
+def test_phrase_merge_vectorized_equals_fold(spark):
+    """The r6 rewrite kernel: for a != b the greedy left fold is
+    replaced by a vectorized positional transform (valid because
+    matches can't overlap); for a == b the fold stays. Pin BOTH paths
+    — including overlap runs ('z z z'), double-space empty tokens, and
+    merged-symbol reuse — against a pure-Python replay of the greedy
+    left-to-right semantics."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_task_spark.operators.text import phrase_merge_rounds
+
+    texts = [
+        "z z z z a b a b",          # a==b run + repeated pair
+        "a b a b a b",              # non-overlapping repeats
+        "x  y a b",                 # double space -> empty token
+        "a b b a a b",
+        "z z a b z z z",
+        "single",
+        "a a a b b b",
+    ] * 10
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    def py_merge(toks, a, b):
+        out = []
+        for x in toks:
+            if out and out[-1] == a and x == b:
+                out[-1] = f"{a} {b}"
+            else:
+                out.append(x)
+        return out
+
+    def py_rounds(texts, rounds):
+        corpus = [t.split(" ") for t in texts]
+        stats = []
+        for _ in range(rounds):
+            from collections import Counter
+
+            c = Counter()
+            for toks in corpus:
+                for i in range(len(toks) - 1):
+                    c[(toks[i], toks[i + 1])] += 1
+            if not c:
+                break
+            (a, b), cnt = min(
+                c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            corpus = [py_merge(t, a, b) for t in corpus]
+            stats.append((a, b, cnt, sum(len(t) for t in corpus)))
+        return stats, corpus
+
+    stats, toks = phrase_merge_rounds(docs, "doc_id", "text", rounds=3)
+    want_stats, want_corpus = py_rounds(texts, 3)
+    assert stats == want_stats
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in toks.select("doc_id", "toks").collect()
+    }
+    for i, t in enumerate(want_corpus):
+        assert got[i] == t, f"doc {i}: {got[i]} != {t}"

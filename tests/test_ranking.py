@@ -112,3 +112,97 @@ def test_empty_frame(spark):
     df = spark.createDataFrame([], "id LONG, v LONG, cents LONG")
     out = ordered_prefix(df, "v", ["id"], rank_col="r", sums={"cb": "cents"})
     assert out.count() == 0
+
+
+def test_multi_spec_matches_windows(frame):
+    from data_engineer_task_spark.operators.ranking import (
+        RankSpec,
+        ordered_prefix_multi,
+    )
+
+    got = ordered_prefix_multi(
+        frame,
+        [
+            RankSpec("v", ["id"], "rv"),
+            RankSpec("cents", ["id"], "rc", {"cb": "v"}),
+        ],
+        buckets=7,
+    ).select("id", "rv", "rc", "cb")
+    wv = W.orderBy(F.asc("v"), F.asc("id"))
+    wc = W.orderBy(F.asc("cents"), F.asc("id"))
+    want = frame.select(
+        "id",
+        F.row_number().over(wv).alias("rv"),
+        F.row_number().over(wc).alias("rc"),
+        F.coalesce(
+            F.sum("v").over(wc.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("cb"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+@pytest.mark.parametrize("null_share", ["some", "all"])
+def test_null_key_raises(spark, null_share):
+    """ADVICE r5: ALL-null keys used to slip past the guard (empty
+    cuts -> constant bucket 0 -> silent NULLS-FIRST ranks); both mixed
+    and all-NULL inputs must now fail loudly from the same cuts-job
+    null count."""
+    rows = [
+        (i, None if (null_share == "all" or i % 3 == 0) else i * 7)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, v LONG")
+    with pytest.raises(ValueError, match="non-null key"):
+        ordered_prefix(df, "v", ["id"], rank_col="r")
+
+
+@pytest.mark.parametrize("n_parts", [1, 5, 32])
+@pytest.mark.parametrize(
+    "keys",
+    [
+        "dups",       # heavy duplicate keys
+        "constant",   # every key equal (single bucket, ties everywhere)
+        "skew",       # 90% of rows share one key, rest unique
+    ],
+)
+def test_validate_passes_adversarial_deterministic(spark, n_parts, keys):
+    """validate=True asserts ranks are a permutation of 1..n; for any
+    DETERMINISTIC input — whatever the partitioning, duplication, or
+    skew — the contract holds and the check must pass silently."""
+    if keys == "dups":
+        rows = [(i, (i * 7919) % 11) for i in range(400)]
+    elif keys == "constant":
+        rows = [(i, 42) for i in range(400)]
+    else:
+        rows = [(i, 5 if i % 10 else i * 1000) for i in range(400)]
+    df = spark.createDataFrame(rows, "id LONG, v LONG").repartition(n_parts)
+    out = ordered_prefix(
+        df, "v", ["id"], rank_col="r", buckets=8, validate=True
+    )
+    got = sorted(r["r"] for r in out.select("r").collect())
+    assert got == list(range(1, 401))
+
+
+def test_validate_catches_nondeterministic_input(spark):
+    """VERDICT r5 item 4: a nondeterministic input violates the
+    documented contract — bucket offsets from one execution disagree
+    with rows ranked in another, yielding gapped/duplicate ranks.
+    validate=True must RAISE instead of silently corrupting.
+    (Random keys re-drawn per execution: the checks pass only if every
+    bucket count coincides across executions — probability ~0.)"""
+    import random
+
+    from pyspark.sql.types import DoubleType
+
+    @F.udf(DoubleType())
+    def flaky_key(i):
+        return random.random() * 1e6
+
+    flaky = flaky_key.asNondeterministic()
+    df = spark.range(2000).select(
+        F.col("id"), flaky(F.col("id")).alias("v")
+    )
+    with pytest.raises(ValueError, match="determinism contract"):
+        ordered_prefix(df, "v", ["id"], rank_col="r", buckets=16, validate=True)
