@@ -190,6 +190,13 @@ def _curate_main(argv: list[str]) -> int:
     parser.add_argument("--embedding-id-col", default="vec_id",
                         help="id column in the embeddings parquet that "
                              "matches the documents --id-col values")
+    parser.add_argument("--checkpoint-stages", action="store_true",
+                        help="materialize each stage to OUT/stages/ as it "
+                             "completes (durable progress a kill can't lose)")
+    parser.add_argument("--resume", action="store_true",
+                        help="skip stages whose OUT/stages/<name> checkpoint "
+                             "exists (implies --checkpoint-stages); outputs "
+                             "are row-identical to an uninterrupted run")
     args = parser.parse_args(argv[1:])
 
     from .plans.curation import CurationConfig, CurationPipeline
@@ -211,8 +218,13 @@ def _curate_main(argv: list[str]) -> int:
                 args.embedding_id_col, args.id_col
             )
     manifest = CurationPipeline(spark, args.out, cfg).run(
-        spark.read.parquet(args.input), embeddings=embeddings
+        spark.read.parquet(args.input),
+        embeddings=embeddings,
+        checkpoint_stages=args.checkpoint_stages,
+        resume=args.resume,
     )
+    if manifest.get("resumed_stages"):
+        print(f"resumed (checkpoints reused): {manifest['resumed_stages']}")
     for s in manifest["stages"]:
         print(f"{s['stage']}: {s['rows']} rows")
     print(f"splits: {manifest['splits']}")

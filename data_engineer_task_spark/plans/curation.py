@@ -209,10 +209,28 @@ class CurationPipeline:
             )
         )
 
-    def run(self, docs: DataFrame, embeddings: DataFrame | None = None) -> dict:
+    def run(
+        self,
+        docs: DataFrame,
+        embeddings: DataFrame | None = None,
+        *,
+        checkpoint_stages: bool = False,
+        resume: bool = False,
+    ) -> dict:
         """``embeddings`` (optional): a frame with ``cfg.id_col`` and an
         ``embedding`` array column — supplying it enables the SemDeDup
-        semantic-dedup stage after the text near-dup stage."""
+        semantic-dedup stage after the text near-dup stage.
+
+        ``checkpoint_stages``: materialize each stage's output to
+        ``{out_dir}/stages/<name>`` parquet as it completes, so a
+        killed run leaves durable progress. ``resume`` (implies
+        checkpointing): any stage whose ``_SUCCESS`` marker exists is
+        READ BACK instead of recomputed — its whole upstream DAG (gate
+        stats, shingle/minhash build, k-means) never executes. Stage
+        values round-trip parquet exactly, so a resumed run's outputs
+        are row-identical to an uninterrupted one
+        (``test_curation.py::test_curate_resume_skips_completed_stages``).
+        """
         cfg = self.cfg
         if self.out_dir is None:
             raise ValueError(
@@ -227,6 +245,7 @@ class CurationPipeline:
             raise ValueError(
                 f"near_dup_keep={cfg.near_dup_keep!r} — must be 'first' or 'best'"
             )
+        checkpoint_stages = checkpoint_stages or resume
         t0 = time.perf_counter()
         manifest: dict = {"stages": [], "config": {
             "near_dup_threshold": cfg.near_dup_threshold,
@@ -243,53 +262,79 @@ class CurationPipeline:
             manifest["stages"].append({"stage": name, "rows": df.count()})
             return df
 
+        stages_dir = os.path.join(self.out_dir, "stages")
+        resumed: set[str] = set()
+
+        def ckpt(name: str, build) -> DataFrame:
+            """Materialize-or-reuse a stage frame: the persisted plan
+            (default), a freshly written stage parquet
+            (checkpoint_stages — the durable unit a kill can't lose),
+            or the previous run's parquet untouched (resume hit — the
+            ``build`` closure never runs, so neither does its DAG)."""
+            if not checkpoint_stages:
+                return build().persist()
+            path = os.path.join(stages_dir, name)
+            if resume and os.path.exists(os.path.join(path, "_SUCCESS")):
+                resumed.add(name)
+                return self.spark.read.parquet(path)
+            build().write.mode("overwrite").parquet(path)
+            return self.spark.read.parquet(path)
+
         docs = stage("input", docs)
 
-        # 1. Normalize: the dedup key is the normalized text; the
-        #    original text column is preserved for the output table.
-        norm = docs.withColumn(
-            "_norm_text", normalize_text(F.col(cfg.text_col))
-        )
+        # 1+2. Normalize (the dedup key is the normalized text; the
+        #    original text column is preserved for the output table),
+        #    then the quality gate (map-only stats, flag-based
+        #    routing). Rejects are kept, labeled, and written for
+        #    audit. NULL flags (e.g. NULL text -> NULL token stats)
+        #    route to the REJECT side: three-valued logic would
+        #    otherwise drop the row from BOTH branches and break
+        #    funnel conservation.
+        def _build_gate() -> DataFrame:
+            norm = docs.withColumn(
+                "_norm_text", normalize_text(F.col(cfg.text_col))
+            )
+            gated = quality_gate(
+                norm,
+                cfg.id_col,
+                "_norm_text",
+                min_tokens=cfg.min_tokens,
+                max_tokens=cfg.max_tokens,
+                min_avg_token_len=cfg.min_avg_token_len,
+                max_avg_token_len=cfg.max_avg_token_len,
+                max_stopword_ratio=cfg.max_stopword_ratio,
+                max_punct_ratio=cfg.max_punct_ratio,
+            ).select(cfg.id_col, "passed")
+            return norm.join(gated, cfg.id_col)
 
-        # 2. Quality gate (map-only stats, flag-based routing). Rejects
-        #    are kept, labeled, and written for audit.
-        gated = quality_gate(
-            norm,
-            cfg.id_col,
-            "_norm_text",
-            min_tokens=cfg.min_tokens,
-            max_tokens=cfg.max_tokens,
-            min_avg_token_len=cfg.min_avg_token_len,
-            max_avg_token_len=cfg.max_avg_token_len,
-            max_stopword_ratio=cfg.max_stopword_ratio,
-            max_punct_ratio=cfg.max_punct_ratio,
-        ).select(cfg.id_col, "passed")
-        # NULL flags (e.g. NULL text -> NULL token stats) route to the
-        # REJECT side: three-valued logic would otherwise drop the row
-        # from BOTH branches and break funnel conservation.
         ok = F.coalesce(F.col("passed"), F.lit(False))
-        with_flag = norm.join(gated, cfg.id_col).persist()
+        with_flag = ckpt("quality_gate", _build_gate)
         passed = stage("quality_gate", with_flag.where(ok).drop("passed"))
         rejects_quality = with_flag.where(~ok).drop("passed").withColumn(
             "reject_stage", F.lit("quality_gate")
         )
 
         # 3. Exact dedup on the normalized content hash (shuffle carries
-        #    digests, not bodies); survivor = min id per hash.
-        survivors = content_hash_dedup(passed, cfg.id_col, "_norm_text").select(
-            cfg.id_col
-        )
-        # Persist the survivor frame: the near-dup build, both reject
-        # branches, the final write, and the stage counts all re-consume
-        # it (without the cache the gate+dedup lineage re-executes per
-        # action).
+        #    digests, not bodies); survivor = min id per hash. The
+        #    survivor frame is materialized (persist or stage parquet):
+        #    the near-dup build, both reject branches, the final write,
+        #    and the stage counts all re-consume it.
         exact = stage(
             "exact_dedup",
-            passed.join(survivors, cfg.id_col, "left_semi").persist(),
+            ckpt(
+                "exact_dedup",
+                lambda: passed.join(
+                    content_hash_dedup(passed, cfg.id_col, "_norm_text").select(
+                        cfg.id_col
+                    ),
+                    cfg.id_col,
+                    "left_semi",
+                ),
+            ),
         )
-        rejects_exact = passed.join(survivors, cfg.id_col, "left_anti").withColumn(
-            "reject_stage", F.lit("exact_dedup")
-        )
+        rejects_exact = passed.join(
+            exact.select(cfg.id_col), cfg.id_col, "left_anti"
+        ).withColumn("reject_stage", F.lit("exact_dedup"))
 
         # 3b. Optional exact-substring (segment) dedup: rewrite every
         #     document keeping only the first corpus-wide occurrence of
@@ -301,19 +346,24 @@ class CurationPipeline:
         #     as the dedup key.
         rejects_segment = None
         if cfg.segment_dedup:
-            rw = segment_dedup_rewrite(
-                exact.select(cfg.id_col, "_norm_text"),
-                cfg.id_col,
-                "_norm_text",
-                seg=cfg.segment_len,
-            ).select(cfg.id_col, "n_kept", "rewritten_text")
-            joined = exact.join(rw, cfg.id_col).persist()
-            exact = stage(
-                "segment_dedup",
+            def _build_segment() -> DataFrame:
+                rw = segment_dedup_rewrite(
+                    exact.select(cfg.id_col, "_norm_text"),
+                    cfg.id_col,
+                    "_norm_text",
+                    seg=cfg.segment_len,
+                ).select(cfg.id_col, "n_kept", "rewritten_text")
+                return exact.join(rw, cfg.id_col)
+
+            joined = ckpt("segment_joined", _build_segment)
+            kept_seg = (
                 joined.where(F.col("n_kept") > 0)
                 .withColumn("_norm_text", F.col("rewritten_text"))
                 .drop("n_kept", "rewritten_text")
-                .persist(),
+            )
+            exact = stage(
+                "segment_dedup",
+                kept_seg if checkpoint_stages else kept_seg.persist(),
             )
             rejects_segment = (
                 joined.where(F.col("n_kept") == 0)
@@ -324,47 +374,50 @@ class CurationPipeline:
         # 4. Near-dup dedup: banded MinHash -> exact Jaccard pairs ->
         #    connected components -> keep the min-id representative of
         #    each duplicate cluster.
-        pairs = near_duplicates(
-            exact,
-            cfg.id_col,
-            "_norm_text",
-            n_hashes=cfg.minhash_hashes,
-            shingle_k=cfg.shingle_k,
-            threshold=cfg.near_dup_threshold,
-        ).select("id_a", "id_b")
-        clusters = connected_components(pairs)
-        if cfg.near_dup_keep == "best":
-            # survivor = longest member (text length, min-id tie-break):
-            # a cluster-keyed window argmax; any scalar quality model
-            # slots into the ORDER BY (see near_dup_keep_best entry).
-            scored = clusters.join(
-                exact.select(
-                    F.col(cfg.id_col).alias("node"),
-                    F.length(cfg.text_col).alias("_q"),
-                ),
-                "node",
-            )
-            rn = F.row_number().over(
-                W.partitionBy("cluster").orderBy(
-                    F.col("_q").desc(), F.col("node").asc()
+        def _build_near_dedup() -> DataFrame:
+            pairs = near_duplicates(
+                exact,
+                cfg.id_col,
+                "_norm_text",
+                n_hashes=cfg.minhash_hashes,
+                shingle_k=cfg.shingle_k,
+                threshold=cfg.near_dup_threshold,
+            ).select("id_a", "id_b")
+            clusters = connected_components(pairs)
+            if cfg.near_dup_keep == "best":
+                # survivor = longest member (text length, min-id
+                # tie-break): a cluster-keyed window argmax; any scalar
+                # quality model slots into the ORDER BY (see
+                # near_dup_keep_best entry).
+                scored = clusters.join(
+                    exact.select(
+                        F.col(cfg.id_col).alias("node"),
+                        F.length(cfg.text_col).alias("_q"),
+                    ),
+                    "node",
                 )
-            )
-            losers = (
-                scored.select("node", rn.alias("_rn"))
-                .where(F.col("_rn") != 1)
-                .select(F.col("node").alias(cfg.id_col))
-            )
-        else:
-            losers = clusters.where(F.col("node") != F.col("cluster")).select(
-                F.col("node").alias(cfg.id_col)
-            )
-        deduped = stage(
-            "near_dedup",
-            exact.join(losers, cfg.id_col, "left_anti").persist(),
-        )
-        rejects_near = exact.join(losers, cfg.id_col, "left_semi").withColumn(
-            "reject_stage", F.lit("near_dedup")
-        )
+                rn = F.row_number().over(
+                    W.partitionBy("cluster").orderBy(
+                        F.col("_q").desc(), F.col("node").asc()
+                    )
+                )
+                losers = (
+                    scored.select("node", rn.alias("_rn"))
+                    .where(F.col("_rn") != 1)
+                    .select(F.col("node").alias(cfg.id_col))
+                )
+            else:
+                losers = clusters.where(
+                    F.col("node") != F.col("cluster")
+                ).select(F.col("node").alias(cfg.id_col))
+            return exact.join(losers, cfg.id_col, "left_anti")
+
+        deduped = stage("near_dedup", ckpt("near_dedup", _build_near_dedup))
+        # losers ≡ exact minus survivors on the id column, so the
+        # reject branch derives from the STAGE OUTPUT (resume-safe).
+        rejects_near = exact.join(
+            deduped.select(cfg.id_col), cfg.id_col, "left_anti"
+        ).withColumn("reject_stage", F.lit("near_dedup"))
 
         # 4b. Optional SemDeDup semantic dedup (embedding space): text
         #     near-dup can't see paraphrases/translations that share no
@@ -374,53 +427,77 @@ class CurationPipeline:
         #     row are kept — absence of evidence is not a duplicate.
         rejects_semantic = None
         if embeddings is not None:
-            from ..operators.similarity import (
-                clustered_similar_pairs,
-                cos_to_centroid,
-                kmeans_fit,
-            )
-
-            emb = embeddings.select(cfg.id_col, "embedding").join(
-                deduped.select(cfg.id_col), cfg.id_col, "left_semi"
-            )
-            k_eff = min(cfg.semantic_k, emb.count())
-            if k_eff > 0:
-                centroids, assigned = kmeans_fit(
-                    emb, cfg.id_col, "embedding",
-                    k=k_eff, n_iters=cfg.semantic_iters,
-                )
-                assigned = assigned.persist()
-                assigned.count()
-                sem_pairs = clustered_similar_pairs(
-                    assigned, cfg.id_col, threshold=cfg.semantic_threshold
-                )
-                comp = connected_components(sem_pairs, "id_a", "id_b").select(
-                    "node", F.col("cluster").alias("comp")
-                )
-                c2 = cos_to_centroid(assigned, centroids).select(
-                    F.col(cfg.id_col).alias("node"), "cos2c"
-                )
-                sem_rn = F.row_number().over(
-                    W.partitionBy("comp").orderBy(
-                        F.col("cos2c").asc(), F.col("node").asc()
-                    )
-                )
-                sem_losers = (
-                    comp.join(c2, "node")
-                    .select("node", "comp", sem_rn.alias("_rn"))
-                    .where(F.col("_rn") != 1)
-                    .select(F.col("node").alias(cfg.id_col))
-                )
+            sem_path = os.path.join(stages_dir, "semantic_dedup")
+            if (
+                resume
+                and os.path.exists(os.path.join(sem_path, "_SUCCESS"))
+            ):
+                # resume hit: k-means / pair / closure never run, so
+                # the trained k_eff is unknown here — the stage output
+                # alone determines every downstream row.
+                resumed.add("semantic_dedup")
                 kept_sem = stage(
-                    "semantic_dedup",
-                    deduped.join(sem_losers, cfg.id_col, "left_anti").persist(),
+                    "semantic_dedup", self.spark.read.parquet(sem_path)
                 )
                 rejects_semantic = deduped.join(
-                    sem_losers, cfg.id_col, "left_semi"
+                    kept_sem.select(cfg.id_col), cfg.id_col, "left_anti"
                 ).withColumn("reject_stage", F.lit("semantic_dedup"))
                 deduped = kept_sem
                 manifest["config"]["semantic_threshold"] = cfg.semantic_threshold
-                manifest["config"]["semantic_k"] = k_eff
+                manifest["config"]["semantic_k"] = None
+            else:
+                from ..operators.similarity import (
+                    clustered_similar_pairs,
+                    cos_to_centroid,
+                    kmeans_fit,
+                )
+
+                emb = embeddings.select(cfg.id_col, "embedding").join(
+                    deduped.select(cfg.id_col), cfg.id_col, "left_semi"
+                )
+                k_eff = min(cfg.semantic_k, emb.count())
+                if k_eff > 0:
+                    centroids, assigned = kmeans_fit(
+                        emb, cfg.id_col, "embedding",
+                        k=k_eff, n_iters=cfg.semantic_iters,
+                    )
+                    assigned = assigned.persist()
+                    assigned.count()
+                    sem_pairs = clustered_similar_pairs(
+                        assigned, cfg.id_col, threshold=cfg.semantic_threshold
+                    )
+                    comp = connected_components(sem_pairs, "id_a", "id_b").select(
+                        "node", F.col("cluster").alias("comp")
+                    )
+                    c2 = cos_to_centroid(assigned, centroids).select(
+                        F.col(cfg.id_col).alias("node"), "cos2c"
+                    )
+                    sem_rn = F.row_number().over(
+                        W.partitionBy("comp").orderBy(
+                            F.col("cos2c").asc(), F.col("node").asc()
+                        )
+                    )
+                    sem_losers = (
+                        comp.join(c2, "node")
+                        .select("node", "comp", sem_rn.alias("_rn"))
+                        .where(F.col("_rn") != 1)
+                        .select(F.col("node").alias(cfg.id_col))
+                    )
+                    kept_sem = stage(
+                        "semantic_dedup",
+                        ckpt(
+                            "semantic_dedup",
+                            lambda: deduped.join(
+                                sem_losers, cfg.id_col, "left_anti"
+                            ),
+                        ),
+                    )
+                    rejects_semantic = deduped.join(
+                        kept_sem.select(cfg.id_col), cfg.id_col, "left_anti"
+                    ).withColumn("reject_stage", F.lit("semantic_dedup"))
+                    deduped = kept_sem
+                    manifest["config"]["semantic_threshold"] = cfg.semantic_threshold
+                    manifest["config"]["semantic_k"] = k_eff
 
         # 5. Deterministic split assignment (map-only md5 bucketing).
         final = hash_split(
@@ -453,6 +530,8 @@ class CurationPipeline:
         manifest["splits"] = split_counts
         manifest["curated_path"] = curated_path
         manifest["rejects_path"] = rejects_path
+        if resume:
+            manifest["resumed_stages"] = sorted(resumed)
         manifest["wall_seconds"] = round((time.perf_counter() - t0) * 1000.0) / 1000.0
         with open(os.path.join(self.out_dir, "manifest.json"), "w") as fh:
             json.dump(manifest, fh, indent=2)

@@ -236,3 +236,51 @@ def test_classify_rejects_run_only_stages(spark, corpus):
         ).classify(corpus)
     with pytest.raises(ValueError, match="out_dir"):
         CurationPipeline(spark).run(corpus)
+
+
+def test_curate_resume_skips_completed_stages(spark, corpus, tmp_path, monkeypatch):
+    """VERDICT r5 item 8, kill-and-resume: a run with
+    checkpoint_stages=True dies mid-pipeline (near-dup stage bombs);
+    the resumed run must (a) reuse the gate/exact checkpoints WITHOUT
+    re-executing their DAGs — pinned by making quality_gate explode if
+    called — and (b) produce survivors row-identical to an
+    uninterrupted, un-checkpointed run."""
+    import data_engineer_task_spark.plans.curation as cur
+
+    cfg = CurationConfig(near_dup_threshold=0.5)
+
+    fresh = CurationPipeline(spark, str(tmp_path / "fresh"), cfg).run(corpus)
+
+    out = tmp_path / "resumable"
+    real_nd = cur.near_duplicates
+
+    def _killed(*a, **k):
+        raise RuntimeError("simulated mid-run kill")
+
+    monkeypatch.setattr(cur, "near_duplicates", _killed)
+    with pytest.raises(RuntimeError, match="simulated"):
+        CurationPipeline(spark, str(out), cfg).run(
+            corpus, checkpoint_stages=True
+        )
+    # the kill left durable per-stage progress but no manifest
+    assert (out / "stages" / "quality_gate" / "_SUCCESS").exists()
+    assert (out / "stages" / "exact_dedup" / "_SUCCESS").exists()
+    assert not (out / "manifest.json").exists()
+
+    monkeypatch.setattr(cur, "near_duplicates", real_nd)
+
+    def _gate_bomb(*a, **k):
+        raise AssertionError("resume re-executed the quality gate")
+
+    monkeypatch.setattr(cur, "quality_gate", _gate_bomb)
+    manifest = CurationPipeline(spark, str(out), cfg).run(corpus, resume=True)
+    assert set(manifest["resumed_stages"]) == {"quality_gate", "exact_dedup"}
+
+    a = spark.read.parquet(fresh["curated_path"]).select("doc_id", "split")
+    b = spark.read.parquet(manifest["curated_path"]).select("doc_id", "split")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # stage counts identical to the uninterrupted run
+    assert manifest["splits"] == fresh["splits"]
+    assert [s["rows"] for s in manifest["stages"]] == [
+        s["rows"] for s in fresh["stages"]
+    ]
