@@ -127,11 +127,27 @@ def ordered_prefix_multi(
     approx_percentile row carries per-key non-null counts, closing
     ADVICE r5's all-NULL gap where empty cuts silently ranked NULLs
     first): filter or coalesce NULL keys, deciding their order,
-    before calling.
+    before calling. NaN keys are consistent but last: Spark orders
+    NaN above every real in both `>` and window ASC sort, so NaN rows
+    land in the top bucket and rank after all reals (guard with
+    nanvl() if you want them elsewhere). Prefix-sum sources must be
+    INTEGRAL columns (the determinism contract above) — a float
+    source fails loudly rather than silently re-associating.
     """
     specs = list(specs)
     if not specs:
         raise ValueError("ordered_prefix_multi needs at least one RankSpec")
+    _integral = ("long", "int", "integer", "smallint", "tinyint", "bigint")
+    dtypes = dict(df.dtypes)
+    for s in specs:
+        for out, src in dict(s.sums).items():
+            if dtypes.get(src) not in _integral:
+                raise ValueError(
+                    f"ordered_prefix sums[{out!r}] source {src!r} has type "
+                    f"{dtypes.get(src)!r} — prefix sums are only offered "
+                    "over integral columns (quantize floats to exact "
+                    "integer units first; see the determinism contract)"
+                )
 
     # Deliberately NOT checkpointed by default: measured at sf0.1,
     # eager localCheckpoint cost MORE than the recomputation it saved

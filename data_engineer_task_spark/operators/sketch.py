@@ -176,7 +176,14 @@ def k_smallest(
 
     ``tiebreak``: extra ascending order columns after ``h`` for
     callers whose h values can collide (KMV frames are DISTINCT
-    hashes, so they pass none)."""
+    hashes, so they pass none).
+
+    BOUND (self-review r6): level 2 funnels ≤ salt_buckets·k rows per
+    group through ONE task — sketch-sized k (64–1024, every house
+    caller) keeps that ≤ 64k rows; for k ≳ 10⁵ this operator is the
+    wrong tool (the "sketch" is corpus-sized) — rank with
+    ``operators/ranking.py::ordered_prefix`` per group instead, or
+    raise ``salt_buckets`` toward k so level 1 does the cutting."""
     from pyspark.sql import Window as W
 
     order = [F.asc("h"), *(F.asc(t) for t in tiebreak)]

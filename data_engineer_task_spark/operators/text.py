@@ -581,6 +581,7 @@ def phrase_merge_rounds(
     ).otherwise(empty_pairs)
     stats: list[list] = []
     n_docs = 0
+    prev: DataFrame | None = None
     for _ in range(rounds):
         pairs = toks.select(
             F.explode(
@@ -619,6 +620,14 @@ def phrase_merge_rounds(
             # this round's pair total is over the PREVIOUS round's
             # rewrite output: backfill its total_tokens_after
             stats[-1][3] = int(row["pair_total"] or 0) + n_docs
+        # the collect above materialized the CURRENT generation's
+        # cache, so its parent (the previous generation) can only be
+        # touched again by a lost-partition recompute — release it
+        # rather than hold `rounds` corpus copies in cache at once
+        # (self-review r6; matters at real scale, not sf0.1).
+        if prev is not None:
+            prev.unpersist(blocking=False)
+        prev = toks
         if row["top"] is None:
             break
         a, b, cnt = row["top"]["a"], row["top"]["b"], -int(row["top"]["nc"])

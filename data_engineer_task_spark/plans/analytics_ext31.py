@@ -29,7 +29,8 @@ from .analytics_ext26 import _md5_uint48_sql
 #   EMD = (1/(b-1)) · Σ_j |P_g(≤j) − P(≤j)|
 # over the b fixed bins. Cross-multiplying the prefix shares keeps the
 # entire decision integral: |cum_g·N − cum_t·n_g| is an exact BIGINT
-# (headroom: ≤ n_g·N ≈ N² — overflows only past ~3e9 customers), and
+# (headroom: the binding term is emd_den = n_g·N·(b−1) ≤ 10·N², so
+# BIGINT overflows only past N ≈ 9.6e8 customers), and
 # the t=0.15 violation test becomes 2·Σ|…| > 3·n_g·N·(b−1)/10 · …,
 # spelled below with integer factors only.
 
@@ -100,9 +101,9 @@ def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     EMD over ordered bins has the prefix-share closed form; cross-
     multiplying shares makes every term |cum_g·N − cum_t·n_g| an
-    exact BIGINT (headroom note: the products are ≤ n_g·N ≈ N²,
-    overflowing BIGINT only past ~3e9 customers — at that scale
-    promote to DECIMAL(38,0) like the PCA entry), so EMD and the
+    exact BIGINT (headroom note: the binding term is the denominator
+    n_g·N·(b−1) ≤ 10·N², overflowing BIGINT past N ≈ 9.6e8 customers —
+    at that scale promote to DECIMAL(38,0) like the AUC entry), so EMD and the
     violation flag (20·Σ|…| > 3·n_g·N·(b−1), t=0.15 with b−1=10
     folded in) are integer-decided; the only float is the single
     display division. Scale shape: one fact aggregate to the

@@ -264,6 +264,39 @@ class CurationPipeline:
 
         stages_dir = os.path.join(self.out_dir, "stages")
         resumed: set[str] = set()
+        if checkpoint_stages:
+            # Config fingerprint (self-review r6): resuming onto
+            # checkpoints written under a DIFFERENT config would
+            # silently blend two pipelines (e.g. a gate threshold
+            # change ignored because the old gate stage is reused).
+            # Data identity stays the caller's contract, as with the
+            # ingest ledger; config identity we can enforce.
+            from dataclasses import asdict
+
+            fp_path = os.path.join(stages_dir, "config.json")
+            fingerprint = {
+                k: v for k, v in asdict(cfg).items()
+                if not isinstance(v, tuple)
+            } | {"split_cuts": [list(c) for c in cfg.split_cuts]}
+            if resume and os.path.exists(fp_path):
+                with open(fp_path) as fh:
+                    prior = json.load(fh)
+                if prior != fingerprint:
+                    diff = {
+                        k: (prior.get(k), fingerprint.get(k))
+                        for k in set(prior) | set(fingerprint)
+                        if prior.get(k) != fingerprint.get(k)
+                    }
+                    raise ValueError(
+                        "resume=True but the stage checkpoints were "
+                        f"written under a different config: {diff} — "
+                        "clear the stages/ dir or rerun with the "
+                        "original config"
+                    )
+            else:
+                os.makedirs(stages_dir, exist_ok=True)
+                with open(fp_path, "w") as fh:
+                    json.dump(fingerprint, fh, indent=2)
 
         def ckpt(name: str, build) -> DataFrame:
             """Materialize-or-reuse a stage frame: the persisted plan

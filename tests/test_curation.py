@@ -284,3 +284,25 @@ def test_curate_resume_skips_completed_stages(spark, corpus, tmp_path, monkeypat
     assert [s["rows"] for s in manifest["stages"]] == [
         s["rows"] for s in fresh["stages"]
     ]
+
+
+def test_curate_resume_rejects_config_drift(spark, corpus, tmp_path, monkeypatch):
+    """Resuming onto checkpoints written under a DIFFERENT config must
+    raise (a changed gate threshold would otherwise be silently
+    ignored for the reused stages)."""
+    import data_engineer_task_spark.plans.curation as cur
+
+    out = tmp_path / "drift"
+    monkeypatch.setattr(
+        cur, "near_duplicates",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("kill")),
+    )
+    with pytest.raises(RuntimeError):
+        CurationPipeline(
+            spark, str(out), CurationConfig(near_dup_threshold=0.5)
+        ).run(corpus, checkpoint_stages=True)
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="different config"):
+        CurationPipeline(
+            spark, str(out), CurationConfig(near_dup_threshold=0.5, min_tokens=40)
+        ).run(corpus, resume=True)

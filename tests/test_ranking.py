@@ -206,3 +206,15 @@ def test_validate_catches_nondeterministic_input(spark):
     )
     with pytest.raises(ValueError, match="determinism contract"):
         ordered_prefix(df, "v", ["id"], rank_col="r", buckets=16, validate=True)
+
+
+def test_float_sum_source_raises(spark):
+    """Prefix sums are only offered over integral columns (the
+    determinism contract) — a float source must fail loudly, not
+    silently re-associate across bucket boundaries."""
+    df = spark.createDataFrame(
+        [(i, i * 3, i * 0.5) for i in range(20)],
+        "id LONG, v LONG, amount DOUBLE",
+    )
+    with pytest.raises(ValueError, match="integral"):
+        ordered_prefix(df, "v", ["id"], rank_col=None, sums={"cb": "amount"})
