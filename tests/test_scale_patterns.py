@@ -1132,3 +1132,34 @@ def test_phrase_merge_greedy_overlap_and_exact_counts(spark):
     assert rows[1] == ["a a", "a", "b c"]
     assert rows[2] == ["a a", "b c"]
     assert rows[3] == ["b c", "b c"]
+
+
+def test_scale_soak_audit_machinery(spark):
+    """Pin tools/scale_soak.py's plan-audit teeth (the soak itself is
+    an on-demand minutes-long tool): the audit must PASS every family
+    builder at a tiny scale, and must CATCH an injected
+    single-partition-window plan — the failure mode the soak exists to
+    flag as data grows."""
+    import os
+    import sys
+
+    import pytest
+    from pyspark.sql import Window as W
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+    )
+    from scale_soak import FAMILIES, _audit
+
+    for name, _ladder, build in FAMILIES:
+        out = build(spark, 600)
+        _audit(out, name)
+        assert out.count() > 0, name
+        spark.catalog.clearCache()
+
+    bad = spark.range(100).select(
+        "id", F.row_number().over(W.orderBy("id")).alias("r")
+    )
+    with pytest.raises(AssertionError, match="unpartitioned window"):
+        _audit(bad, "injected")
