@@ -535,3 +535,58 @@ def test_ordered_prefix_matches_python_enumeration(spark, rows, buckets):
         want[i] = (rk, run)
         run += c
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "z"]), min_size=1, max_size=9).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    rounds=st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_phrase_merge_rounds_match_python_reference(spark, texts, rounds):
+    """The r6 two-path rewrite kernel (vectorized for a != b,
+    sequential fold for a == b) must reproduce the greedy
+    left-to-right merge semantics on arbitrary corpora — the tiny
+    alphabet forces heavy pair collisions, a == b runs, and
+    chained/overlapping merges."""
+    from collections import Counter
+
+    from data_engineer_task_spark.operators.text import phrase_merge_rounds
+
+    def py_rounds(texts, rounds):
+        corpus = {i: t.split(" ") for i, t in enumerate(texts)}
+        stats = []
+        for _ in range(rounds):
+            c = Counter()
+            for toks in corpus.values():
+                for i in range(len(toks) - 1):
+                    c[(toks[i], toks[i + 1])] += 1
+            if not c:
+                break
+            (a, b), cnt = min(
+                c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            for k, toks in corpus.items():
+                out = []
+                for x in toks:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = f"{a} {b}"
+                    else:
+                        out.append(x)
+                corpus[k] = out
+            stats.append((a, b, cnt, sum(len(t) for t in corpus.values())))
+        return stats, corpus
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    stats, toks = phrase_merge_rounds(docs, "doc_id", "text", rounds=rounds)
+    want_stats, want_corpus = py_rounds(texts, rounds)
+    assert stats == want_stats
+    got = {r["doc_id"]: r["toks"] for r in toks.collect()}
+    assert got == want_corpus
