@@ -62,12 +62,25 @@ class RankSpec:
     ASC tie-breaks, emitting ``rank_col`` (1-based global position,
     or None to skip) and/or exclusive prefix ``sums`` (output column →
     INTEGRAL source column). Descending orders: negate the key at the
-    call site — integer negation is exact."""
+    call site — integer negation is exact.
+
+    ``partition_by`` (column NAMES): restart the order inside every
+    distinct partition tuple while STILL spreading each partition's
+    rows across range buckets — the per-group form of the two-level
+    rank, for the few-but-huge-groups case a plain
+    ``Window.partitionBy(group)`` funnels through one task (e.g. a
+    per-language rank over a corpus with 30 languages). Per-(group,
+    bucket) offsets are computed IN-PLAN and broadcast-joined back
+    (≤ groups·buckets rows — intended for group cardinality ≲ 10⁴;
+    beyond that the groups are small enough that the plain partitioned
+    window is the right tool, see ``sketch.k_smallest``'s bound
+    note)."""
 
     key: str | Column
     tiebreak: Sequence[str | Column] = ()
     rank_col: str | None = "rank"
     sums: Mapping[str, str] = field(default_factory=dict)
+    partition_by: Sequence[str] = ()
 
 
 def ordered_prefix(
@@ -80,14 +93,16 @@ def ordered_prefix(
     buckets: int = 64,
     materialize: bool = False,
     validate: bool = False,
+    partition_by: Sequence[str] = (),
 ) -> DataFrame:
     """Add a 1-based global ``rank_col`` (dense total-order position)
     and/or EXCLUSIVE prefix sums over integral columns, ordered by
-    ``(key ASC, *tiebreak ASC)``. Single-spec convenience wrapper over
+    ``(key ASC, *tiebreak ASC)`` — globally, or per ``partition_by``
+    group. Single-spec convenience wrapper over
     ``ordered_prefix_multi`` — see it for cost/contract details."""
     return ordered_prefix_multi(
         df,
-        [RankSpec(key, tiebreak, rank_col, sums or {})],
+        [RankSpec(key, tiebreak, rank_col, sums or {}, partition_by)],
         buckets=buckets,
         materialize=materialize,
         validate=validate,
@@ -188,13 +203,16 @@ def ordered_prefix_multi(
             )
     all_cuts = [sorted(set(agg_row[f"_c_{i}"] or [])) for i in range(len(specs))]
 
-    # --- second (and last) auxiliary job: per-bucket stats for ALL
-    # specs at once. Each spec's bucket id rides a tagged struct and
-    # one explode feeds one groupBy(spec, bucket) — map-side partial
-    # aggregation collapses the ×len(specs) fan-out before anything
-    # shuffles, and the collect is ≤ len(specs)·buckets rows of driver
-    # metadata (same audited bound as k-means centroids). Single-spec
-    # calls skip the explode entirely.
+    # --- second (and last) auxiliary job: per-bucket stats for every
+    # UNPARTITIONED spec at once. Each spec's bucket id rides a tagged
+    # struct and one explode feeds one groupBy(spec, bucket) —
+    # map-side partial aggregation collapses the ×len(specs) fan-out
+    # before anything shuffles, and the collect is ≤
+    # len(specs)·buckets rows of driver metadata (same audited bound
+    # as k-means centroids). Single-spec calls skip the explode
+    # entirely. PARTITIONED specs skip this job altogether: their
+    # (group, bucket) offsets are computed in-plan and broadcast-
+    # joined back, so they never cross the driver at all.
     bucketed = df.select(
         "*",
         *[
@@ -202,17 +220,24 @@ def ordered_prefix_multi(
             for i, (kcol, cuts) in enumerate(zip(kcols, all_cuts))
         ],
     )
-    sum_srcs = sorted({src for s in specs for src in s.sums.values()})
+    flat_idx = [i for i, s in enumerate(specs) if not s.partition_by]
+    sum_srcs = sorted(
+        {src for i in flat_idx for src in specs[i].sums.values()}
+    )
     stat_aggs = [F.count(F.lit(1)).cast("long").alias("_cnt")] + [
         F.coalesce(F.sum(src).cast("long"), F.lit(0)).alias(f"_s_{src}")
         for src in sum_srcs
     ]
-    if len(specs) == 1:
+    stats: dict[int, dict[int, dict]] = {i: {} for i in flat_idx}
+    if len(flat_idx) == 1:
+        only = flat_idx[0]
         grouped = (
-            bucketed.groupBy(F.lit(0).alias("_spec"), F.col("_b_0").alias("_b"))
+            bucketed.groupBy(
+                F.lit(only).alias("_spec"), F.col(f"_b_{only}").alias("_b")
+            )
             .agg(*stat_aggs)
         )
-    else:
+    elif flat_idx:
         tagged = bucketed.select(
             *sum_srcs,
             F.explode(
@@ -221,7 +246,7 @@ def ordered_prefix_multi(
                         F.struct(
                             F.lit(i).alias("_spec"), F.col(f"_b_{i}").alias("_b")
                         )
-                        for i in range(len(specs))
+                        for i in flat_idx
                     ]
                 )
             ).alias("_sb"),
@@ -229,15 +254,81 @@ def ordered_prefix_multi(
         grouped = tagged.groupBy(
             F.col("_sb._spec").alias("_spec"), F.col("_sb._b").alias("_b")
         ).agg(*stat_aggs)
-    stats: dict[int, dict[int, dict]] = {i: {} for i in range(len(specs))}
-    for r in grouped.collect():
-        stats[r["_spec"]][r["_b"]] = r
+    if flat_idx:
+        for r in grouped.collect():
+            stats[r["_spec"]][r["_b"]] = r
 
     out_df = bucketed
     for i, spec in enumerate(specs):
         bname = f"_b_{i}"
         kcol = kcols[i]
         sums = dict(spec.sums)
+        tb = [
+            (F.col(t) if isinstance(t, str) else t).asc()
+            for t in spec.tiebreak
+        ]
+        if spec.partition_by:
+            pcols = list(spec.partition_by)
+            # per-(group, bucket) stats → exclusive offsets via a
+            # PARTITIONED window over the tiny stats frame, broadcast-
+            # joined back on null-safe group keys + bucket. Everything
+            # stays in-plan: one extra shuffle of ≤ groups·buckets
+            # rows, no driver round-trip.
+            spec_srcs = sorted(set(sums.values()))
+            gstats = bucketed.groupBy(
+                *pcols, F.col(bname).alias("_pb")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("_cnt"),
+                *[
+                    F.coalesce(F.sum(src).cast("long"), F.lit(0)).alias(
+                        f"_s_{src}"
+                    )
+                    for src in spec_srcs
+                ],
+            )
+            woff = W.partitionBy(*pcols).orderBy("_pb").rowsBetween(
+                W.unboundedPreceding, -1
+            )
+            off_frame = gstats.select(
+                *[F.col(c).alias(f"_pj_{c}_{i}") for c in pcols],
+                F.col("_pb").alias(f"_pb_{i}"),
+                F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias(
+                    f"_offc_{i}"
+                ),
+                *[
+                    F.coalesce(
+                        F.sum(f"_s_{src}").over(woff), F.lit(0)
+                    ).alias(f"_offs_{out}_{i}")
+                    for out, src in sums.items()
+                ],
+            )
+            cond = F.col(bname) == F.col(f"_pb_{i}")
+            for c in pcols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"_pj_{c}_{i}"))
+            out_df = out_df.join(F.broadcast(off_frame), cond)
+            w = W.partitionBy(*pcols, bname).orderBy(kcol.asc(), *tb)
+            if spec.rank_col is not None:
+                out_df = out_df.withColumn(
+                    spec.rank_col,
+                    (F.col(f"_offc_{i}") + F.row_number().over(w)).cast(
+                        "long"
+                    ),
+                )
+            for out, src in sums.items():
+                local = F.coalesce(
+                    F.sum(src).over(w.rowsBetween(W.unboundedPreceding, -1)),
+                    F.lit(0),
+                )
+                out_df = out_df.withColumn(
+                    out, (F.col(f"_offs_{out}_{i}") + local).cast("long")
+                )
+            out_df = out_df.drop(
+                f"_pb_{i}",
+                f"_offc_{i}",
+                *[f"_pj_{c}_{i}" for c in pcols],
+                *[f"_offs_{out}_{i}" for out in sums],
+            )
+            continue
         # exclusive running offsets per bucket, computed on the
         # driver-metadata stats rows, baked into the plan as literal
         # arrays — the final stage is pure codegen + one partitioned
@@ -252,13 +343,7 @@ def ordered_prefix_multi(
                 run_sums[out] += stats[i][bid][f"_s_{src}"]
 
         max_b = max(offsets, default=0)
-        w = W.partitionBy(bname).orderBy(
-            kcol.asc(),
-            *[
-                (F.col(t) if isinstance(t, str) else t).asc()
-                for t in spec.tiebreak
-            ],
-        )
+        w = W.partitionBy(bname).orderBy(kcol.asc(), *tb)
         if spec.rank_col is not None:
             cnt_arr = F.array(
                 *[
@@ -291,35 +376,63 @@ def ordered_prefix_multi(
     out_df = out_df.drop(*[f"_b_{i}" for i in range(len(specs))])
 
     if validate:
-        checks = out_df.agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[
-                c
-                for s in specs
-                if s.rank_col is not None
-                for c in (
-                    F.max(s.rank_col).alias(f"_max_{s.rank_col}"),
-                    F.count_distinct(F.col(s.rank_col)).alias(
-                        f"_dst_{s.rank_col}"
-                    ),
+        flat_rank = [
+            s for s in specs if s.rank_col is not None and not s.partition_by
+        ]
+        if flat_rank:
+            checks = out_df.agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    c
+                    for s in flat_rank
+                    for c in (
+                        F.max(s.rank_col).alias(f"_max_{s.rank_col}"),
+                        F.count_distinct(F.col(s.rank_col)).alias(
+                            f"_dst_{s.rank_col}"
+                        ),
+                    )
+                ],
+            ).collect()[0]
+            for s in flat_rank:
+                n, mx, dst = (
+                    checks["_n"],
+                    checks[f"_max_{s.rank_col}"],
+                    checks[f"_dst_{s.rank_col}"],
                 )
-            ],
-        ).collect()[0]
+                if n and (mx != n or dst != n):
+                    raise ValueError(
+                        f"ordered_prefix input-determinism contract violated "
+                        f"for {s.rank_col!r}: {n} rows but max rank {mx}, "
+                        f"{dst} distinct ranks — the input plan produced "
+                        "different rows across executions (see INPUT "
+                        "CONTRACT; pass materialize=True to snapshot)"
+                    )
         for s in specs:
-            if s.rank_col is None:
+            if s.rank_col is None or not s.partition_by:
                 continue
-            n, mx, dst = (
-                checks["_n"],
-                checks[f"_max_{s.rank_col}"],
-                checks[f"_dst_{s.rank_col}"],
+            # per-group permutation check: only VIOLATING groups come
+            # back (bounded), never one row per group
+            g = out_df.groupBy(*s.partition_by).agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.max(s.rank_col).alias("_mx"),
+                F.count_distinct(F.col(s.rank_col)).alias("_dst"),
             )
-            if n and (mx != n or dst != n):
+            bad = (
+                g.where(
+                    (F.col("_mx") != F.col("_n"))
+                    | (F.col("_dst") != F.col("_n"))
+                )
+                .limit(5)
+                .collect()
+            )
+            if bad:
                 raise ValueError(
                     f"ordered_prefix input-determinism contract violated "
-                    f"for {s.rank_col!r}: {n} rows but max rank {mx}, "
-                    f"{dst} distinct ranks — the input plan produced "
-                    "different rows across executions (see INPUT "
-                    "CONTRACT; pass materialize=True to snapshot)"
+                    f"for {s.rank_col!r} in groups "
+                    f"{[tuple(r[c] for c in s.partition_by) for r in bad]} "
+                    "— ranks are not a permutation of 1..n within the "
+                    "group (see INPUT CONTRACT; pass materialize=True "
+                    "to snapshot)"
                 )
     return out_df
 

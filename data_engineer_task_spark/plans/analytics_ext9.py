@@ -211,27 +211,32 @@ def order_acctbal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("x"), F.col("c_acctbal").alias("y")
     ).persist()
     def _avg_ranks(col: str, out: str):
-        # persisted: ordered_prefix's two aux jobs re-run this rollup
-        # from the pairs cache otherwise.
-        vals = pairs.groupBy(col).agg(
+        # Both variables' per-value rollups ride ONE tagged frame and
+        # ONE partitioned ordered_prefix call (r6): the prefix counts
+        # restart per tag, so each variable gets its own average
+        # ranks, and the whole rank build costs a single
+        # approx-percentile aux job (the per-(tag, bucket) offsets are
+        # in-plan broadcast joins).
+        return pairs.groupBy(col).agg(
             F.count(F.lit(1)).cast("long").alias("_c")
-        ).persist()
-        pre = ordered_prefix(
-            vals, col, rank_col=None, sums={"_before": "_c"}, buckets=32
-        )
-        return pre.select(
-            col,
-            (
-                F.col("_before").cast("double")
-                + (F.col("_c").cast("double") + 1.0) / 2.0
-            ).alias(out),
-        )
+        ).select(F.lit(out).alias("_t"), F.col(col).alias("_val"), "_c")
 
-    ranked = (
-        pairs.join(_avg_ranks("x", "rx"), "x")
-        .join(_avg_ranks("y", "ry"), "y")
-        .select("rx", "ry")
+    u = _avg_ranks("x", "rx").unionByName(_avg_ranks("y", "ry")).persist()
+    pre = ordered_prefix(
+        u, "_val", rank_col=None, sums={"_before": "_c"}, buckets=32,
+        partition_by=["_t"],
     )
+    avg_rank = (
+        F.col("_before").cast("double")
+        + (F.col("_c").cast("double") + 1.0) / 2.0
+    )
+    rx = pre.where(F.col("_t") == "rx").select(
+        F.col("_val").alias("x"), avg_rank.alias("rx")
+    )
+    ry = pre.where(F.col("_t") == "ry").select(
+        F.col("_val").alias("y"), avg_rank.alias("ry")
+    )
+    ranked = pairs.join(rx, "x").join(ry, "y").select("rx", "ry")
     m = ranked.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("rx").alias("sx"),

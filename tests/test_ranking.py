@@ -218,3 +218,76 @@ def test_float_sum_source_raises(spark):
     )
     with pytest.raises(ValueError, match="integral"):
         ordered_prefix(df, "v", ["id"], rank_col=None, sums={"cb": "amount"})
+
+
+def test_partitioned_spec_matches_per_group_windows(spark):
+    """RankSpec.partition_by: per-group two-level ranks/prefix sums
+    must equal the plain per-group window spelling — including a NULL
+    group value (the offsets join is null-safe) and skewed group
+    sizes."""
+    from data_engineer_task_spark.operators.ranking import (
+        RankSpec,
+        ordered_prefix_multi,
+    )
+
+    rows = [
+        (i, ["en", "de", None, "fr"][i % 4 if i < 300 else 0], (i * 7919) % 50, (i * 13) % 100)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, lang STRING, v LONG, cents LONG")
+    got = ordered_prefix_multi(
+        df,
+        [RankSpec("v", ["id"], "r", {"cb": "cents"}, partition_by=["lang"])],
+        buckets=8,
+        validate=True,
+    ).select("id", "r", "cb")
+    w = W.partitionBy("lang").orderBy(F.asc("v"), F.asc("id"))
+    want = df.select(
+        "id",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.coalesce(
+            F.sum("cents").over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("cb"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_partitioned_and_flat_specs_compose(spark):
+    """A partitioned spec and a flat spec in one call: the flat spec
+    still gets its global rank, the partitioned one restarts per
+    group, and neither window is unpartitioned."""
+    from data_engineer_task_spark.operators.ranking import (
+        RankSpec,
+        ordered_prefix_multi,
+    )
+    from data_engineer_task_spark.plans.audit import (
+        analyzed_plan,
+        unpartitioned_specs,
+    )
+
+    rows = [(i, "g" + str(i % 3), (i * 31) % 17) for i in range(150)]
+    df = spark.createDataFrame(rows, "id LONG, g STRING, v LONG")
+    out = ordered_prefix_multi(
+        df,
+        [
+            RankSpec("v", ["id"], "r_global"),
+            RankSpec("v", ["id"], "r_group", partition_by=["g"]),
+        ],
+        buckets=4,
+        validate=True,
+    )
+    assert unpartitioned_specs(analyzed_plan(out)) == []
+    wg = W.orderBy(F.asc("v"), F.asc("id"))
+    wp = W.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    want = df.select(
+        "id",
+        F.row_number().over(wg).cast("long").alias("r_global"),
+        F.row_number().over(wp).cast("long").alias("r_group"),
+    )
+    got = out.select("id", "r_global", "r_group")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
