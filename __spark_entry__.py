@@ -60,6 +60,15 @@ _RECHECK = [
     # a!=b rewrite path (r6; values parity-proven unchanged)
     "doc_bpe_phrase_merges",
     "doc_bpe_encode_lengths",
+    # r6 low-cardinality-window audit: corpus-sized per-tiny-key
+    # windows migrated to groupBy+broadcast / ordered_prefix
+    # partition_by spellings (values parity-proven unchanged; gate:
+    # test_low_cardinality_window_sites_are_bounded)
+    "lang_target_encoding_loo",
+    "event_value_ks_test",
+    "doc_balanced_lang_sample",
+    "segment_balance_deciles",
+    "segment_acctbal_ranks",
 ]
 
 

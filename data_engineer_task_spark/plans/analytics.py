@@ -640,15 +640,41 @@ def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def segment_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-segment account-balance deciles (ntile window + grouped
-    profile) — the distribution-profiling shape behind quantile-based
-    quality cuts."""
-    cust = _t(spark, sf_dir, "customer")
-    w = W.partitionBy("c_mktsegment").orderBy(
-        F.asc("c_acctbal"), F.asc("c_custkey")
+    """Per-segment account-balance deciles — the distribution-
+    profiling shape behind quantile-based quality cuts.
+
+    Scale shape (r6 low-cardinality-window audit): `c_mktsegment` has
+    five values, so the former per-segment ntile window funneled each
+    segment's whole customer slice through one task. The decile now
+    rides ``ordered_prefix`` partitioned by segment (range-bucketed
+    two-level rank, custkey tie-break) + ``ntile_of_rank`` integer
+    arithmetic against a ≤|segments|-row broadcast of group counts —
+    assignments are provably the ntile's (test_ntile_of_rank_matches_
+    ntile), so values are unchanged and the oracle keeps the window
+    spelling."""
+    from ..operators.ranking import ntile_of_rank, ordered_prefix
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_acctbal", "c_custkey"
+    )
+    ranked = ordered_prefix(
+        cust,
+        "c_acctbal",
+        ["c_custkey"],
+        rank_col="_r",
+        buckets=32,
+        partition_by=["c_mktsegment"],
+    )
+    n_seg = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
     )
     return (
-        cust.select("c_mktsegment", "c_acctbal", F.ntile(10).over(w).alias("decile"))
+        ranked.join(F.broadcast(n_seg), "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "c_acctbal",
+            ntile_of_rank(F.col("_r"), F.col("_n"), 10).alias("decile"),
+        )
         .groupBy("c_mktsegment", "decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

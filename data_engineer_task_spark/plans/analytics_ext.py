@@ -155,21 +155,65 @@ def segment_acctbal_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     balances per market segment; the row_number tie-break keeps output
     deterministic while the analytic ranks keep their pure ORDER BY
     c_acctbal semantics. percent_rank/cume_dist are exact rationals, so
-    they compare bit-stably across engines."""
-    c = _t(spark, sf_dir, "customer")
-    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"))
-    w_det = W.partitionBy("c_mktsegment").orderBy(
-        F.desc("c_acctbal"), F.asc("c_custkey")
+    they compare bit-stably across engines.
+
+    Scale shape (r6 low-cardinality-window audit): the former
+    per-segment windows funneled every segment's full customer slice
+    through one task (five segments; cume_dist/percent_rank defeat the
+    rank-limit pushdown). Every analytic rank is a pure function of
+    the per-VALUE rollup: with `before` = rows above this value and
+    `cnt` = its tie count, dense_rank is the value's own two-level
+    rank, RANK−1 = before ⇒ percent_rank = before/(n−1), cume_dist =
+    (before+cnt)/n — all exact rationals of exact integers. Customers
+    rejoin only for value groups that can host rn ≤ 5 (before < 5 —
+    ≤ 5 groups per segment, broadcast), so the remaining row_number
+    window runs on a handful of candidate rows (the curriculum-bucket
+    staging trick). Values bit-identical; the oracle keeps the window
+    spelling."""
+    from ..operators.ranking import ordered_prefix
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", "c_acctbal"
     )
+    vals = c.groupBy("c_mktsegment", "c_acctbal").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    pre = ordered_prefix(
+        vals.withColumn("_negbal", -F.col("c_acctbal")),
+        "_negbal",
+        rank_col="rnk",
+        sums={"_before": "_cnt"},
+        buckets=32,
+        partition_by=["c_mktsegment"],
+    ).drop("_negbal")
+    n_seg = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    cand_vals = pre.where(F.col("_before") < 5)
+    cand = c.join(
+        F.broadcast(cand_vals), ["c_mktsegment", "c_acctbal"]
+    ).join(F.broadcast(n_seg), "c_mktsegment")
+    wv = W.partitionBy("c_mktsegment", "c_acctbal").orderBy(
+        F.asc("c_custkey")
+    )
+    pct = F.when(
+        F.col("_n") > 1,
+        F.col("_before").cast("double") / (F.col("_n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    cume = (F.col("_before") + F.col("_cnt")).cast("double") / F.col(
+        "_n"
+    ).cast("double")
     return (
-        c.select(
+        cand.select(
             "c_mktsegment",
             "c_custkey",
             (F.round(F.col("c_acctbal") * 100.0) / 100.0).alias("acctbal"),
-            F.dense_rank().over(w).alias("rnk"),
-            (F.round((F.percent_rank().over(w)) * 1000000.0) / 1000000.0).alias("pct_rank"),
-            (F.round((F.cume_dist().over(w)) * 1000000.0) / 1000000.0).alias("cume"),
-            F.row_number().over(w_det).alias("rn"),
+            F.col("rnk").cast("int").alias("rnk"),
+            (F.round(pct * 1000000.0) / 1000000.0).alias("pct_rank"),
+            (F.round(cume * 1000000.0) / 1000000.0).alias("cume"),
+            (F.col("_before") + F.row_number().over(wv))
+            .cast("int")
+            .alias("rn"),
         )
         .where(F.col("rn") <= 5)
         .orderBy("c_mktsegment", "rn")

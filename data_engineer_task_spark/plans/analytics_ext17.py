@@ -71,9 +71,17 @@ def event_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer |cum1·n2 − cum2·n1|, so the argmax (and its tie-break on
     the value) runs entirely in integer arithmetic — floats appear
     only in the display columns. One fact aggregate collapses to the
-    per-distinct-value frame; cumulative windows run there. At
-    100 TB exact per-value ECDFs give way to quantile-sketch CDFs;
-    the gap algebra is unchanged."""
+    per-distinct-value frame. Scale shape (r6 low-cardinality-window
+    audit): `value` is continuous, so the per-distinct-value frame
+    grows WITH the corpus while `event_type` has a handful of values —
+    the former per-type cumulative/total/argmax windows each funneled
+    a corpus-sized slice through one task. Now: cumulative counts ride
+    `ordered_prefix` (range-bucketed two-level prefix sums restarted
+    per type), the per-type totals are a ≤|types|-row broadcast, and
+    the argmax is a min-struct aggregate — no per-type single-task
+    pass anywhere. At 100 TB exact per-value ECDFs give way to
+    quantile-sketch CDFs; the gap algebra is unchanged."""
+    from ..operators.ranking import ordered_prefix
     ev = (
         _t(spark, sf_dir, "events")
         .where(F.col("value").isNotNull())
@@ -98,29 +106,49 @@ def event_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - F.col("pre")).cast("long").alias("c2"),
         )
     )
-    wt = W.partitionBy("event_type")
-    wcum = wt.orderBy(F.asc("value")).rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    pre = ordered_prefix(
+        byval,
+        "value",
+        rank_col=None,
+        sums={"_b1": "c1", "_b2": "c2"},
+        buckets=32,
+        partition_by=["event_type"],
     )
-    cum = byval.select(
+    totals = byval.groupBy("event_type").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    cum = pre.select(
         "event_type",
         "value",
-        F.sum("c1").over(wcum).alias("cum1"),
-        F.sum("c2").over(wcum).alias("cum2"),
-        F.sum("c1").over(wt).alias("n1"),
-        F.sum("c2").over(wt).alias("n2"),
-    )
+        (F.col("_b1") + F.col("c1")).alias("cum1"),
+        (F.col("_b2") + F.col("c2")).alias("cum2"),
+    ).join(F.broadcast(totals), "event_type")
     dnum = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
-    ranked = cum.select(
-        "event_type",
-        "value",
-        "n1",
-        "n2",
-        dnum.alias("dnum"),
-        F.row_number().over(wt.orderBy(dnum.desc(), F.asc("value"))).alias("rk"),
+    # argmax by (dnum DESC, value ASC) == min-struct over (-dnum,
+    # value): dnum is an exact BIGINT, so the negation and the
+    # lexicographic struct order are exact.
+    ranked = (
+        cum.select(
+            "event_type",
+            "n1",
+            "n2",
+            F.struct(
+                (-dnum).alias("_nd"), F.col("value").alias("value")
+            ).alias("_kv"),
+        )
+        .groupBy("event_type", "n1", "n2")
+        .agg(F.min("_kv").alias("_best"))
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            (-F.col("_best._nd")).alias("dnum"),
+            F.col("_best.value").alias("value"),
+        )
     )
     return (
-        ranked.where(F.col("rk") == 1)
+        ranked
         .select(
             "event_type",
             F.col("n1").cast("long").alias("n_pre"),

@@ -636,11 +636,26 @@ def doc_balanced_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-class-count documents, membership chosen by salted-md5 lottery
     rank (engine-portable, rand()-free — the sampling doctrine from
     operators/sampling.py) with doc_id tie-break. The target size is
-    a one-row broadcast; ranking shuffles once on lang. id_checksum
-    pins MEMBERSHIP equality, not just counts. At skewed 100 TB the
-    per-lang rank window is the cost — swap to an md5-threshold
-    acceptance pass (map-only, approximate per-class size) when exact
-    class sizes aren't required."""
+    a one-row broadcast. id_checksum pins MEMBERSHIP equality, not
+    just counts.
+
+    Scale shape (r6 low-cardinality-window audit): `lang` has a
+    handful of values and the sample size is a COLUMN (min class
+    count), so the former per-lang row_number window funneled each
+    language's whole slice through one task — and WindowGroupLimit
+    can't push a non-literal limit. The rank now rides
+    ``ordered_prefix`` partitioned by lang: the numeric bucket key is
+    the md5 prefix's first 48 bits, and (uint48 ASC, full-md5 ASC,
+    doc_id ASC) is EXACTLY the old (md5-hex ASC, doc_id ASC) order —
+    fixed-width lowercase-hex lexicographic order IS numeric order, so
+    the 48-bit prefix agrees wherever it distinguishes and the full
+    string breaks its ties. Membership, and therefore every checksum,
+    is bit-identical; the oracle keeps the window spelling. At skewed
+    100 TB swap to an md5-threshold acceptance pass (map-only,
+    approximate per-class size) when exact class sizes aren't
+    required."""
+    from ..operators.ranking import ordered_prefix
+
     docs = _t(spark, sf_dir, "documents")
     target = (
         docs.groupBy("lang")
@@ -648,12 +663,17 @@ def doc_balanced_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("n").cast("long").alias("target"))
     )
     rank_key = F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string")))
-    ranked = docs.select(
-        "lang",
-        "doc_id",
-        F.row_number()
-        .over(W.partitionBy("lang").orderBy(rank_key.asc(), F.asc("doc_id")))
-        .alias("rn"),
+    keyed = docs.select(
+        "lang", "doc_id", rank_key.alias("_h"),
+        F.conv(F.substring(rank_key, 1, 12), 16, 10).cast("long").alias("_h48"),
+    )
+    ranked = ordered_prefix(
+        keyed,
+        "_h48",
+        ["_h", "doc_id"],
+        rank_col="rn",
+        buckets=32,
+        partition_by=["lang"],
     )
     return (
         ranked.crossJoin(F.broadcast(target))

@@ -486,23 +486,31 @@ def lang_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXCLUDING the row itself — (Σ−y)/(n−1) — the standard guard
     against target leakage (a plain category mean lets each row see
     its own label; LOO is what production feature stores ship).
-    Computed from ONE pass of per-category windows (sum and count share
-    the partition spec — a single shuffle, no join back); singleton
-    categories yield NULL on both engines rather than a 0/0. At 100 TB
-    the same expression holds: the window state per category is two
-    running scalars, and a groupBy+broadcast-join variant is the
-    fallback only when category cardinality is tiny enough to
-    broadcast."""
-    from pyspark.sql import Window as W
+    Singleton categories yield NULL on both engines rather than a 0/0.
 
+    Scale shape (r6 low-cardinality-window audit): the former
+    per-category WINDOW funneled each language's ENTIRE corpus slice
+    through one task — `lang` has a handful of values, so
+    WindowExec's per-partition pass is the single-task wall at 100 TB.
+    The category stats are two scalars per language: a map-side-
+    combinable groupBy collapses the corpus to ≤|langs| rows, which
+    broadcast-join back map-only. Values are bit-identical (exact
+    integer sum/count either way); the oracle keeps the window
+    spelling."""
     docs = _t(spark, sf_dir, "documents")
-    wl = W.partitionBy("lang")
-    s = docs.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.sum("n_chars").over(wl).alias("lang_sum"),
-        F.count(F.lit(1)).over(wl).alias("lang_n"),
+    stats = docs.groupBy("lang").agg(
+        F.sum("n_chars").alias("lang_sum"),
+        F.count(F.lit(1)).alias("lang_n"),
+    ).withColumnRenamed("lang", "_lang_s")
+    # null-safe join: a NULL category is still a category (the window
+    # form grouped NULLs together; an inner equi-join would drop them)
+    s = (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(
+            F.broadcast(stats),
+            F.col("lang").eqNullSafe(F.col("_lang_s")),
+        )
+        .drop("_lang_s")
     )
     enc = F.when(
         F.col("lang_n") > 1,

@@ -164,17 +164,23 @@ def test_unpivot_is_map_only_expand(spark):
     assert tree.count("Scan parquet") == 1
 
 
-def test_rank_family_single_sort_per_window_spec(spark):
-    # dense_rank/percent_rank/cume_dist share one window spec, the
-    # row_number tie-break adds a second — exactly two Window nodes
-    # (plus Spark 4's WindowGroupLimit pre-filter, which pushes the
-    # rn<=5 limit below the sort), one partitioning shuffle.
+def test_rank_family_windows_never_partition_by_segment_alone(spark):
+    # r6 migration pin: the analytic ranks derive from the per-VALUE
+    # rollup and candidate staging, so every remaining Window
+    # partitions by (segment, bucket) or (segment, value) — never by
+    # the five-value segment alone over corpus rows (the 100 TB
+    # funnel this entry used to be). Group counts and candidate
+    # values arrive by broadcast.
     import re
 
     tree = _tree(_plan(spark, "segment_acctbal_ranks"))
-    assert len(re.findall(r"\bWindow \(", tree)) == 2
-    assert "WindowGroupLimit" in tree  # top-k pushdown engaged
-    assert tree.count("Exchange") <= 2  # partitionBy + final orderBy
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", tree):
+        parts = spec.split(",")
+        assert not (
+            parts[0].strip().startswith("c_mktsegment")
+            and parts[1].strip().split()[-1] in ("ASC", "DESC")
+        ), f"segment-only window crept back: {spec}"
+    assert "BroadcastExchange" in tree
 
 
 def test_higher_order_folds_stay_jvm_side(spark):
@@ -872,4 +878,100 @@ def test_no_cartesian_or_row_udfs_in_any_declared_entry(spark):
     stale = sorted(set(allow) - set(window_flags))
     assert not stale, (
         f"allowlist entries no longer flagged (shrink the list): {stale}"
+    )
+
+
+def test_low_cardinality_window_sites_are_bounded():
+    """r6 audit gate, the blind spot of the unpartitioned-window test:
+    a window PARTITIONED by a handful-of-values key (lang, source,
+    event_type, ...) still funnels a corpus-sized slice through one
+    task per value at 100 TB unless its INPUT frame is bounded by
+    something other than the corpus (a domain rollup, a k-limited
+    shortlist, a rank-limit pushdown). Every source site whose window
+    partitions ONLY by literal low-cardinality keys must be registered
+    here with its bound; new sites fail until justified, fixed sites
+    must be removed (shrink-only, like the window gate). The five
+    corpus-sized offenders this audit found (LOO encoding, KS
+    cumulative/argmax, balanced-lang sample, segment deciles, segment
+    analytic ranks) were migrated to groupBy+broadcast /
+    ordered_prefix(partition_by=...) spellings and are deliberately
+    NOT in this list."""
+    import glob
+    import os
+    import re
+
+    LOW = {
+        "lang", "source", "event_type", "region", "c_mktsegment",
+        "o_orderstatus", "passed", "split", "from_type", "actual_lang",
+        "seg", "is_near_dup", "reject_stage", "c_nationkey",
+    }
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data_engineer_task_spark",
+    )
+    found: dict[tuple[str, tuple[str, ...]], int] = {}
+    for f in sorted(glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True)):
+        src = open(f).read()
+        for m in re.finditer(r"W\.partitionBy\(([^)]*)\)", src):
+            args = [a.strip() for a in m.group(1).split(",") if a.strip()]
+            quoted = [
+                a[1:-1] for a in args if re.fullmatch(r'"[A-Za-z_0-9]+"', a)
+            ]
+            # composites with any non-literal or high-cardinality
+            # member multiply the partition count out of the funnel
+            # regime — only all-literal, all-low-card specs flag
+            if args and len(quoted) == len(args) and set(quoted) <= LOW:
+                key = (os.path.basename(f), tuple(quoted))
+                found[key] = found.get(key, 0) + 1
+
+    # (file, partition keys) -> (site count, why the window input is
+    # bounded). Shrink-only.
+    allow: dict[tuple[str, tuple[str, ...]], tuple[int, str]] = {
+        ("analytics_ext.py", ("source",)): (
+            1, "literal rn<=50 cap: WindowGroupLimit pushes the limit below the sort"),
+        ("analytics_ext10.py", ("region",)): (
+            1, "region x nation rollup (<=25 rows)"),
+        ("analytics_ext10.py", ("event_type",)): (
+            2, "per-(type, hour) spine rollup (calendar-bounded)"),
+        ("analytics_ext14.py", ("event_type",)): (
+            1, "per-(type, day) rollup (calendar-bounded)"),
+        ("analytics_ext14.py", ("c_nationkey",)): (
+            1, "nation x segment mode rollup (<=125 rows)"),
+        ("analytics_ext2.py", ("from_type",)): (
+            1, "type x type transition rollup (<=25 rows)"),
+        ("analytics_ext2.py", ("lang",)): (
+            1, "lang x source contingency rollup"),
+        ("analytics_ext2.py", ("source",)): (
+            1, "lang x source contingency rollup"),
+        ("analytics_ext2.py", ("o_orderstatus",)): (
+            1, "per-status count rollup (<=3 rows)"),
+        ("analytics_ext23.py", ("actual_lang",)): (
+            1, "lang x lang confusion rollup"),
+        ("analytics_ext23.py", ("passed",)): (
+            1, "2x2 contingency cells"),
+        ("analytics_ext31.py", ("seg",)): (
+            2, "t-closeness segment x 11-bin grid"),
+        ("analytics_ext31.py", ("event_type",)): (
+            1, "k_smallest output (<= salt_buckets*k rows/group)"),
+        ("analytics_ext6.py", ("lang",)): (
+            1, "lang x source MI cell rollup"),
+        ("analytics_ext6.py", ("source",)): (
+            1, "lang x source MI cell rollup"),
+        ("analytics_ext7.py", ("event_type",)): (
+            1, "per-(type, bin) chi-square cells (fixed bins)"),
+        ("analytics_ext9.py", ("region",)): (
+            1, "region x nation rollup (<=25 rows)"),
+    }
+    unexpected = {
+        k: c for k, c in found.items()
+        if k not in allow or c != allow[k][0]
+    }
+    assert not unexpected, (
+        f"low-cardinality window sites outside the allowlist (or count "
+        f"drift): {unexpected} — bound the window's input, migrate to "
+        "ordered_prefix(partition_by=...), or justify it above"
+    )
+    stale = sorted(k for k in allow if k not in found)
+    assert not stale, (
+        f"allowlist entries no longer present (shrink the list): {stale}"
     )
