@@ -22,6 +22,14 @@ from pyspark.sql import functions as F
 
 from .text import shingles_from_text
 
+# Above this many candidate pairs the verify joins stop FORCING a
+# broadcast of the candidate list (an explicit hint bypasses Spark's
+# size guard; ~5M pairs ≈ low hundreds of MB hashed — past it, AQE
+# plans from the persisted frame's real size). Candidates grow
+# linearly with corpus at a fixed dup rate, so a fixed hint is a
+# driver-OOM at 100 TB.
+BROADCAST_CANDIDATE_LIMIT = 5_000_000
+
 
 def exact_dedup(
     df: DataFrame, key_cols: list[str], id_col: str
@@ -180,7 +188,7 @@ def near_duplicates(
         band_size=band_size,
         max_bucket_size=max_bucket_size,
     ).persist()
-    cands.count()
+    n_cand = cands.count()
     return jaccard_verify(
         df,
         cands,
@@ -189,6 +197,9 @@ def near_duplicates(
         shingle_k=shingle_k,
         threshold=threshold,
         shingle_sets=sets,
+        # the materialization count doubles as the broadcast-safety
+        # gate (see BROADCAST_CANDIDATE_LIMIT)
+        broadcast_candidates=n_cand <= BROADCAST_CANDIDATE_LIMIT,
     )
 
 
@@ -367,6 +378,7 @@ def jaccard_verify(
     shingle_k: int = 3,
     threshold: float = 0.0,
     shingle_sets: DataFrame | None = None,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs. Joins the distinct
     (id, shingle) set to itself THROUGH the candidate list, so cost is
@@ -386,12 +398,22 @@ def jaccard_verify(
         F.col(id_col).alias("id_b_r"), F.col("shingle").alias("shingle_b")
     )
     # Broadcast the candidate list, NOT the shingle sets: LSH banding
-    # guarantees candidates ≪ corpus, while `sa`/`sb` are the widest
+    # keeps candidates ≪ corpus, while `sa`/`sb` are the widest
     # frames in the pipeline (left unhinted, Spark broadcast a 1.35M-row
     # hashed relation here at sf0.1). The candidate-restricted product
     # then meets `sb` at whatever strategy AQE picks from real sizes.
+    # ``broadcast_candidates=False`` (self-review r6): candidates GROW
+    # linearly with corpus at a fixed dup rate, and an explicit
+    # F.broadcast OVERRIDES Spark's size checks — at 100 TB a
+    # billions-of-pairs list would OOM the driver. near_duplicates
+    # already counts the candidates and flips this off past
+    # BROADCAST_CANDIDATE_LIMIT, letting AQE plan from the persisted
+    # frame's real size instead.
+    cand_side = (
+        F.broadcast(candidates) if broadcast_candidates else candidates
+    )
     inter = (
-        F.broadcast(candidates)
+        cand_side
         .join(sa, "id_a")
         .join(
             sb,
@@ -640,6 +662,8 @@ def containment_verify(
     candidates: DataFrame,
     shingle_sets: DataFrame,
     id_col: str,
+    *,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Exact shingle-set CONTAINMENT for candidate pairs — the
     asymmetric companion of ``jaccard_verify``: |A∩B|/|A| and
@@ -647,7 +671,10 @@ def containment_verify(
     what detects a short document embedded in a longer one. Same join
     shape: the (tiny, banding-bounded) candidate list broadcasts into
     the caller-persisted (id, shingle) frame — never all-pairs, and
-    the shingle frame is shared with signature generation. Output:
+    the shingle frame is shared with signature generation. Pass
+    ``broadcast_candidates=False`` past ``BROADCAST_CANDIDATE_LIMIT``
+    pairs (same driver-OOM guard as ``jaccard_verify`` — an explicit
+    hint bypasses Spark's size checks). Output:
     id_a, id_b, n_common, contain_a_in_b, contain_b_in_a."""
     sets = shingle_sets
     sizes = sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -656,7 +683,7 @@ def containment_verify(
         F.col(id_col).alias("id_b_r"), F.col("shingle").alias("shingle_b")
     )
     inter = (
-        F.broadcast(candidates)
+        (F.broadcast(candidates) if broadcast_candidates else candidates)
         .join(sa, "id_a")
         .join(
             sb,

@@ -1231,3 +1231,38 @@ def test_phrase_merge_vectorized_equals_fold(spark):
     }
     for i, t in enumerate(want_corpus):
         assert got[i] == t, f"doc {i}: {got[i]} != {t}"
+
+
+def test_candidate_broadcast_fallback_is_value_identical(spark, monkeypatch):
+    """Self-review r6: explicit F.broadcast(candidates) bypasses
+    Spark's size guard, and candidate pairs grow linearly with the
+    corpus — past BROADCAST_CANDIDATE_LIMIT, near_duplicates must fall
+    back to an unhinted join. Forcing the limit to 0 must change the
+    plan (no forced broadcast), never the pairs."""
+    import data_engineer_task_spark.operators.dedup as dd
+    from pyspark.sql import functions as F
+
+    from data_engineer_task_spark.sources.catalog import load_table
+    from conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    want = sorted(
+        map(
+            tuple,
+            dd.near_duplicates(docs, "doc_id", "text", threshold=0.5)
+            .select("id_a", "id_b")
+            .collect(),
+        )
+    )
+    spark.catalog.clearCache()
+    monkeypatch.setattr(dd, "BROADCAST_CANDIDATE_LIMIT", 0)
+    got = sorted(
+        map(
+            tuple,
+            dd.near_duplicates(docs, "doc_id", "text", threshold=0.5)
+            .select("id_a", "id_b")
+            .collect(),
+        )
+    )
+    spark.catalog.clearCache()
+    assert got == want and len(want) > 0
