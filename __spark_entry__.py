@@ -69,6 +69,9 @@ _RECHECK = [
     "doc_balanced_lang_sample",
     "segment_balance_deciles",
     "segment_acctbal_ranks",
+    # collect_list audit (r6): journey capped at 30 events BEFORE the
+    # per-user collect (value-identical)
+    "user_journey_edit_distance",
 ]
 
 

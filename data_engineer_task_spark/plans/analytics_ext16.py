@@ -249,7 +249,17 @@ def user_journey_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("event_type", 1, 1).alias("ch"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
-    seq = ev.groupBy("user_id").agg(
+    # Cap BEFORE collecting (r6 collect_list audit): only the first 30
+    # events per user ever matter (the journey truncates there), and
+    # the literal rn<=30 filter rides WindowGroupLimit below the sort —
+    # a hot user's multi-million-event history never materializes in
+    # one aggregation buffer. Value-identical: chars 1..30 of the
+    # time-ordered concat ARE the first 30 events' chars.
+    w30 = W.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    capped = ev.withColumn("_rn", F.row_number().over(w30)).where(
+        F.col("_rn") <= 30
+    )
+    seq = capped.groupBy("user_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("us", "event_id", "ch"))),
