@@ -175,8 +175,22 @@ def fam_ordered_prefix(spark, n):
     )
 
 
+def fam_curation_funnel(spark, n):
+    from data_engineer_task_spark.plans.curation import (
+        CurationConfig,
+        CurationPipeline,
+    )
+
+    docs = _docs(spark, n)
+    cfg = CurationConfig(min_tokens=10, max_tokens=60, near_dup_threshold=0.5)
+    return CurationPipeline(spark, config=cfg).classify(
+        docs.select("doc_id", "text")
+    )
+
+
 FAMILIES = [
     ("lsh_near_dup", (5_000, 20_000, 80_000), fam_near_dup),
+    ("curation_funnel", (5_000, 20_000, 80_000), fam_curation_funnel),
     ("two_phase_cc", (100_000, 400_000, 1_600_000), fam_two_phase_cc),
     ("ivf_pq", (10_000, 40_000, 160_000), fam_ivf_pq),
     ("bpe_merge_rounds", (5_000, 20_000, 80_000), fam_bpe),
