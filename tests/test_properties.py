@@ -590,3 +590,53 @@ def test_phrase_merge_rounds_match_python_reference(spark, texts, rounds):
     assert stats == want_stats
     got = {r["doc_id"]: r["toks"] for r in toks.collect()}
     assert got == want_corpus
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            ids,
+            st.sampled_from(["a", "b", "c", None]),
+            st.integers(0, 12),
+            st.integers(0, 50),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: r[0],
+    ),
+    buckets=st.integers(2, 8),
+)
+@settings(**SETTINGS)
+def test_partitioned_rank_spec_matches_window(spark, rows, buckets):
+    """RankSpec.partition_by under fuzzing (random group shapes
+    including NULL groups, heavy key ties, tiny/empty-ish groups):
+    per-group two-level ranks and exclusive prefix sums must equal the
+    plain per-group window spelling row for row."""
+    from pyspark.sql import Window as W
+
+    from data_engineer_task_spark.operators.ranking import (
+        RankSpec,
+        ordered_prefix_multi,
+    )
+
+    df = spark.createDataFrame(
+        rows, "id LONG, g STRING, v LONG, cents LONG"
+    )
+    got = ordered_prefix_multi(
+        df,
+        [RankSpec("v", ["id"], "r", {"cb": "cents"}, partition_by=["g"])],
+        buckets=buckets,
+        validate=True,
+    ).select("id", "r", "cb")
+    w = W.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    want = df.select(
+        "id",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.coalesce(
+            F.sum("cents").over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("cb"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
