@@ -152,6 +152,24 @@ def ordered_prefix_multi(
     specs = list(specs)
     if not specs:
         raise ValueError("ordered_prefix_multi needs at least one RankSpec")
+    # Loud-fail on output-name collisions (ADVICE r6): two specs
+    # sharing a rank_col / sums output (e.g. both left on the default
+    # "rank"), or an output shadowing an input column, would have the
+    # later withColumn silently overwrite the earlier ranks.
+    out_names: list[str] = []
+    for s in specs:
+        if s.rank_col is not None:
+            out_names.append(s.rank_col)
+        out_names.extend(dict(s.sums).keys())
+    dupes = sorted({n for n in out_names if out_names.count(n) > 1})
+    clashes = sorted(set(out_names) & set(df.columns))
+    if dupes or clashes:
+        raise ValueError(
+            "ordered_prefix output-column collision: "
+            + (f"duplicated across specs {dupes} " if dupes else "")
+            + (f"shadowing input columns {clashes} " if clashes else "")
+            + "— give each spec a distinct rank_col / sums output name"
+        )
     _integral = ("long", "int", "integer", "smallint", "tinyint", "bigint")
     dtypes = dict(df.dtypes)
     for s in specs:
@@ -173,10 +191,17 @@ def ordered_prefix_multi(
     if materialize:
         df = df.localCheckpoint(eager=True)
 
-    kcols = [
-        (F.col(s.key) if isinstance(s.key, str) else s.key).cast("double")
-        for s in specs
+    # The double cast serves ONLY the percentile cuts and the bucket
+    # comparisons (approx_percentile wants a numeric, and the cast is
+    # monotone, so bucket placement stays order-consistent). Rank
+    # windows order by the RAW key (ADVICE r6): integral keys above
+    # 2^53 (epoch-nanos, large cents sums) collapse to equal doubles,
+    # which would silently hand ordering to the tiebreak and diverge
+    # from the exact-integer total order.
+    raw_kcols = [
+        (F.col(s.key) if isinstance(s.key, str) else s.key) for s in specs
     ]
+    kcols = [k.cast("double") for k in raw_kcols]
     probs = ", ".join(str(i / buckets) for i in range(1, buckets))
     # accuracy 1000 (not the 10000 default): the cuts only control
     # PLACEMENT — every rank/sum is exact-integer and cut-invariant —
@@ -261,7 +286,7 @@ def ordered_prefix_multi(
     out_df = bucketed
     for i, spec in enumerate(specs):
         bname = f"_b_{i}"
-        kcol = kcols[i]
+        rkcol = raw_kcols[i]
         sums = dict(spec.sums)
         tb = [
             (F.col(t) if isinstance(t, str) else t).asc()
@@ -305,8 +330,16 @@ def ordered_prefix_multi(
             cond = F.col(bname) == F.col(f"_pb_{i}")
             for c in pcols:
                 cond = cond & F.col(c).eqNullSafe(F.col(f"_pj_{c}_{i}"))
-            out_df = out_df.join(F.broadcast(off_frame), cond)
-            w = W.partitionBy(*pcols, bname).orderBy(kcol.asc(), *tb)
+            # No explicit broadcast hint (ADVICE r6 / CLAUDE.md house
+            # rule): off_frame is groups×buckets rows, which GROWS
+            # with a caller's group cardinality — a forced hint would
+            # bypass Spark's size guard and OOM the driver on an
+            # abusive partition_by (user_id). For legitimate callers
+            # (groups ≲ 10⁴) the frame is far under the 10 MB
+            # autoBroadcast threshold and AQE plans the broadcast from
+            # its REAL size.
+            out_df = out_df.join(off_frame, cond)
+            w = W.partitionBy(*pcols, bname).orderBy(rkcol.asc(), *tb)
             if spec.rank_col is not None:
                 out_df = out_df.withColumn(
                     spec.rank_col,
@@ -343,7 +376,7 @@ def ordered_prefix_multi(
                 run_sums[out] += stats[i][bid][f"_s_{src}"]
 
         max_b = max(offsets, default=0)
-        w = W.partitionBy(bname).orderBy(kcol.asc(), *tb)
+        w = W.partitionBy(bname).orderBy(rkcol.asc(), *tb)
         if spec.rank_col is not None:
             cnt_arr = F.array(
                 *[

@@ -582,6 +582,10 @@ def phrase_merge_rounds(
     stats: list[list] = []
     n_docs = 0
     prev: DataFrame | None = None
+    # Tracks whether the CURRENT `toks` generation's cache has been
+    # materialized by an action — the release of its persisted parent
+    # below is only safe/cheap once it has (ADVICE r6).
+    toks_mat = False
     for _ in range(rounds):
         pairs = toks.select(
             F.explode(
@@ -616,6 +620,7 @@ def phrase_merge_rounds(
             .collect()[0]
         )
         n_docs = int(row["n_docs"] or 0)
+        toks_mat = True
         if stats:
             # this round's pair total is over the PREVIOUS round's
             # rewrite output: backfill its total_tokens_after
@@ -677,6 +682,7 @@ def phrase_merge_rounds(
                 lambda acc: F.slice(acc, 2, F.size(acc) - 1),
             )
         toks = toks.select(id_col, rewritten.alias("toks")).persist()
+        toks_mat = False
         stats.append([a, b, cnt, None])
     if final_total and stats and stats[-1][3] is None:
         # the only total no later pair job delivers; callers that
@@ -686,4 +692,15 @@ def phrase_merge_rounds(
             F.sum(F.size("toks")).cast("long").alias("t")
         ).collect()[0]["t"]
         stats[-1][3] = int(total_after)
+        toks_mat = True
+    # Release the final generation's persisted PARENT (ADVICE r6): the
+    # caller only holds the returned frame, so a lingering parent cache
+    # would pin a second corpus-sized copy with no release path. If no
+    # action has materialized the returned frame yet (final_total=False
+    # after a full-rounds run), do it first — otherwise the caller's
+    # first action would recompute the whole generation chain.
+    if prev is not None and prev is not toks:
+        if not toks_mat:
+            toks.count()
+        prev.unpersist(blocking=False)
     return [tuple(s) for s in stats], toks
