@@ -37,41 +37,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # registration order (harmless re-verification fills spare slots).
 # Re-check nominations: every entry whose SPARK PLAN was rewritten or
 # whose kernel changed this round — the old plan's driver-green row
-# says nothing about the new plan. Round 6: the `ordered_prefix` core
-# was restructured (shared cuts + single tagged stats job; RFM moved
-# to the multi-key API; Spearman/WOE/RFM inputs persisted) — all six
-# callers re-enter; `sign_bucket` gained the NULL-vector loud-fail
-# guard — both embedding entries riding it re-enter (values
-# parity-proven unchanged at sf0.01 for all eight). The new
-# `curation_pipeline_survivors` entry is never-checked and leads the
-# window automatically via the mechanical head.
+# says nothing about the new plan. Round 7: ADVICE r6 landed in the
+# `ordered_prefix` core (rank windows order by the RAW key instead of
+# its double cast; the partitioned-spec offset join lost its forced
+# broadcast hint; output-name collision validation) — every declared
+# caller re-enters; `phrase_merge_rounds` releases its trailing cache
+# generation (cache-lifecycle only) — both BPE entries re-enter;
+# `classify()` grew the segment-dedup stage (union restructure), so
+# the base funnel entry re-enters (values parity-proven unchanged at
+# sf0.01 for all of these). The new `curation_keepbest_survivors`
+# entry is never-checked and leads the window automatically via the
+# mechanical head.
 _RECHECK = [
-    # ordered_prefix core rewrite (r6)
+    # ordered_prefix raw-key ordering + partitioned-offset broadcast
+    # guard (r7) — all declared callers
     "customer_rfm_segments",
     "order_acctbal_spearman",
     "order_price_woe_bins",
     "customer_revenue_gini",
     "part_abc_classification",
     "doc_negative_pairs",
-    # sign_bucket NULL guard (r6)
-    "embedding_ann_bucketed",
-    "embedding_near_dup_pairs",
-    # phrase_merge_rounds restructure: fused round jobs, vectorized
-    # a!=b rewrite path (r6; values parity-proven unchanged)
-    "doc_bpe_phrase_merges",
-    "doc_bpe_encode_lengths",
-    # r6 low-cardinality-window audit: corpus-sized per-tiny-key
-    # windows migrated to groupBy+broadcast / ordered_prefix
-    # partition_by spellings (values parity-proven unchanged; gate:
-    # test_low_cardinality_window_sites_are_bounded)
-    "lang_target_encoding_loo",
     "event_value_ks_test",
     "doc_balanced_lang_sample",
     "segment_balance_deciles",
     "segment_acctbal_ranks",
-    # collect_list audit (r6): journey capped at 30 events BEFORE the
-    # per-user collect (value-identical)
-    "user_journey_edit_distance",
+    # phrase_merge_rounds trailing-cache release (r7)
+    "doc_bpe_phrase_merges",
+    "doc_bpe_encode_lengths",
+    # classify() union restructure for the segment stage (r7)
+    "curation_pipeline_survivors",
 ]
 
 

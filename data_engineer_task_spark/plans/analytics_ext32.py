@@ -147,3 +147,7 @@ def curation_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pipe = CurationPipeline(spark, config=cfg)
     return pipe.classify(docs.select("doc_id", "text")).orderBy("doc_id")
+
+
+# Next-batch entries register themselves into QUERIES/ORACLE on import.
+from . import analytics_ext33  # noqa: E402,F401  isort:skip

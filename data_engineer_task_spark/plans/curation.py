@@ -114,23 +114,19 @@ class CurationPipeline:
 
         This composes the SAME operators in the SAME order and with
         the SAME survivor rules as ``run()``'s standard path (gate →
-        exact dedup → near-dup dedup → split) — ``tests/
-        test_curation.py::test_classify_matches_run`` pins the two
-        surfaces row-for-row — but builds one DataFrame instead of
+        exact dedup → [segment dedup] → near-dup dedup → split) —
+        ``tests/test_curation.py::test_classify_matches_run`` pins the
+        two surfaces row-for-row — but builds one DataFrame instead of
         writing tables, so the whole end-to-end composition can sit
         behind the driver's hash gate (the ``curation_pipeline_
-        survivors`` entry; VERDICT r5 item 1). The optional run()-only
-        stages (segment dedup, SemDeDup) are out of scope here and
-        loudly rejected rather than silently skipped."""
+        survivors`` base entry, VERDICT r5 item 1, and the keep-best +
+        segment-dedup variant ``curation_keepbest_survivors``, VERDICT
+        r6 item 1). The SemDeDup stage needs an embeddings frame that
+        run() alone accepts and stays run()-only."""
         cfg = self.cfg
         if cfg.near_dup_keep not in ("first", "best"):
             raise ValueError(
                 f"near_dup_keep={cfg.near_dup_keep!r} — must be 'first' or 'best'"
-            )
-        if cfg.segment_dedup:
-            raise ValueError(
-                "classify() covers the standard gate→exact→near-dup→split "
-                "funnel; segment_dedup is a run()-only stage"
             )
         norm = docs.select(cfg.id_col, cfg.text_col).withColumn(
             "_norm_text", normalize_text(F.col(cfg.text_col))
@@ -160,6 +156,30 @@ class CurationPipeline:
         rej_exact = passed.join(survivors, cfg.id_col, "left_anti").select(
             cfg.id_col
         )
+        # Optional exact-substring (segment) dedup, mirroring run()'s
+        # stage 3b: rewrite each document from the first corpus-wide
+        # occurrence of every segment_len-token window; emptied docs
+        # reject with their own label, survivors carry the REWRITTEN
+        # text forward as the near-dup key.
+        rej_segment = None
+        if cfg.segment_dedup:
+            rw = segment_dedup_rewrite(
+                exact.select(cfg.id_col, "_norm_text"),
+                cfg.id_col,
+                "_norm_text",
+                seg=cfg.segment_len,
+            ).select(cfg.id_col, "n_kept", "rewritten_text")
+            joined = exact.join(rw, cfg.id_col)
+            rej_segment = joined.where(F.col("n_kept") == 0).select(cfg.id_col)
+            # persisted for the same reason as `exact` above: the
+            # near-dup build and the kept/loser branches all re-consume
+            # the post-segment survivor frame.
+            exact = (
+                joined.where(F.col("n_kept") > 0)
+                .withColumn("_norm_text", F.col("rewritten_text"))
+                .drop("n_kept", "rewritten_text")
+                .persist()
+            )
         pairs = near_duplicates(
             exact,
             cfg.id_col,
@@ -193,8 +213,15 @@ class CurationPipeline:
             )
         kept = exact.select(cfg.id_col).join(losers, cfg.id_col, "left_anti")
         split = hash_split(kept, cfg.id_col, cuts=cfg.split_cuts)
+        out = rej_gate.withColumn("outcome", F.lit("rejected:quality_gate"))
+        if rej_segment is not None:
+            out = out.unionByName(
+                rej_segment.withColumn(
+                    "outcome", F.lit("rejected:segment_dedup")
+                )
+            )
         return (
-            rej_gate.withColumn("outcome", F.lit("rejected:quality_gate"))
+            out
             .unionByName(
                 rej_exact.withColumn("outcome", F.lit("rejected:exact_dedup"))
             )

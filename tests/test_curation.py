@@ -201,10 +201,20 @@ def test_classify_matches_run(spark, corpus, tmp_path):
     curation_pipeline_survivors entry rides it): same operators, same
     config, same survivor rules — so its (doc_id, outcome) labels must
     equal run()'s written curated/rejects tables ROW FOR ROW, for both
-    keep rules."""
-    for keep in ("first", "best"):
-        cfg = CurationConfig(near_dup_threshold=0.5, near_dup_keep=keep)
-        out = tmp_path / f"run_{keep}"
+    keep rules and for the segment-dedup variant (the
+    curation_keepbest_survivors entry composes keep-best WITH segment
+    dedup — precisely the survivor-rule × segment interaction VERDICT
+    r6 item 1 wants cross-checked)."""
+    variants = [
+        ("first", False),
+        ("best", False),
+        ("best", True),
+    ]
+    for keep, seg in variants:
+        cfg = CurationConfig(
+            near_dup_threshold=0.5, near_dup_keep=keep, segment_dedup=seg
+        )
+        out = tmp_path / f"run_{keep}_{seg}"
         manifest = CurationPipeline(spark, str(out), cfg).run(corpus)
         curated = spark.read.parquet(manifest["curated_path"]).select(
             "doc_id", F.concat(F.lit("split:"), F.col("split")).alias("outcome")
@@ -221,19 +231,18 @@ def test_classify_matches_run(spark, corpus, tmp_path):
                 CurationPipeline(spark, config=cfg).classify(corpus).collect(),
             )
         )
-        assert got == expected, f"classify() diverged from run() (keep={keep})"
+        assert got == expected, (
+            f"classify() diverged from run() (keep={keep}, segment={seg})"
+        )
         # funnel conservation: one outcome per input row
         assert len(got) == corpus.count()
 
 
 def test_classify_rejects_run_only_stages(spark, corpus):
-    """The run()-only knobs must fail loudly in classify(), and run()
-    must fail loudly without an out_dir — silent skips would let the
-    declared entry certify a different pipeline than the one users run."""
-    with pytest.raises(ValueError, match="segment_dedup"):
-        CurationPipeline(
-            spark, config=CurationConfig(segment_dedup=True)
-        ).classify(corpus)
+    """run() must fail loudly without an out_dir — a silent skip would
+    let the declared entry certify a different pipeline than the one
+    users run. (segment_dedup used to be run()-only; classify() now
+    composes it, pinned against run() above.)"""
     with pytest.raises(ValueError, match="out_dir"):
         CurationPipeline(spark).run(corpus)
 
