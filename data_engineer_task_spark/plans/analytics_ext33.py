@@ -200,3 +200,38 @@ def curation_keepbest_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pipe = CurationPipeline(spark, config=cfg)
     return pipe.classify(docs.select("doc_id", "text")).orderBy("doc_id")
+
+
+@q(
+    "stream_running_user_totals",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+                AS BIGINT) / 100.0 AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stream_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming (``applyInPandasWithState``) as a
+    hash-gated entry (VERDICT r6 item 2): per-user running (count,
+    value-sum) state driven through a REAL 4-micro-batch streaming run
+    — state must survive across batches — with the FINAL state per
+    user compared against the batch grouped totals the oracle
+    recomputes from the original table. Exactness discipline: state
+    accumulates exact int64 CENTS (money columns are cents-quantized
+    at the source), so the final state is bit-identical under any
+    micro-batch partitioning and the one terminal division by 100.0
+    is the same double on both engines — no float-order tolerance
+    needed, unlike the pytest twin of this operator.
+
+    Scale shape: state is two longs per user key, partitioned by the
+    grouping key across the state store (RocksDB in production) —
+    update-mode emissions are per-touched-key per-batch, never a full
+    state scan; a 100 TB event stream holds state linear in DISTINCT
+    users only."""
+    from ..streaming.stateful import run_stream_running_totals_once
+
+    return run_stream_running_totals_once(
+        spark, f"{sf_dir}/events.parquet", "stream_totals_out"
+    )

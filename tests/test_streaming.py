@@ -62,6 +62,46 @@ def test_stateful_running_totals_across_batches(spark, events_stream_dir):
         assert abs(fv - v) < 0.05, (uid, fv, v)  # per-batch rounding drift
 
 
+def test_stream_running_totals_entry_runner_is_exact(spark):
+    """The declared-entry runner (integer-cents state, 4-file
+    re-materialized source): final state must equal the batch grouped
+    totals EXACTLY (no float tolerance — the whole point of the cents
+    state), and the memory sink must show multi-batch emissions (state
+    actually survived across micro-batches)."""
+    from data_engineer_task_spark.streaming.stateful import (
+        run_stream_running_totals_once,
+    )
+
+    out = run_stream_running_totals_once(
+        spark, f"{SF_SMOKE}/events.parquet", "t_stream_totals"
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"]) for r in out.collect()
+    }
+    # at least one user emitted updates in >= 2 micro-batches
+    max_updates = (
+        spark.table("t_stream_totals")
+        .groupBy("user_id")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_updates >= 2, "expected per-user emissions from multiple batches"
+
+    cents = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100.0).cast("long")
+    expected = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents) / F.lit(100.0)).alias("v"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
 def test_stream_dedup_compacts_doubled_stream(spark, events_stream_dir):
     from data_engineer_task_spark.streaming.aggregate import run_stream_dedup_once
 
