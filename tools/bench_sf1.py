@@ -181,16 +181,21 @@ def main() -> None:
     results = []
     for name in FAMILIES:
         fn = QUERIES[name]
-        # warmup (codegen/JIT) at sf0.1, cheap; timed run at sf1
+        # warmup (codegen/JIT) at sf0.1, cheap; timed run at sf1.
+        # The clock starts BEFORE fn() is called: many entries do
+        # their heavy work eagerly at build time (persist+count of
+        # candidate sets, k-means training collects, the streaming
+        # drive), so timing only .collect() would measure a cached
+        # tail.
         fn(spark, SRC).collect()
         _settle()
+        t0 = time.perf_counter()
         df = fn(spark, DST)
+        rows = len(df.collect())
+        dt = time.perf_counter() - t0
         notes = []
         if unpartitioned_specs(analyzed_plan(df)):
             notes.append("UW")
-        t0 = time.perf_counter()
-        rows = len(df.collect())
-        dt = time.perf_counter() - t0
         phys = df._jdf.queryExecution().executedPlan().toString()
         if "Exchange SinglePartition" in phys:
             notes.append("1P")
