@@ -881,6 +881,38 @@ def test_no_cartesian_or_row_udfs_in_any_declared_entry(spark):
     )
 
 
+def test_low_card_domain_assumptions_hold(spark):
+    """Runtime half of the census gate below (VERDICT r6 item 8): the
+    allowlist justifies each low-cardinality window by a bound that
+    assumes the partition key's DOMAIN is small (lang x source
+    contingency rollups, per-status counts, nation x segment modes...).
+    Pin those domain cardinalities against the actual testdata, so a
+    driver testdata regeneration that silently ships a high-cardinality
+    "lang" (or similar) fails HERE instead of quietly re-opening the
+    per-tiny-key corpus-funnel class the r6 migrations closed."""
+    from data_engineer_task_spark.sources.catalog import load_table
+
+    # caps = current domain size (5/20/5/3/5/25 across all three
+    # driver scales) with ~2x headroom for benign regenerations
+    caps = {
+        ("documents", "lang"): 10,
+        ("documents", "source"): 40,
+        ("events", "event_type"): 10,
+        ("orders", "o_orderstatus"): 6,
+        ("customer", "c_mktsegment"): 10,
+        ("customer", "c_nationkey"): 50,
+    }
+    actual = {}
+    for (t, c), cap in caps.items():
+        n = load_table(spark, SF_SMOKE, t).select(c).distinct().count()
+        actual[(t, c)] = n
+        assert n <= cap, (
+            f"{t}.{c} has {n} distinct values (cap {cap}) - the "
+            "low-cardinality window allowlist bounds assume a small "
+            "domain; re-audit the sites partitioning by this key"
+        )
+
+
 def test_low_cardinality_window_sites_are_bounded():
     """r6 audit gate, the blind spot of the unpartitioned-window test:
     a window PARTITIONED by a handful-of-values key (lang, source,
