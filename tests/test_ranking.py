@@ -291,3 +291,57 @@ def test_partitioned_and_flat_specs_compose(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_output_name_collisions_raise(frame):
+    """ADVICE r6: duplicate rank_col/sums outputs across specs, or an
+    output shadowing an input column, must fail loudly instead of the
+    later withColumn silently overwriting the earlier ranks."""
+    from data_engineer_task_spark.operators.ranking import (
+        RankSpec,
+        ordered_prefix_multi,
+    )
+
+    # two specs left on the default rank_col="rank"
+    with pytest.raises(ValueError, match="collision"):
+        ordered_prefix_multi(
+            frame, [RankSpec("v", ["id"]), RankSpec("cents", ["id"])]
+        )
+    # sums output colliding with another spec's rank_col
+    with pytest.raises(ValueError, match="collision"):
+        ordered_prefix_multi(
+            frame,
+            [
+                RankSpec("v", ["id"], "r1", {"r2": "cents"}),
+                RankSpec("cents", ["id"], "r2"),
+            ],
+        )
+    # output shadowing an input column
+    with pytest.raises(ValueError, match="collision"):
+        ordered_prefix_multi(frame, [RankSpec("v", ["id"], "cents")])
+
+
+def test_large_integral_keys_keep_exact_order(spark):
+    """ADVICE r6 (the medium): integral keys above 2^53 collapse to
+    equal DOUBLES — the rank windows must order by the RAW key, so
+    epoch-nano-grade keys keep their exact total order even when the
+    bucket cast can no longer distinguish them."""
+    base = 1 << 53
+    # consecutive keys straddling 2^53: as doubles, base and base+1
+    # are EQUAL (ulp = 2), so a double-ordered window would fall to
+    # the id tiebreak and invert pairs
+    rows = [(i, base + i) for i in range(64)]
+    # ids deliberately DESCEND as keys ascend, so a tiebreak-ordered
+    # (i.e. double-collapsed) window produces the REVERSED ranking
+    rows = [(63 - i, k) for i, (_, k) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "id LONG, k LONG")
+    got = {
+        r["id"]: r["r"]
+        for r in ordered_prefix(df, "k", ["id"], rank_col="r", buckets=4)
+        .select("id", "r")
+        .collect()
+    }
+    # key ascends as id descends: id 63 (smallest key) must rank 1
+    assert got[63] == 1 and got[0] == 64
+    want = {63 - i: i + 1 for i in range(64)}
+    assert got == want
