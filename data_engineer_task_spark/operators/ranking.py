@@ -216,6 +216,25 @@ def ordered_prefix_multi(
     raw_kcols = [
         (F.col(s.key) if isinstance(s.key, str) else s.key) for s in specs
     ]
+    # Loud-fail on non-numeric keys (code-review r7): the raw-key
+    # window order is only consistent with the double-cast bucket
+    # placement when the cast is MONOTONE — true for numerics, false
+    # for e.g. numeric strings ('100' < '99' lexicographically), where
+    # ranks would follow neither total order and validate= could not
+    # detect it (still a permutation).
+    _numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    key_schema = df.select(
+        *[k.alias(f"_rk_{i}") for i, k in enumerate(raw_kcols)]
+    ).schema
+    for i, f_ in enumerate(key_schema.fields):
+        t = f_.dataType.simpleString()
+        if t not in _numeric and not t.startswith("decimal"):
+            raise ValueError(
+                f"ordered_prefix key for spec {i} has type {t!r} — keys "
+                "must be numeric (the range-bucket double cast must be "
+                "monotone w.r.t. the key's sort order); cast or encode "
+                "the key numerically first"
+            )
     kcols = [k.cast("double") for k in raw_kcols]
     probs = ", ".join(str(i / buckets) for i in range(1, buckets))
     # accuracy 1000 (not the 10000 default): the cuts only control

@@ -39,9 +39,11 @@ _MIN_ATL, _MAX_ATL = 2.0, 12.0
 _MAX_SWR, _MAX_PR = 0.12, 0.2
 _NEAR_DUP_THRESHOLD = 0.6
 
-_CURATION_SQL = f"""
-    WITH RECURSIVE
-    norm AS (
+# Shared funnel head (normalize → gated stats → exact survivors):
+# spelled ONCE and composed by both curation oracles (this entry and
+# ext33's keep-best × segment-dedup variant), so a gate-spelling or
+# threshold change cannot silently decouple them (code-review r7).
+_CURATION_HEAD_SQL = f"""norm AS (
       SELECT doc_id,
              trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
                                  '\\s+', ' ', 'g')) AS nt
@@ -76,7 +78,11 @@ _CURATION_SQL = f"""
     passed AS (SELECT doc_id, nt FROM gate WHERE passed),
     hsurv AS (SELECT min(doc_id) AS doc_id FROM passed GROUP BY md5(nt)),
     exact AS (SELECT doc_id, nt FROM passed
-              WHERE doc_id IN (SELECT doc_id FROM hsurv)),
+              WHERE doc_id IN (SELECT doc_id FROM hsurv))"""
+
+_CURATION_SQL = f"""
+    WITH RECURSIVE
+    {_CURATION_HEAD_SQL},
     toks AS (
       SELECT doc_id, unnest(string_split(nt, ' ')) AS token,
              generate_subscripts(string_split(nt, ' '), 1) AS pos

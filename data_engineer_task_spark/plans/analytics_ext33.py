@@ -24,8 +24,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .analytics import _SPLIT_BYTE, _STOP_SQL, _near_dup_tail, _t_wide, q
+from .analytics import _SPLIT_BYTE, _near_dup_tail, _t_wide, q
 from .analytics_ext32 import (
+    _CURATION_HEAD_SQL,
     _MAX_ATL,
     _MAX_PR,
     _MAX_SWR,
@@ -37,45 +38,13 @@ from .analytics_ext32 import (
 _SEG = 10          # CurationConfig.segment_len default
 _THRESHOLD = 0.5   # looser than the base entry: keep-best needs clusters
 
-# The normalize → stats → gate → passed → hsurv → exact head is
-# IDENTICAL to analytics_ext32._CURATION_SQL (same thresholds, same
-# rounded-stat gating) — re-spelled here because the segment stage
-# splices in after `exact` and the shingle source switches to the
-# REWRITTEN text.
+# The normalize → stats → gate → passed → hsurv → exact head is the
+# SHARED ext32 constant (same thresholds, same rounded-stat gating);
+# the segment stage splices in after `exact` and the shingle source
+# switches to the REWRITTEN text.
 _KEEPBEST_SQL = f"""
     WITH RECURSIVE
-    norm AS (
-      SELECT doc_id,
-             trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
-                                 '\\s+', ' ', 'g')) AS nt
-      FROM documents
-    ),
-    stats AS (
-      SELECT doc_id, nt,
-             len(string_split(nt, ' ')) AS tc,
-             round(((length(nt) - (len(string_split(nt, ' ')) - 1))::DOUBLE
-                   / len(string_split(nt, ' '))) * 10000.0) / 10000.0 AS atl,
-             round((len(list_filter(string_split(nt, ' '),
-                                    t -> t IN {_STOP_SQL}))::DOUBLE
-                   / len(string_split(nt, ' '))) * 10000.0) / 10000.0 AS swr,
-             round((CASE WHEN length(nt) > 0
-                         THEN len(regexp_extract_all(nt, '[.,!?;:]'))::DOUBLE
-                              / length(nt)
-                    END) * 10000.0) / 10000.0 AS pr
-      FROM norm
-    ),
-    gate AS (
-      SELECT doc_id, nt,
-             coalesce(tc BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
-                      AND atl BETWEEN {_MIN_ATL} AND {_MAX_ATL}
-                      AND swr <= {_MAX_SWR} AND pr <= {_MAX_PR},
-                      FALSE) AS passed
-      FROM stats
-    ),
-    passed AS (SELECT doc_id, nt FROM gate WHERE passed),
-    hsurv AS (SELECT min(doc_id) AS doc_id FROM passed GROUP BY md5(nt)),
-    exact AS (SELECT doc_id, nt FROM passed
-              WHERE doc_id IN (SELECT doc_id FROM hsurv)),
+    {_CURATION_HEAD_SQL},
     -- segment-dedup rewrite (doc_segment_dedup_rewrite's proven SQL,
     -- applied to the NORMALIZED text of the exact survivors): keep the
     -- first corpus-wide occurrence of every {_SEG}-token window,

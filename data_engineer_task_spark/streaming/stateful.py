@@ -125,10 +125,29 @@ def run_stream_running_totals_once(
 
     # Deterministic per-source staging dir: repeated runs (bench
     # warmup + reps, parity mirrors) reuse the rewrite instead of
-    # re-materializing the corpus each call. /tmp is per-sandbox and
-    # the driver testdata is fixed within one, so staleness can't
-    # cross a testdata regeneration.
-    tag = hashlib.md5(f"{events_path}|{n_files}".encode()).hexdigest()[:12]
+    # re-materializing the corpus each call. The tag is keyed by the
+    # source files' CONTENT identity (name/size/mtime), not just the
+    # path (code-review r7): a regenerated source at the same path —
+    # driver testdata across rounds, `bench_sf1 --rebuild` — gets a
+    # fresh staging dir instead of being silently served stale.
+    if os.path.isdir(events_path):
+        stats = [
+            (f, os.path.getsize(p), os.path.getmtime(p))
+            for f in sorted(os.listdir(events_path))
+            if not f.startswith((".", "_"))
+            for p in [os.path.join(events_path, f)]
+        ]
+    else:
+        stats = [
+            (
+                os.path.basename(events_path),
+                os.path.getsize(events_path),
+                os.path.getmtime(events_path),
+            )
+        ]
+    tag = hashlib.md5(
+        f"{events_path}|{n_files}|{stats}".encode()
+    ).hexdigest()[:12]
     src_dir = os.path.join(
         tempfile.gettempdir(), f"stream_totals_src_{tag}"
     )

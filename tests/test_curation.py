@@ -207,6 +207,7 @@ def test_classify_matches_run(spark, corpus, tmp_path):
     r6 item 1 wants cross-checked)."""
     variants = [
         ("first", False),
+        ("first", True),
         ("best", False),
         ("best", True),
     ]

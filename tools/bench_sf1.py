@@ -104,7 +104,11 @@ def _replicate(spark, table: str, r: int):
     if table == "embeddings":
         if r == 0:
             return df
-        k = r % 8 + 1  # rotate 1..8 dims
+        # rotate by r dims (r = 1..9, vectors are 64-dim, so every
+        # replica's rotation is distinct — a modulo here once made
+        # replicas 1 and 9 bit-identical, planting bogus corpus-wide
+        # exact duplicates; code-review r7)
+        k = r
         rot = F.concat(
             F.expr(f"slice(embedding, {k + 1}, size(embedding) - {k})"),
             F.expr(f"slice(embedding, 1, {k})"),
@@ -181,13 +185,15 @@ def main() -> None:
     results = []
     for name in FAMILIES:
         fn = QUERIES[name]
-        # warmup (codegen/JIT) at sf0.1, cheap; timed run at sf1.
-        # The clock starts BEFORE fn() is called: many entries do
-        # their heavy work eagerly at build time (persist+count of
-        # candidate sets, k-means training collects, the streaming
-        # drive), so timing only .collect() would measure a cached
-        # tail.
-        fn(spark, SRC).collect()
+        # warmup (codegen/JIT + any one-time staging, e.g. the stream
+        # entry's 4-file source rewrite) at the SAME sf1 dir, so the
+        # timed pass is steady-state and run-to-run comparable —
+        # bench.py's methodology. The clock starts BEFORE fn() is
+        # called: many entries do their heavy work eagerly at build
+        # time (persist+count of candidate sets, k-means training
+        # collects, the streaming drive), so timing only .collect()
+        # would measure a cached tail.
+        fn(spark, DST).collect()
         _settle()
         t0 = time.perf_counter()
         df = fn(spark, DST)
