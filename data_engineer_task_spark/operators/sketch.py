@@ -119,6 +119,36 @@ def cms_estimate(
     )
 
 
+def cms_inner_product(
+    sketch_a: DataFrame, sketch_b: DataFrame
+) -> DataFrame:
+    """Join-size estimation from two CMS sketches (Cormode &
+    Muthukrishnan 2005 §4.2 / the AMS F₂ estimator when a = b):
+
+        |A ⋈_key B| = Σ_k f_A(k)·f_B(k)  ≈  min_j Σ_b cA[j][b]·cB[j][b]
+
+    — the pre-join cardinality probe a planner runs over persisted
+    per-shard sketches BEFORE committing to a shuffle strategy, at
+    O(depth × 256) cost instead of executing the join. One-sided like
+    the point estimate: colliding keys only ADD mass, so est ≥ truth
+    (property-tested), within e/width · N_A·N_B with prob 1−e^−depth.
+
+    Returns one row ``(cms_est)``. Arithmetic is exact BIGINT — cells
+    are exact counts and the per-row fold is an integer sum, so the
+    estimate is cross-engine reproducible; cell counts past ~2^31
+    would overflow the LONG product LOUDLY under ANSI (switch the
+    accumulator to DECIMAL(38,0) at that scale, the AUC precedent)."""
+    a = sketch_a.select("j", "bucket", F.col("c").alias("ca"))
+    b = sketch_b.select("j", "bucket", F.col("c").alias("cb"))
+    per_row = (
+        # inner join: a cell missing from either sketch contributes 0
+        a.join(b, ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("ip"))
+    )
+    return per_row.agg(F.min("ip").cast("long").alias("cms_est"))
+
+
 # ---------------------------------------------------------------------------
 # KMV (k-minimum-values) distinct-count sketch — mergeable cardinality
 # estimation. The 100 TB counterpart of COUNT(DISTINCT …): the exact
@@ -282,3 +312,128 @@ def kmv_estimate(
         .otherwise(F.lit(scale) / F.col("_hk").cast("double"))
         .alias("kmv_raw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — CONSTANT-memory mergeable distinct estimation, the
+# engine-portable twin of Spark's built-in hll_sketch_agg (which a SQL
+# oracle cannot reproduce: Apache DataSketches' binary format is
+# opaque to DuckDB). Classic Flajolet et al. 2007 with the small-range
+# linear-counting correction; no HLL++ bias table (documented — the
+# raw estimator's ±1.04/√m error is the contract the tests pin).
+#
+# Portability discipline (same as the KMV block above): the register
+# index is the first md5 byte, the rank (rho) of the remaining 48
+# hash bits is derived from the HEX STRING (leading-zero nibbles +
+# a 4-case nibble table — pure integer/string ops, no log2/libm), and
+# the register fold is an INTEGER sum of powers of two
+# Σ 2^(RHO_MAX − M[j]) ≤ m·2^49 < 2^63, exactly associative — so the
+# pre-round estimate is ONE IEEE division of bitwise-identical
+# doubles on both engines. The only transcendental is the
+# small-range ln(m/V), whose true value is irrational for every
+# reachable V (0 < V < m ⇒ m/V is a rational > 1, never a power of
+# e), i.e. display-round boundary landing is measure-zero (house
+# policy, COVERAGE.md transcendental audit).
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8                       # register-index bits (first md5 byte)
+_HLL_M = 1 << _HLL_P             # 256 registers
+_HLL_W_NIBBLES = 12              # rank window: 48 bits after the index byte
+_HLL_RHO_MAX = 4 * _HLL_W_NIBBLES + 1      # 49: all-zero window
+# alpha_m * m^2 * 2^(RHO_MAX) — the estimator numerator, ONE double
+# literal shared verbatim with the SQL oracle spelling below.
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_RHO_MAX)
+_HLL_SMALL = 2.5 * _HLL_M        # linear-counting switch threshold
+
+
+def hll_cols(col: Column, salt: str = "hll:") -> tuple[Column, Column]:
+    """(register, rho) for one value: register = first md5 byte of
+    salt + stringified value; rho = 1 + number of leading zero BITS in
+    the next 48 hash bits (49 if all zero). The bit rank comes from
+    the hex string — leading-zero nibbles via an anchored
+    regexp_replace (both engines replace the single possible match)
+    plus a 4-way CASE on the first surviving nibble — so no libm is
+    involved and the DuckDB oracle reproduces it exactly."""
+    from .sampling import _HEX
+
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    nib = lambda p: F.instr(F.lit(_HEX), F.substring(h, p, 1)) - 1  # noqa: E731
+    reg = (nib(1) * 16 + nib(2)).cast("int")
+    w = F.substring(h, 3, _HLL_W_NIBBLES)
+    t = F.regexp_replace(w, "^0+", "")
+    d = F.instr(F.lit(_HEX), F.substring(t, 1, 1)) - 1
+    inner = (
+        F.when(d >= 8, 0).when(d >= 4, 1).when(d >= 2, 2).otherwise(3)
+    )
+    rho = F.when(F.length(t) == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        (F.lit(_HLL_W_NIBBLES) - F.length(t)) * 4 + inner + 1
+    )
+    return reg, rho.cast("int")
+
+
+def hll_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: tuple[str, ...] = (),
+    salt: str = "hll:",
+) -> DataFrame:
+    """Build the register table ``group_cols + (reg, mr)``: the max
+    rho per (group, register). ONE corpus-sized shuffle on
+    (group, reg) with map-side partial max — the sketch is ≤ m rows
+    per group regardless of input size, the materializable
+    intermediate a 100 TB incremental distinct-rollup persists
+    per-shard and folds with ``hll_merge``. NULL values are skipped
+    (COUNT(DISTINCT) semantics — md5 of NULL propagates NULL and
+    would otherwise mint a NULL register group)."""
+    reg, rho = hll_cols(F.col(value_col), salt)
+    return (
+        df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+        .where(F.col("reg").isNotNull())
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("mr"))
+    )
+
+
+def hll_merge(
+    *sketches: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge register tables: union → re-max per (group, reg).
+    Exactly one-shot-equivalent (max is associative/commutative/
+    idempotent over the per-value rho set — property-tested), so
+    per-day / per-shard sketches fold in any order, the same
+    partial-merge contract as ``kmv_merge``/``cms_merge``."""
+    if not sketches:
+        raise ValueError("hll_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "reg").agg(F.max("mr").alias("mr"))
+
+
+def hll_estimate(
+    sketch: DataFrame, *, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Collapse a register table to ``group_cols + (n_registers,
+    hll_raw)``. ``hll_raw`` is the UNROUNDED estimate: the harmonic
+    fold rides Σ 2^(RHO_MAX − mr) as an exact BIGINT (absent
+    registers contribute 2^RHO_MAX each), so the raw estimator is a
+    single division of cross-engine-identical doubles; the
+    small-range branch (raw ≤ 2.5m and zero registers exist) is the
+    textbook linear counting m·ln(m/V). Display rounding is the
+    caller's, per the authoring rules."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - mr)")
+        ).alias("_s"),
+    )
+    v = F.lit(_HLL_M).cast("long") - F.col("n_registers")
+    sum_int = F.col("_s") + v * F.lit(1 << _HLL_RHO_MAX).cast("long")
+    raw = F.lit(_HLL_NUM) / sum_int.cast("double")
+    est = F.when(
+        (raw <= F.lit(_HLL_SMALL)) & (v > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*group_cols, "n_registers", est.alias("hll_raw"))

@@ -204,3 +204,7 @@ def stream_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_running_totals_once(
         spark, f"{sf_dir}/events.parquet", "stream_totals_out"
     )
+
+
+# Next-batch entries register on import (chained, keeps each file navigable).
+from . import analytics_ext34  # noqa: E402,F401  isort:skip

@@ -1001,6 +1001,138 @@ def test_kmv_small_set_is_exact(spark):
     assert est["kmv_raw"] == 7.0
 
 
+def test_cms_inner_product_bounds_join_size(spark):
+    """CMS join-size contract (Cormode-Muthukrishnan §4.2): the
+    inner-product estimate of |A ⋈ B| is ONE-SIDED (est ≥ exact —
+    collisions only add mass), tracks the truth within the e/width
+    bound, works across a shard merge (sketches built from partial
+    counts fold cell-wise first), and when A = B estimates the second
+    frequency moment F₂ = Σ f²."""
+    from data_engineer_task_spark.operators.sketch import (
+        cms_build,
+        cms_inner_product,
+        cms_merge,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    a = orders.select(F.col("o_custkey").cast("string").alias("token"))
+    b = orders.where(F.col("o_orderpriority") != "1-URGENT").select(
+        F.col("o_custkey").cast("string").alias("token"),
+        (F.col("o_orderkey") % 2).alias("shard"),
+    )
+    ska = cms_build(a, "token")
+    skb = cms_merge(
+        *[cms_build(b.where(F.col("shard") == s), "token") for s in (0, 1)]
+    )
+    est = cms_inner_product(ska, skb).collect()[0]["cms_est"]
+    exact = (
+        a.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("fa"))
+        .join(
+            b.groupBy("token").agg(F.count(F.lit(1)).alias("fb")), "token"
+        )
+        .agg(F.sum(F.col("fa") * F.col("fb")).alias("x"))
+        .collect()[0]["x"]
+    )
+    assert est >= exact  # one-sided, always
+    import math
+
+    na, nb = a.count(), b.count()
+    assert est - exact <= math.e / 256 * na * nb  # CM bound at w=256
+    # A = B → F2: still one-sided and deterministic across rebuilds
+    f2a = cms_inner_product(ska, ska).collect()[0]["cms_est"]
+    f2b = cms_inner_product(
+        cms_build(a, "token"), cms_build(a, "token")
+    ).collect()[0]["cms_est"]
+    assert f2a == f2b
+    exact_f2 = (
+        a.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).alias("x"))
+        .collect()[0]["x"]
+    )
+    assert f2a >= exact_f2
+
+
+def test_hll_portable_rho_matches_bit_rank(spark):
+    """The portable HLL's hex-string rank derivation (leading-zero
+    nibbles + 4-case first-nibble table) must equal the true bit rank
+    1 + leading-zeros of the 48-bit window — cross-checked against a
+    Python md5 reimplementation, including the register index."""
+    import hashlib
+
+    from data_engineer_task_spark.operators.sketch import (
+        _HLL_RHO_MAX,
+        hll_cols,
+    )
+
+    vals = [str(i) for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    reg, rho = hll_cols(F.col("v"))
+    got = {
+        r["v"]: (r["reg"], r["rho"])
+        for r in df.select("v", reg.alias("reg"), rho.alias("rho")).collect()
+    }
+    for v in vals:
+        h = hashlib.md5(("hll:" + v).encode()).hexdigest()
+        want_reg = int(h[:2], 16)
+        w = int(h[2:14], 16)
+        want_rho = _HLL_RHO_MAX if w == 0 else 48 - w.bit_length() + 1
+        assert got[v] == (want_reg, want_rho), v
+
+
+def test_hll_portable_merge_matches_one_shot(spark):
+    """HLL merge contract: per-shard register tables folded with
+    hll_merge must equal the one-shot register table EXACTLY (max is
+    associative/commutative/idempotent), so per-day sketches compose
+    across 100 TB without re-scanning; the estimate must track the
+    exact distinct count within ~3·1.04/√m, and be run-to-run
+    deterministic (md5 registers, no rand())."""
+    from data_engineer_task_spark.operators.sketch import (
+        _HLL_M,
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    vals = orders.select(
+        F.col("o_custkey").cast("string").alias("v"),
+        (F.col("o_orderkey") % 3).alias("shard"),
+    )
+    one_shot = hll_sketch(vals, "v")
+    shards = [
+        hll_sketch(vals.where(F.col("shard") == s), "v") for s in range(3)
+    ]
+    merged = hll_merge(*shards)
+    assert sorted(
+        (r["reg"], r["mr"]) for r in merged.collect()
+    ) == sorted((r["reg"], r["mr"]) for r in one_shot.collect())
+    est = hll_estimate(one_shot).collect()[0]["hll_raw"]
+    exact = vals.select("v").distinct().count()
+    assert abs(est - exact) / exact < 3.0 * 1.04 / _HLL_M**0.5
+    est2 = hll_estimate(hll_sketch(vals, "v")).collect()[0]["hll_raw"]
+    assert est == est2
+
+
+def test_hll_small_range_and_null_skip(spark):
+    """Tiny cardinalities take the linear-counting branch (near-exact
+    for n ≪ m) and NULL values never mint a register — COUNT(DISTINCT)
+    semantics, mirroring the KMV null rule."""
+    from data_engineer_task_spark.operators.sketch import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(f"u{i % 7}",) for i in range(100)] + [(None,)] * 5, ["v"]
+    )
+    sk = hll_sketch(df, "v")
+    est = hll_estimate(sk).collect()[0]
+    assert est["n_registers"] <= 7  # ≤: register collisions possible
+    assert 5.0 < est["hll_raw"] < 9.0  # linear counting near-exact at n=7
+
+
 def test_pq_encode_deterministic_and_compresses(spark):
     """PQ contract: (a) encode is a pure function of (vectors,
     codebooks) — two passes produce identical codes (quantized-d2
