@@ -140,13 +140,24 @@ def cms_inner_product(
     accumulator to DECIMAL(38,0) at that scale, the AUC precedent)."""
     a = sketch_a.select("j", "bucket", F.col("c").alias("ca"))
     b = sketch_b.select("j", "bucket", F.col("c").alias("cb"))
-    per_row = (
+    overlap = (
         # inner join: a cell missing from either sketch contributes 0
         a.join(b, ["j", "bucket"])
         .groupBy("j")
         .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("ip"))
     )
-    return per_row.agg(F.min("ip").cast("long").alias("cms_est"))
+    # a depth row with NO overlapping cells has ip = 0 and must stay in
+    # the min (near-disjoint sketches: dropping it would overestimate),
+    # so fold from the full row set, not just the overlapping rows
+    rows = a.select("j").distinct()
+    return (
+        rows.join(overlap, "j", "left")
+        .agg(
+            F.min(F.coalesce(F.col("ip"), F.lit(0)))
+            .cast("long")
+            .alias("cms_est")
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

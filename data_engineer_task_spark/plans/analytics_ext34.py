@@ -116,7 +116,7 @@ def event_user_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     and keep the sketch, or go exact-mergeable via the bitmap entry
     (``event_user_bitmap_distinct``). Per-shard register tables persist
     and fold with ``hll_merge`` (merge ≡ one-shot, property-tested in
-    tests/test_operators.py)."""
+    tests/test_scale_patterns.py)."""
     ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     sk = hll_sketch(ev, "user_id", group_cols=("event_type",))
     est = hll_estimate(sk, group_cols=("event_type",))

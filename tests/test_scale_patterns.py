@@ -1052,6 +1052,15 @@ def test_cms_inner_product_bounds_join_size(spark):
         .collect()[0]["x"]
     )
     assert f2a >= exact_f2
+    # near-disjoint sketches: a depth row with zero overlapping cells
+    # must drive the min to 0 (true join size 0), not be dropped
+    tiny_a = cms_build(
+        spark.createDataFrame([("xa1",), ("xa2",)], ["token"]), "token"
+    )
+    tiny_b = cms_build(
+        spark.createDataFrame([("yb1",), ("yb2",)], ["token"]), "token"
+    )
+    assert cms_inner_product(tiny_a, tiny_b).collect()[0]["cms_est"] == 0
 
 
 def test_hll_portable_rho_matches_bit_rank(spark):
