@@ -232,6 +232,48 @@ def _curate_main(argv: list[str]) -> int:
     return 0
 
 
+def _sketch_rollup_main(argv: list[str]) -> int:
+    """Incremental sketch rollup: reduce each arriving shard to
+    persisted HLL/KMV state (ledger-idempotent), answer cardinality
+    questions from the folded sketches — history is scanned exactly
+    once, when its shard arrives (plans/sketch_rollup.py)."""
+    parser = argparse.ArgumentParser(prog="cli sketch-rollup",
+                                     description="incremental distinct rollup")
+    sub = parser.add_subparsers(dest="op", required=True)
+
+    p_in = sub.add_parser("ingest", help="fold one shard into the state dir")
+    p_in.add_argument("input", help="parquet shard to summarize")
+    p_in.add_argument("--state", required=True, help="sketch state dir")
+    p_in.add_argument("--group-cols", default="event_type",
+                      help="comma-separated grouping columns")
+    p_in.add_argument("--value-col", default="user_id")
+    p_in.add_argument("--force", action="store_true",
+                      help="re-ingest even if the ledger has the shard")
+
+    p_rep = sub.add_parser("report", help="estimates from the folded state")
+    p_rep.add_argument("--state", required=True)
+    p_rep.add_argument("--group-cols", default="event_type")
+    p_rep.add_argument("--value-col", default="user_id")
+
+    args = parser.parse_args(argv[1:])
+    from .plans.sketch_rollup import SketchRollup
+
+    spark = get_spark("sketch-rollup-cli")
+    roll = SketchRollup(
+        spark, args.state,
+        group_cols=tuple(c.strip() for c in args.group_cols.split(",")),
+        value_col=args.value_col,
+    )
+    if args.op == "ingest":
+        done = roll.ingest(spark.read.parquet(args.input), args.input,
+                           force=args.force)
+        print("ingested" if done else "skipped (ledger hit)")
+        return 0
+    for r in roll.estimates().collect():
+        print(dict(r.asDict()))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] in ("query", "list-queries"):
@@ -240,6 +282,8 @@ def main(argv: list[str] | None = None) -> int:
         return _maintain_main(argv)
     if argv and argv[0] == "curate":
         return _curate_main(argv)
+    if argv and argv[0] == "sketch-rollup":
+        return _sketch_rollup_main(argv)
     parser = argparse.ArgumentParser(description="Netflix catalog ETL + analytics")
     parser.add_argument("-i", "--input", required=True, help="path to the catalog CSV")
     parser.add_argument("--warehouse", default="/tmp/netflix_warehouse")

@@ -1,0 +1,132 @@
+"""Incremental sketch rollup — the mergeable-state pattern as a
+PIPELINE: per-shard HLL register tables and KMV hash sets persisted as
+parquet, folded on read, with the same ledger idempotency contract as
+the reference's ETL driver (``task.py:289`` check_history →
+``sources/ledger.py``).
+
+Why this exists: at 100 TB, "distinct users per segment, updated per
+ingest" cannot re-scan history — the only scalable shape is (a) reduce
+each arriving shard to O(registers + k) sketch state, (b) persist that
+state next to the warehouse, (c) answer every cardinality question by
+folding the tiny persisted sketches (``hll_merge``/``kmv_merge`` are
+exactly one-shot-equivalent — property-tested in
+tests/test_scale_patterns.py). History is touched exactly once, when
+its shard arrives.
+
+Crash/replay discipline (mirrors ``NetflixPipeline.run``): each shard
+writes to its OWN subdirectory with overwrite mode, and the ledger is
+recorded only AFTER a successful write — so a retry after a partial
+write overwrites its own half-written slice (the retry path is the
+normal path), a replayed shard is skipped by the ledger, and
+``force=True`` replaces the slice in place.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketch import (
+    hll_estimate,
+    hll_sketch,
+    k_smallest,
+    kmv_estimate,
+    kmv_sketch,
+)
+from ..sources.ledger import Ledger
+
+
+def _slug(name: str) -> str:
+    """Filesystem-safe shard directory name: a digest of the full
+    shard name (path-keying, not basename — two shards that share a
+    basename must not collide, the NetflixPipeline rule)."""
+    return hashlib.md5(name.encode()).hexdigest()[:16]
+
+
+class SketchRollup:
+    """Per-shard sketch state under ``state_dir``:
+
+    - ``state_dir/hll/<slug>/``  — (group…, reg, mr) register table
+    - ``state_dir/kmv/<slug>/``  — (group…, h) k-minimum hash set
+    - ``state_dir/ledger/``      — shard names already folded
+
+    ``group_cols``/``value_col``/``k`` are fixed per rollup (state
+    from different configurations must not fold together, so they are
+    constructor state, not ingest parameters)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        *,
+        group_cols: tuple[str, ...] = ("event_type",),
+        value_col: str = "user_id",
+        k: int = 64,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.group_cols = tuple(group_cols)
+        self.value_col = value_col
+        self.k = k
+        self.ledger = Ledger(spark, os.path.join(state_dir, "ledger"))
+
+    def ingest(
+        self, df: DataFrame, shard_name: str, *, force: bool = False
+    ) -> bool:
+        """Reduce one shard to sketch state and persist it. Returns
+        False if the ledger already has the shard (and ``force`` is
+        off) — the idempotent-replay path."""
+        if not force and self.ledger.seen(shard_name):
+            return False
+        slug = _slug(shard_name)
+        hll = hll_sketch(df, self.value_col, group_cols=self.group_cols)
+        hll.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, "hll", slug)
+        )
+        kmv = kmv_sketch(
+            df, self.value_col, k=self.k, group_cols=self.group_cols
+        )
+        kmv.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, "kmv", slug)
+        )
+        if not self.ledger.seen(shard_name):  # force replays stay single
+            self.ledger.record(shard_name)
+        return True
+
+    def _shards(self, kind: str) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.state_dir, kind, "*")
+        )
+
+    def estimates(self) -> DataFrame:
+        """Fold ALL persisted shard sketches and estimate per group:
+        ``group_cols + (hll_est, kmv_est)``. Cost is
+        shards × groups × (256 + k) rows — metadata-scale regardless
+        of how much raw history the shards summarized. The fold IS
+        ``hll_merge``/``kmv_merge`` (union → re-max / re-min-k), just
+        expressed over the shard-directory union read."""
+        hll_folded = (
+            self._shards("hll")
+            .groupBy(*self.group_cols, "reg")
+            .agg(F.max("mr").alias("mr"))
+        )
+        hll_est = hll_estimate(hll_folded, group_cols=self.group_cols)
+        kmv_folded = k_smallest(
+            self._shards("kmv").distinct(), self.k, self.group_cols
+        )
+        kmv_est = kmv_estimate(
+            kmv_folded, k=self.k, group_cols=self.group_cols
+        )
+        join_on = list(self.group_cols)
+        return (
+            hll_est.join(kmv_est, join_on)
+            .select(
+                *self.group_cols,
+                F.col("hll_raw").alias("hll_est"),
+                F.col("kmv_raw").alias("kmv_est"),
+            )
+            .orderBy(*self.group_cols)
+        )
