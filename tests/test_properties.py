@@ -640,3 +640,57 @@ def test_partitioned_rank_spec_matches_window(spark, rows, buckets):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=10
+        ).map(" ".join),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 2.0 / 3.0, 0.75]),
+)
+@settings(**SETTINGS)
+def test_jaccard_join_exact_matches_bruteforce(spark, texts, threshold):
+    """PPJoin losslessness fuzz: the prefix/length/positional pruning
+    must return EXACTLY the brute-force pair set {(a,b): J(a,b) >= t}
+    over 3-token shingle sets, at thresholds including the exact-
+    boundary fractions (1/2, 2/3) where an over-tightened float bound
+    would drop a pair. Values (n_common, jaccard) must match too.
+    (The declared entry's DuckDB oracle IS brute force at sf scale;
+    this covers the adversarial corners: empty docs, sub-k docs,
+    verbatim dups, near-threshold pairs.)"""
+    from data_engineer_task_spark.operators.dedup import jaccard_join_exact
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard"])
+        for r in jaccard_join_exact(
+            df, "doc_id", "text", threshold=threshold
+        ).collect()
+    }
+    spark.catalog.clearCache()  # each example persists its own sets frame
+
+    def sh(t):
+        toks = t.split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    sets = {i: sh(t) for i, t in enumerate(texts)}
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            # same float comparison the operator's membership uses
+            if inter * 1.0 / union >= threshold:
+                want[(a, b)] = (inter, round(inter * 10000.0 / union) / 10000.0)
+    assert got == want
