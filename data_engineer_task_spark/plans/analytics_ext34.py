@@ -298,3 +298,134 @@ def lineitem_selfjoin_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("overest_ratio"),
     )
+
+
+@q(
+    "rolling_weekly_hll_users",
+    f"""
+    WITH hashed AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             ({_NIB.format(s="h", p=1)}) * 16 + ({_NIB.format(s="h", p=2)}) AS reg,
+             regexp_replace(substr(h, 3, {_HLL_W_NIBBLES}), '^0+', '') AS t
+      FROM (SELECT ts, md5('hll:' || CAST(user_id AS VARCHAR)) AS h
+            FROM events WHERE user_id IS NOT NULL)
+    ),
+    rho AS (
+      SELECT day, reg,
+             CASE WHEN length(t) = 0 THEN {_HLL_RHO_MAX}
+                  ELSE ({_HLL_W_NIBBLES} - length(t)) * 4
+                       + CASE WHEN ({_NIB.format(s="t", p=1)}) >= 8 THEN 0
+                              WHEN ({_NIB.format(s="t", p=1)}) >= 4 THEN 1
+                              WHEN ({_NIB.format(s="t", p=1)}) >= 2 THEN 2
+                              ELSE 3 END + 1 END AS rho
+      FROM hashed
+    ),
+    daily AS (SELECT day, reg, max(rho) AS mr FROM rho GROUP BY day, reg),
+    fan AS (
+      SELECT day + CAST(i AS INTEGER) AS wday, reg, mr
+      FROM daily, UNNEST(range(0, 7)) AS t(i)
+    ),
+    merged AS (
+      -- re-max per (window, register): several contributing days can
+      -- hit the same register; the fold below must see ONE row each
+      SELECT wday, reg, max(mr) AS mr FROM fan GROUP BY wday, reg
+    ),
+    folded AS (
+      SELECT wday,
+             CAST(count(*) AS BIGINT) AS n_registers,
+             sum(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - mr))
+               + ({_HLL_M} - count(*))
+                 * (CAST(1 AS BIGINT) << {_HLL_RHO_MAX}) AS sum_int,
+             {_HLL_M} - count(*) AS v
+      FROM merged GROUP BY wday
+    ),
+    exact AS (
+      SELECT wday, CAST(count(user_id) AS BIGINT) AS n_exact
+      FROM (
+        SELECT DISTINCT
+               CAST(date_trunc('day', ts) AS DATE) + CAST(i AS INTEGER) AS wday,
+               user_id
+        FROM events, UNNEST(range(0, 7)) AS t(i)
+        WHERE user_id IS NOT NULL
+      ) GROUP BY wday
+    ),
+    bounds AS (
+      SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS max_day FROM events
+    )
+    SELECT strftime(f.wday, '%Y-%m-%d') AS day, e.n_exact,
+           round((CASE WHEN {_HLL_NUM!r} / CAST(sum_int AS DOUBLE)
+                            <= {_HLL_SMALL!r} AND v > 0
+                       THEN {float(_HLL_M)!r}
+                            * ln({float(_HLL_M)!r} / CAST(v AS DOUBLE))
+                       ELSE {_HLL_NUM!r} / CAST(sum_int AS DOUBLE)
+                  END) * 100.0) / 100.0 AS hll_users_7d
+    FROM folded f JOIN exact e ON f.wday = e.wday, bounds
+    WHERE f.wday <= max_day
+    ORDER BY day
+    """,
+)
+def rolling_weekly_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per day from a per-day HLL
+    SKETCH CUBE — the mergeable twin of ``rolling_distinct_users``
+    (which fans every EVENT out ×7 and re-distincts). Here history is
+    reduced ONCE to per-day register tables (days × 256 rows — the
+    state a production rollup persists per ingest, the
+    ``SketchRollup`` pipeline's layout), and each trailing window is
+    answered by fanning out and re-maxing REGISTERS, not events:
+    days×7×256 rows of state motion regardless of event volume. This
+    is the time-bucketed sketch-cube pattern (hypertable continuous
+    aggregates, Druid/Theta rollups) — windows, MAU/WAU, or any ad-hoc
+    day range fold from the same cube without touching raw history.
+
+    The exact companion (same fan-out-the-events shape as the sibling
+    entry) is reported next to the estimate to pin accuracy on real
+    data; at 100 TB you keep only the sketch path. Determinism: the
+    register fold is max (idempotent/associative — window overlap is
+    harmless), the estimate the same exact-BIGINT harmonic fold as
+    ``event_user_hll_distinct``."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    daily = hll_sketch(
+        ev.withColumn("day", F.col("ts").cast("date")),
+        "user_id",
+        group_cols=("day",),
+    )
+    fan = daily.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda i: F.date_add(F.col("day"), i),
+            )
+        ).alias("wday"),
+        "reg",
+        "mr",
+    )
+    folded = fan.groupBy("wday", "reg").agg(F.max("mr").alias("mr"))
+    est = hll_estimate(folded, group_cols=("wday",))
+    exact = (
+        ev.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(6)),
+                    lambda i: F.date_add(F.col("ts").cast("date"), i),
+                )
+            ).alias("wday"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("wday")
+        .agg(F.count("user_id").cast("long").alias("n_exact"))
+    )
+    bounds = ev.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    return (
+        est.join(exact, "wday")
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("wday") <= F.col("max_day"))
+        .select(
+            F.date_format("wday", "yyyy-MM-dd").alias("day"),
+            "n_exact",
+            (F.round(F.col("hll_raw") * 100.0) / 100.0).alias(
+                "hll_users_7d"
+            ),
+        )
+        .orderBy("day")
+    )
