@@ -292,7 +292,7 @@ FAMILIES = [
     # ladder = GROUP COUNT at fixed 8M rows (alpha ≈ 0 expected)
     ("ordered_prefix_groupcount", (64, 512, 4_096), fam_ordered_prefix_groupcount),
     # r7 sketch additions: build is scan-bounded, state is O(m)/O(k)
-    ("hll_sketch_fold", (1_000_000, 4_000_000, 16_000_000), fam_hll_sketch_fold),
+    ("hll_sketch_fold", (1_000_000, 4_000_000, 16_000_000, 64_000_000), fam_hll_sketch_fold),
     ("cms_join_size", (1_000_000, 4_000_000, 16_000_000), fam_cms_join_size),
 ]
 
