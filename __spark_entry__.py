@@ -47,7 +47,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # the base funnel entry re-enters (values parity-proven unchanged at
 # sf0.01 for all of these). The new `curation_keepbest_survivors`
 # entry is never-checked and leads the window automatically via the
-# mechanical head.
+# mechanical head — as do the four late-r7 sketch/IVM gates
+# (`event_user_hll_distinct`, `orders_incremental_join_merge`,
+# `lineitem_selfjoin_size_cms`, `rolling_weekly_hll_users`,
+# analytics_ext34.py) and `stream_running_user_totals`.
 _RECHECK = [
     # ordered_prefix raw-key ordering + partitioned-offset broadcast
     # guard (r7) — all declared callers

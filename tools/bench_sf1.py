@@ -62,7 +62,7 @@ DST = os.path.join(_REPO, ".sf1data")
 STRIDE = 10_000_000
 REPLICAS = 10
 
-# The r6 top-10 heaviest (BENCH_DETAIL) + the two r7 additions.
+# The r6 top-10 heaviest (BENCH_DETAIL) + the r7 additions.
 FAMILIES = [
     "near_dup_clusters_twophase",
     "embedding_semantic_dedup_survivors",
@@ -76,6 +76,11 @@ FAMILIES = [
     "event_kmv_user_days",
     "brand_copurchase_triangles",
     "stream_running_user_totals",
+    # late-r7 sketch/IVM additions (ext34)
+    "event_user_hll_distinct",
+    "rolling_weekly_hll_users",
+    "orders_incremental_join_merge",
+    "lineitem_selfjoin_size_cms",
 ]
 
 
