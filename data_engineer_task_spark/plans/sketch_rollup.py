@@ -73,6 +73,40 @@ class SketchRollup:
         self.k = k
         self.ledger = Ledger(spark, os.path.join(state_dir, "ledger"))
 
+    # -- config marker: sketches from different configurations must
+    # never fold together (different group_cols/value_col change what
+    # a register row MEANS; different k changes the KMV contract), so
+    # the first ingest stamps the configuration into the state dir and
+    # every later ingest/estimate validates against it. Stored as a
+    # one-row parquet (scheme-generic — works wherever the state
+    # lives), mirroring the ledger's storage discipline.
+
+    def _config(self) -> dict:
+        return {
+            "group_cols": ",".join(self.group_cols),
+            "value_col": self.value_col,
+            "k": self.k,
+        }
+
+    def _check_or_stamp_config(self, *, stamp: bool) -> None:
+        path = os.path.join(self.state_dir, "config")
+        try:
+            row = self.spark.read.parquet(path).collect()[0].asDict()
+        except Exception:  # first use: no marker yet
+            if stamp:
+                self.spark.createDataFrame(
+                    [tuple(self._config().values())],
+                    list(self._config().keys()),
+                ).coalesce(1).write.mode("overwrite").parquet(path)
+            return
+        mine = self._config()
+        if {k: row[k] for k in mine} != mine:
+            raise ValueError(
+                f"sketch state at {self.state_dir} was built with "
+                f"{row}, not {mine} — refusing to fold incompatible "
+                "sketches (use a fresh state_dir)"
+            )
+
     def ingest(
         self, df: DataFrame, shard_name: str, *, force: bool = False
     ) -> bool:
@@ -81,6 +115,7 @@ class SketchRollup:
         off) — the idempotent-replay path."""
         if not force and self.ledger.seen(shard_name):
             return False
+        self._check_or_stamp_config(stamp=True)
         slug = _slug(shard_name)
         hll = hll_sketch(df, self.value_col, group_cols=self.group_cols)
         hll.write.mode("overwrite").parquet(
@@ -108,6 +143,7 @@ class SketchRollup:
         of how much raw history the shards summarized. The fold IS
         ``hll_merge``/``kmv_merge`` (union → re-max / re-min-k), just
         expressed over the shard-directory union read."""
+        self._check_or_stamp_config(stamp=False)
         hll_folded = (
             self._shards("hll")
             .groupBy(*self.group_cols, "reg")

@@ -84,6 +84,22 @@ def test_rollup_replay_skipped_and_force_replaces(spark, tmp_path):
     assert roll.estimates().collect() == baseline
 
 
+def test_rollup_config_mismatch_refuses_to_fold(spark, tmp_path):
+    import pytest
+
+    ev, shards = _shards(spark)
+    state = str(tmp_path / "state")
+    SketchRollup(spark, state).ingest(shards[0], "shard-0")
+    other = SketchRollup(spark, state, group_cols=("g",), value_col="v", k=32)
+    with pytest.raises(ValueError, match="refusing to fold"):
+        other.ingest(shards[1].withColumnRenamed("event_type", "g")
+                     .withColumnRenamed("user_id", "v"), "shard-1")
+    with pytest.raises(ValueError, match="refusing to fold"):
+        other.estimates()
+    # the matching config still works
+    assert SketchRollup(spark, state).ingest(shards[1], "shard-1") is True
+
+
 def test_cli_sketch_rollup(spark, tmp_path, capsys):
     from data_engineer_task_spark.cli import main
 
