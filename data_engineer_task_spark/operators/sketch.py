@@ -120,7 +120,7 @@ def cms_estimate(
 
 
 def cms_inner_product(
-    sketch_a: DataFrame, sketch_b: DataFrame
+    sketch_a: DataFrame, sketch_b: DataFrame, *, depth: int = 4
 ) -> DataFrame:
     """Join-size estimation from two CMS sketches (Cormode &
     Muthukrishnan 2005 §4.2 / the AMS F₂ estimator when a = b):
@@ -148,8 +148,14 @@ def cms_inner_product(
     )
     # a depth row with NO overlapping cells has ip = 0 and must stay in
     # the min (near-disjoint sketches: dropping it would overestimate),
-    # so fold from the full row set, not just the overlapping rows
-    rows = a.select("j").distinct()
+    # so fold from the FULL [0, depth) spine — not from either sketch's
+    # present rows, which would return NULL (not 0) for an empty
+    # sketch_a and behave asymmetrically between the two arguments
+    # (code-review r7). ``depth`` must match the cms_build parameter.
+    rows = (
+        sketch_a.sparkSession.range(depth)
+        .select(F.col("id").cast("int").alias("j"))
+    )
     return (
         rows.join(overlap, "j", "left")
         .agg(

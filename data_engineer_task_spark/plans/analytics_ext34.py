@@ -41,39 +41,48 @@ from .analytics import _t, q
 # nibbles + a 4-case first-nibble table), integer register fold.
 _NIB = "instr('0123456789abcdef', substr({s}, {p}, 1)) - 1"
 
-
-def _hll_sql(expr: str, group: str, table: str, where: str) -> str:
-    h = f"md5('hll:' || {expr})"
-    n1 = _NIB.format(s="h", p=1)
-    n2 = _NIB.format(s="h", p=2)
-    d = _NIB.format(s="t", p=1)
-    return f"""
-    hashed AS (
-      SELECT {group}, ({n1}) * 16 + ({n2}) AS reg,
-             regexp_replace(substr(h, 3, {_HLL_W_NIBBLES}), '^0+', '') AS t
-      FROM (SELECT {group}, {h} AS h FROM {table} WHERE {where})
-    ),
-    rho AS (
-      SELECT {group}, reg,
-             CASE WHEN length(t) = 0 THEN {_HLL_RHO_MAX}
+# the register index + leading-zero-stripped rank window, as select-list
+# fragments over a column named h (both HLL oracles build on these —
+# ONE spelling of the subtle rank derivation, so a future fix cannot
+# desynchronize the two declared oracles)
+_REG_EXPR = f"({_NIB.format(s='h', p=1)}) * 16 + ({_NIB.format(s='h', p=2)})"
+_T_EXPR = f"regexp_replace(substr(h, 3, {_HLL_W_NIBBLES}), '^0+', '')"
+_D = _NIB.format(s="t", p=1)
+_RHO_CASE = f"""CASE WHEN length(t) = 0 THEN {_HLL_RHO_MAX}
                   ELSE ({_HLL_W_NIBBLES} - length(t)) * 4
-                       + CASE WHEN ({d}) >= 8 THEN 0
-                              WHEN ({d}) >= 4 THEN 1
-                              WHEN ({d}) >= 2 THEN 2
-                              ELSE 3 END + 1 END AS rho
-      FROM hashed
-    ),
-    regs AS (
-      SELECT {group}, reg, max(rho) AS mr FROM rho GROUP BY {group}, reg
-    ),
-    folded AS (
+                       + CASE WHEN ({_D}) >= 8 THEN 0
+                              WHEN ({_D}) >= 4 THEN 1
+                              WHEN ({_D}) >= 2 THEN 2
+                              ELSE 3 END + 1 END"""
+
+
+def _fold_cte_sql(group: str, src: str) -> str:
+    """The exact-BIGINT harmonic fold over a (group, reg, mr) source:
+    SELECT body producing (group, n_registers, sum_int, v)."""
+    return f"""
       SELECT {group},
              CAST(count(*) AS BIGINT) AS n_registers,
              sum(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - mr))
                + ({_HLL_M} - count(*))
                  * (CAST(1 AS BIGINT) << {_HLL_RHO_MAX}) AS sum_int,
              {_HLL_M} - count(*) AS v
-      FROM regs GROUP BY {group}
+      FROM {src} GROUP BY {group}"""
+
+
+def _hll_sql(expr: str, group: str, table: str, where: str) -> str:
+    h = f"md5('hll:' || {expr})"
+    return f"""
+    hashed AS (
+      SELECT {group}, {_REG_EXPR} AS reg, {_T_EXPR} AS t
+      FROM (SELECT {group}, {h} AS h FROM {table} WHERE {where})
+    ),
+    rho AS (
+      SELECT {group}, reg, {_RHO_CASE} AS rho FROM hashed
+    ),
+    regs AS (
+      SELECT {group}, reg, max(rho) AS mr FROM rho GROUP BY {group}, reg
+    ),
+    folded AS ({_fold_cte_sql(group, "regs")}
     )"""
 
 
@@ -183,9 +192,14 @@ def orders_incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     o_cut = F.lit("1997-01-01").cast("date")
     l_cut = F.lit("1997-06-01").cast("timestamp")
 
-    o_old = orders.where(F.col("o_orderdate") < o_cut)
+    # NULL-safe split: a NULL cut column must land in exactly one
+    # slice (coalesce → 'old'), or the quadrants silently LOSE the row
+    # while the oracle's predicate-free full join keeps it under a
+    # NULL month (code-review r7; the driver data has no NULL dates
+    # today, but 'disjoint and exhaustive' must hold by construction)
+    o_old = orders.where(F.coalesce(F.col("o_orderdate") < o_cut, F.lit(True)))
     o_new = orders.where(F.col("o_orderdate") >= o_cut)
-    l_old = li.where(F.col("l_shipdate") < l_cut)
+    l_old = li.where(F.coalesce(F.col("l_shipdate") < l_cut, F.lit(True)))
     l_new = li.where(F.col("l_shipdate") >= l_cut)
 
     def partial(o: DataFrame, l: DataFrame) -> DataFrame:
@@ -305,20 +319,12 @@ def lineitem_selfjoin_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH hashed AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             ({_NIB.format(s="h", p=1)}) * 16 + ({_NIB.format(s="h", p=2)}) AS reg,
-             regexp_replace(substr(h, 3, {_HLL_W_NIBBLES}), '^0+', '') AS t
+             {_REG_EXPR} AS reg, {_T_EXPR} AS t
       FROM (SELECT ts, md5('hll:' || CAST(user_id AS VARCHAR)) AS h
             FROM events WHERE user_id IS NOT NULL)
     ),
     rho AS (
-      SELECT day, reg,
-             CASE WHEN length(t) = 0 THEN {_HLL_RHO_MAX}
-                  ELSE ({_HLL_W_NIBBLES} - length(t)) * 4
-                       + CASE WHEN ({_NIB.format(s="t", p=1)}) >= 8 THEN 0
-                              WHEN ({_NIB.format(s="t", p=1)}) >= 4 THEN 1
-                              WHEN ({_NIB.format(s="t", p=1)}) >= 2 THEN 2
-                              ELSE 3 END + 1 END AS rho
-      FROM hashed
+      SELECT day, reg, {_RHO_CASE} AS rho FROM hashed
     ),
     daily AS (SELECT day, reg, max(rho) AS mr FROM rho GROUP BY day, reg),
     fan AS (
@@ -330,14 +336,7 @@ def lineitem_selfjoin_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- hit the same register; the fold below must see ONE row each
       SELECT wday, reg, max(mr) AS mr FROM fan GROUP BY wday, reg
     ),
-    folded AS (
-      SELECT wday,
-             CAST(count(*) AS BIGINT) AS n_registers,
-             sum(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - mr))
-               + ({_HLL_M} - count(*))
-                 * (CAST(1 AS BIGINT) << {_HLL_RHO_MAX}) AS sum_int,
-             {_HLL_M} - count(*) AS v
-      FROM merged GROUP BY wday
+    folded AS ({_fold_cte_sql("wday", "merged")}
     ),
     exact AS (
       SELECT wday, CAST(count(user_id) AS BIGINT) AS n_exact
@@ -383,7 +382,8 @@ def rolling_weekly_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     register fold is max (idempotent/associative — window overlap is
     harmless), the estimate the same exact-BIGINT harmonic fold as
     ``event_user_hll_distinct``."""
-    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ev_all = _t(spark, sf_dir, "events")
+    ev = ev_all.where(F.col("user_id").isNotNull())
     daily = hll_sketch(
         ev.withColumn("day", F.col("ts").cast("date")),
         "user_id",
@@ -415,7 +415,11 @@ def rolling_weekly_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("wday")
         .agg(F.count("user_id").cast("long").alias("n_exact"))
     )
-    bounds = ev.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    # bounds from the UNFILTERED events — the oracle's bounds CTE has
+    # no user_id filter, and the sibling rolling_distinct_users trims
+    # against the raw frame too; a trailing all-NULL-user day must not
+    # shift the trim asymmetrically (code-review r7)
+    bounds = ev_all.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
     return (
         est.join(exact, "wday")
         .crossJoin(F.broadcast(bounds))

@@ -31,9 +31,10 @@ from pyspark.sql import functions as F
 
 from ..operators.sketch import (
     hll_estimate,
+    hll_merge,
     hll_sketch,
-    k_smallest,
     kmv_estimate,
+    kmv_merge,
     kmv_sketch,
 )
 from ..sources.ledger import Ledger
@@ -88,17 +89,27 @@ class SketchRollup:
             "k": self.k,
         }
 
+    def _config_exists(self, path: str) -> bool:
+        """Driver-side FS existence check via the Hadoop API (any
+        scheme the session can read — the Ledger._exists discipline).
+        A READ failure on an EXISTING marker must fail loudly, never
+        count as 'first use': failing open would skip the very
+        validation this marker exists for (code-review r7)."""
+        sc = self.spark.sparkContext
+        hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+
     def _check_or_stamp_config(self, *, stamp: bool) -> None:
         path = os.path.join(self.state_dir, "config")
-        try:
-            row = self.spark.read.parquet(path).collect()[0].asDict()
-        except Exception:  # first use: no marker yet
+        if not self._config_exists(path):
             if stamp:
                 self.spark.createDataFrame(
                     [tuple(self._config().values())],
                     list(self._config().keys()),
                 ).coalesce(1).write.mode("overwrite").parquet(path)
             return
+        row = self.spark.read.parquet(path).collect()[0].asDict()
         mine = self._config()
         if {k: row[k] for k in mine} != mine:
             raise ValueError(
@@ -112,8 +123,17 @@ class SketchRollup:
     ) -> bool:
         """Reduce one shard to sketch state and persist it. Returns
         False if the ledger already has the shard (and ``force`` is
-        off) — the idempotent-replay path."""
-        if not force and self.ledger.seen(shard_name):
+        off) — the idempotent-replay path.
+
+        Crash window: on FIRST ingest the ledger is recorded only
+        after both writes, so a kill mid-ingest re-runs cleanly. A
+        ``force=True`` re-ingest of an already-recorded shard killed
+        between the two overwrites leaves mixed hll/kmv generations
+        that a plain re-run would SKIP (ledger hit) — re-run the
+        force until it completes (force is an operator action; the
+        overwrites are idempotent)."""
+        seen = self.ledger.seen(shard_name)  # ONE ledger read per ingest
+        if seen and not force:
             return False
         self._check_or_stamp_config(stamp=True)
         slug = _slug(shard_name)
@@ -127,7 +147,7 @@ class SketchRollup:
         kmv.write.mode("overwrite").parquet(
             os.path.join(self.state_dir, "kmv", slug)
         )
-        if not self.ledger.seen(shard_name):  # force replays stay single
+        if not seen:  # force replays stay single in the ledger
             self.ledger.record(shard_name)
         return True
 
@@ -140,29 +160,31 @@ class SketchRollup:
         """Fold ALL persisted shard sketches and estimate per group:
         ``group_cols + (hll_est, kmv_est)``. Cost is
         shards × groups × (256 + k) rows — metadata-scale regardless
-        of how much raw history the shards summarized. The fold IS
-        ``hll_merge``/``kmv_merge`` (union → re-max / re-min-k), just
-        expressed over the shard-directory union read."""
+        of how much raw history the shards summarized. The fold IS the
+        property-tested ``hll_merge``/``kmv_merge`` operators, applied
+        to the shard-directory union read (no re-implemented fold that
+        could drift from the merge contract — code-review r7)."""
         self._check_or_stamp_config(stamp=False)
-        hll_folded = (
-            self._shards("hll")
-            .groupBy(*self.group_cols, "reg")
-            .agg(F.max("mr").alias("mr"))
+        hll_folded = hll_merge(
+            self._shards("hll"), group_cols=self.group_cols
         )
         hll_est = hll_estimate(hll_folded, group_cols=self.group_cols)
-        kmv_folded = k_smallest(
-            self._shards("kmv").distinct(), self.k, self.group_cols
+        kmv_folded = kmv_merge(
+            self._shards("kmv"), k=self.k, group_cols=self.group_cols
         )
         kmv_est = kmv_estimate(
             kmv_folded, k=self.k, group_cols=self.group_cols
         )
         join_on = list(self.group_cols)
-        return (
+        joined = (
             hll_est.join(kmv_est, join_on)
-            .select(
-                *self.group_cols,
-                F.col("hll_raw").alias("hll_est"),
-                F.col("kmv_raw").alias("kmv_est"),
-            )
-            .orderBy(*self.group_cols)
+            if join_on
+            # global (ungrouped) rollup: both sides are one row
+            else hll_est.crossJoin(kmv_est)
         )
+        out = joined.select(
+            *self.group_cols,
+            F.col("hll_raw").alias("hll_est"),
+            F.col("kmv_raw").alias("kmv_est"),
+        )
+        return out.orderBy(*self.group_cols) if self.group_cols else out

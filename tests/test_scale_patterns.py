@@ -1061,6 +1061,13 @@ def test_cms_inner_product_bounds_join_size(spark):
         spark.createDataFrame([("yb1",), ("yb2",)], ["token"]), "token"
     )
     assert cms_inner_product(tiny_a, tiny_b).collect()[0]["cms_est"] == 0
+    # EMPTY sketch (either side): true join size is 0, never NULL —
+    # the [0, depth) spine, not either sketch's rows, drives the min
+    empty = cms_build(
+        spark.createDataFrame([], "token string"), "token"
+    )
+    assert cms_inner_product(empty, tiny_b).collect()[0]["cms_est"] == 0
+    assert cms_inner_product(tiny_a, empty).collect()[0]["cms_est"] == 0
 
 
 def test_hll_portable_rho_matches_bit_rank(spark):

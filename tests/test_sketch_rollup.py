@@ -84,6 +84,21 @@ def test_rollup_replay_skipped_and_force_replaces(spark, tmp_path):
     assert roll.estimates().collect() == baseline
 
 
+def test_rollup_global_ungrouped(spark, tmp_path):
+    """group_cols=() — a GLOBAL distinct rollup (the sketch operators
+    all support it) must ingest AND report (code-review r7: the
+    grouped-only orderBy/join spelling crashed here)."""
+    ev, shards = _shards(spark)
+    roll = SketchRollup(spark, str(tmp_path / "state"), group_cols=())
+    for i, sh in enumerate(shards):
+        roll.ingest(sh, f"shard-{i}")
+    rows = roll.estimates().collect()
+    assert len(rows) == 1
+    exact = ev.select("user_id").distinct().count()
+    assert abs(rows[0]["hll_est"] - exact) / exact < 0.25
+    assert abs(rows[0]["kmv_est"] - exact) / exact < 0.45
+
+
 def test_rollup_config_mismatch_refuses_to_fold(spark, tmp_path):
     import pytest
 

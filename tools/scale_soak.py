@@ -311,7 +311,15 @@ def main() -> None:
     only: set[str] | None = None
     for i, a in enumerate(sys.argv):
         if a == "--only":
+            if i + 1 >= len(sys.argv) or sys.argv[i + 1].startswith("--"):
+                raise SystemExit(
+                    "--only needs a comma-separated family list, e.g. "
+                    "--only hll_sketch_fold,cms_join_size"
+                )
             only = {s.strip() for s in sys.argv[i + 1].split(",")}
+    known = {name for name, _, _ in FAMILIES}
+    if only is not None and not only <= known:
+        raise SystemExit(f"unknown families: {sorted(only - known)}")
     spark = get_spark("scale-soak")
     results = []
     for name, ladder, build in FAMILIES:
