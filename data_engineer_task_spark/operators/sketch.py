@@ -120,7 +120,7 @@ def cms_estimate(
 
 
 def cms_inner_product(
-    sketch_a: DataFrame, sketch_b: DataFrame, *, depth: int = 4
+    sketch_a: DataFrame, sketch_b: DataFrame
 ) -> DataFrame:
     """Join-size estimation from two CMS sketches (Cormode &
     Muthukrishnan 2005 §4.2 / the AMS F₂ estimator when a = b):
@@ -148,18 +148,27 @@ def cms_inner_product(
     )
     # a depth row with NO overlapping cells has ip = 0 and must stay in
     # the min (near-disjoint sketches: dropping it would overestimate),
-    # so fold from the FULL [0, depth) spine — not from either sketch's
-    # present rows, which would return NULL (not 0) for an empty
-    # sketch_a and behave asymmetrically between the two arguments
-    # (code-review r7). ``depth`` must match the cms_build parameter.
-    rows = (
-        sketch_a.sparkSession.range(depth)
-        .select(F.col("id").cast("int").alias("j"))
+    # so fold from a spine of FULL depth rows — derived from the
+    # sketches themselves (cms_build writes every j ∈ [0, depth) when
+    # its input is non-empty), never from a caller-supplied depth: a
+    # depth parameter LARGER than the build depth would mint
+    # zero-overlap spine rows and silently return 0, breaking the
+    # one-sided contract (ADVICE r7). Intersecting the two j domains
+    # also keeps mismatched-depth folds one-sided (min over the common
+    # rows is a min over valid per-row overestimates).
+    spine = (
+        sketch_a.select("j")
+        .distinct()
+        .join(sketch_b.select("j").distinct(), "j")
     )
     return (
-        rows.join(overlap, "j", "left")
+        spine.join(overlap, "j", "left")
+        # empty spine = at least one EMPTY sketch (no rows summarized)
+        # → true join size 0; min over no rows is NULL, so coalesce
         .agg(
-            F.min(F.coalesce(F.col("ip"), F.lit(0)))
+            F.coalesce(
+                F.min(F.coalesce(F.col("ip"), F.lit(0))), F.lit(0)
+            )
             .cast("long")
             .alias("cms_est")
         )

@@ -153,7 +153,7 @@ def event_user_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                            AS BIGINT)) / 10000.0) * 100.0) / 100.0
              AS revenue
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-    GROUP BY 1 ORDER BY month
+    GROUP BY 1 ORDER BY month NULLS LAST
     """,
 )
 def orders_incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,7 +231,11 @@ def orders_incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
-    return merged.orderBy("month")
+    # explicit null ordering: the NULL-safe split above deliberately
+    # ADMITS NULL o_orderdate rows (→ a NULL month group), and Spark
+    # defaults NULLS FIRST asc while DuckDB defaults NULLS LAST
+    # (ADVICE r7) — pin the DuckDB side too
+    return merged.orderBy(F.asc_nulls_last("month"))
 
 
 @q(

@@ -101,6 +101,14 @@ class SketchRollup:
         return bool(fs.exists(hpath))
 
     def _check_or_stamp_config(self, *, stamp: bool) -> None:
+        # Concurrency note (same class as sources/ledger.py): the
+        # marker is check-then-write without a transaction, so two
+        # concurrent FIRST ingests with different configs can both see
+        # "no marker", both stamp, and both proceed — last stamp wins
+        # and the earlier shard's state is mis-labeled. Exactly-once
+        # stamping needs a transactional table format (Delta/Iceberg —
+        # not in this image); single-writer ingest is the contract,
+        # as it is for the ledger (ADVICE r7).
         path = os.path.join(self.state_dir, "config")
         if not self._config_exists(path):
             if stamp:
@@ -165,6 +173,14 @@ class SketchRollup:
         to the shard-directory union read (no re-implemented fold that
         could drift from the merge contract — code-review r7)."""
         self._check_or_stamp_config(stamp=False)
+        # fail with a DESCRIPTIVE error on a state dir with no folded
+        # shards (config-only or brand-new), not the opaque
+        # PATH_NOT_FOUND the hll/* glob read would raise (ADVICE r7)
+        if not self._config_exists(os.path.join(self.state_dir, "hll")):
+            raise ValueError(
+                f"no shards ingested at {self.state_dir} — call "
+                "ingest() at least once before estimates()"
+            )
         hll_folded = hll_merge(
             self._shards("hll"), group_cols=self.group_cols
         )

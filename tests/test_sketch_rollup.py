@@ -115,6 +115,24 @@ def test_rollup_config_mismatch_refuses_to_fold(spark, tmp_path):
     assert SketchRollup(spark, state).ingest(shards[1], "shard-1") is True
 
 
+def test_rollup_estimates_empty_state_descriptive_error(spark, tmp_path):
+    """estimates() before any ingest must raise the DESCRIPTIVE
+    no-shards error, not the opaque PATH_NOT_FOUND from the hll/*
+    glob read (ADVICE r7) — both on a brand-new state dir and on a
+    config-only dir (stamped but killed before the first write)."""
+    import pytest
+
+    state = str(tmp_path / "state")
+    roll = SketchRollup(spark, state)
+    with pytest.raises(ValueError, match="no shards ingested"):
+        roll.estimates()
+    # stamp the config without writing shard state (the crash window
+    # between _check_or_stamp_config and the hll write)
+    roll._check_or_stamp_config(stamp=True)
+    with pytest.raises(ValueError, match="no shards ingested"):
+        roll.estimates()
+
+
 def test_cli_sketch_rollup(spark, tmp_path, capsys):
     from data_engineer_task_spark.cli import main
 
