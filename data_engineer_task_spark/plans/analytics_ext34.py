@@ -437,3 +437,7 @@ def rolling_weekly_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# Next-batch entries register on import (chained, keeps each file navigable).
+from . import analytics_ext35  # noqa: E402,F401  isort:skip

@@ -1,0 +1,175 @@
+"""Thirty-sixth batch: the incremental SketchRollup PIPELINE as a
+hash-gated entry (VERDICT r7 item 1) — the one composed user-facing
+surface that was still pytest-only after r7.
+
+``sketch_rollup_report`` drives the REAL ``plans/sketch_rollup.py``
+object end-to-end: three event shards reduced to persisted HLL/KMV
+parquet state through ``SketchRollup.ingest()`` (config stamp + ledger
+idempotency + per-shard overwrite discipline included — a replayed
+shard must be a no-op for the answer to come out right), then answers
+folded on read via ``estimates()``. The oracle computes the SAME
+sketches one-shot over the union of the shards in DuckDB — hash
+equality certifies the pipeline's whole contract in one gate:
+shard-reduce → persist → ledger-skip → fold ≡ one-shot (the
+merge-equivalence the operators property-test, now proven cross-engine
+through the pipeline surface users actually call).
+
+Reference scope note: the reference's ETL driver re-loads its
+warehouse from scratch per run behind a check_history ledger
+(``task.py:289``); this is the sketch-state analog of that driver —
+ingest-once bookkeeping, but O(registers + k) state instead of a
+truncate-and-reload.
+
+Same contract as plans/analytics.py (see its authoring rules).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketch import _HLL_M, _HLL_NUM, _HLL_SMALL
+from .analytics import _t, q
+from .analytics_ext26 import _K, _KMV_SCALE, _md5_uint48_sql
+from .analytics_ext34 import _hll_sql
+
+_N_SHARDS = 3
+
+
+@q(
+    "sketch_rollup_report",
+    f"""
+    WITH {_hll_sql("CAST(user_id AS VARCHAR)", "event_type", "events",
+                   "user_id IS NOT NULL")},
+    uv AS (
+      SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    khs AS (
+      SELECT DISTINCT event_type, {_md5_uint48_sql("v")} AS h FROM uv
+    ),
+    krk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM khs
+    ),
+    ksk AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS hk
+      FROM krk WHERE rn <= {_K} GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    )
+    SELECT f.event_type, ex.n_exact,
+           round((CASE WHEN {_HLL_NUM!r} / CAST(sum_int AS DOUBLE)
+                            <= {_HLL_SMALL!r} AND v > 0
+                       THEN {float(_HLL_M)!r}
+                            * ln({float(_HLL_M)!r} / CAST(v AS DOUBLE))
+                       ELSE {_HLL_NUM!r} / CAST(sum_int AS DOUBLE)
+                  END) * 100.0) / 100.0 AS hll_est,
+           round((CASE WHEN n_sketch < {_K} THEN CAST(n_sketch AS DOUBLE)
+                       ELSE {_KMV_SCALE} / CAST(hk AS DOUBLE)
+                  END) * 10000.0) / 10000.0 AS kmv_est
+    FROM folded f JOIN ksk USING (event_type) JOIN ex USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def sketch_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type answered from PERSISTED per-shard
+    sketch state: events split into {_N_SHARDS} shards (event_id mod),
+    each reduced to HLL register + KMV hash-set parquet through the
+    real ``SketchRollup.ingest()`` (second ingest of shard 0 exercises
+    the ledger-skip path inside the gated run), estimates folded on
+    read. Reported next to the exact count so the entry also pins both
+    estimators' accuracy on real data.
+
+    Determinism: HLL/KMV state is pure integers (register maxima,
+    48-bit hash minima) — exact through the parquet round-trip and
+    order-free under any shard partitioning, which is WHY fold-on-read
+    can hash-match a one-shot oracle. The only floats are the final
+    single IEEE divisions (and HLL's small-range ln, irrational at
+    every reachable V — house transcendental policy), display-rounded
+    identically on both engines (the ext34/ext26 gate spellings).
+
+    Scale shape: each ingest shuffles one shard down to ≤ 256 + k rows
+    per event type and never touches other shards; estimates() reads
+    shards × groups × (256 + k) rows of state regardless of how much
+    raw history the shards summarized. At 100 TB this is the only
+    affordable "distinct users, updated per ingest" shape — history is
+    scanned exactly once, when its shard arrives.
+
+    The staging dir is keyed by the source files' content identity
+    (name/size/mtime — the ``run_stream_running_totals_once``
+    discipline): repeated runs in one round reuse the ledger-skipped
+    state; regenerated testdata at the same path gets a fresh dir
+    instead of being served stale sketches."""
+    from .sketch_rollup import SketchRollup
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(events_path):
+        stats = [
+            (f, os.path.getsize(p), os.path.getmtime(p))
+            for f in sorted(os.listdir(events_path))
+            if not f.startswith((".", "_"))
+            for p in [os.path.join(events_path, f)]
+        ]
+    else:
+        stats = [
+            (
+                os.path.basename(events_path),
+                os.path.getsize(events_path),
+                os.path.getmtime(events_path),
+            )
+        ]
+    tag = hashlib.md5(
+        f"{events_path}|{_N_SHARDS}|{stats}".encode()
+    ).hexdigest()[:12]
+    state = os.path.join(tempfile.gettempdir(), f"sketch_rollup_{tag}")
+
+    roll = SketchRollup(
+        spark,
+        state,
+        group_cols=("event_type",),
+        value_col="user_id",
+        k=_K,
+    )
+    for s in range(_N_SHARDS):
+        roll.ingest(
+            ev.where(F.pmod(F.col("event_id"), F.lit(_N_SHARDS)) == s),
+            f"events-shard-{s}",
+        )
+    # replay: the ledger must skip (False) — the idempotency half of
+    # the pipeline contract, exercised inside the hash-gated run so a
+    # regression (double-fold) breaks the hash, not just a pytest
+    assert (
+        roll.ingest(
+            ev.where(F.pmod(F.col("event_id"), F.lit(_N_SHARDS)) == 0),
+            "events-shard-0",
+        )
+        is False
+    ), "ledger replay must skip an already-ingested shard"
+
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        roll.estimates()
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (F.round(F.col("hll_est") * 100.0) / 100.0).alias("hll_est"),
+            (F.round(F.col("kmv_est") * 10000.0) / 10000.0).alias(
+                "kmv_est"
+            ),
+        )
+        .orderBy("event_type")
+    )
