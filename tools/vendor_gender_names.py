@@ -1,0 +1,238 @@
+"""Vendor a fuller name→gender snapshot (VERDICT r7 item 2).
+
+Regenerates ``resources/gender_names.csv`` so that EVERY first name
+appearing >= MIN_COUNT times in the reference dataset's personnel
+table is an explicit, reviewable decision:
+
+  - ``male`` / ``female``  — from the curated public-knowledge map
+    below (common given names and their predominant gender across the
+    public name lists the gender_guesser nam_dict itself derives from:
+    US SSA-style frequency lists, common European/Indian/Arabic/East
+    Asian given names);
+  - ``unknown``            — EITHER a deliberately-androgynous name
+    (the ``_ANDY`` set: kim/alex/jordan/… — the nam_dict 'andy' fold,
+    ``task.py:47-49``) OR a token that is not a gendered given name at
+    all (East Asian surname-first tokens, initials like 'j.'), OR a
+    name the curator declined to label. All three land in the same
+    ``unknown`` bucket the reference produces for them.
+
+Snapshot discipline (functions/gender.py): the CSV stays the canonical
+HERMETIC source — this tool is how it is refreshed, and the diff is
+reviewable name-by-name. ``tools/refresh_gender_snapshot.py`` remains
+the exact-nam_dict path when that lib is installable.
+
+Run:  python tools/vendor_gender_names.py [--min-count 5] [--dry-run]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+SNAPSHOT = (
+    REPO / "data_engineer_task_spark" / "resources" / "gender_names.csv"
+)
+
+# ---------------------------------------------------------------------------
+# Curated labels for names observed >=5 times in the dataset that the
+# 544-name r1 snapshot did not cover. male/female = confident
+# predominant gender; _ANDY = deliberately unknown (androgynous or
+# non-given-name token). Anything observed but in none of these sets
+# is written as unknown too — the difference is only documentation.
+# ---------------------------------------------------------------------------
+
+_MALE = """
+abel adel adnan adriano adrián ahmad ahmed ahmet ajay akira akshay al
+alain alberto alden aleksandr aleksey alejandro alessandro alessio
+alexandre alfonso ali allan allen amin amir amit aman anand anant
+anders andre andreas andrzej andré andrés angel angus anil anton
+antoine archie ari arjun armando art arturo arun ashish ashok ashraf
+ashwin atsushi atul august avinash beau ben benny benoît bharat björn
+blake boris brady brendan brent bruno bryce burak byron cal camilo
+carlo cem chetan chris christoph christophe chuck clark claudio clay
+clint clive cody cole connor conor conrad cory césar daisuke damian
+damien damon danish dante darin darío deepak denis desmond devin
+dilip dillon dinesh dino dion donny dorian doug duncan ed eli elliot
+emilio emmanuel emre enzo ernie esteban fabian fabio fabrizio fabián
+federico felipe finn florian franck franco francesco freddie freddy
+françois fábio ganesh gareth garrett garry gaurav gautam gavin geoff
+geoffrey georges gerard gerardo gerry giorgio gil gilles giovanni
+girish gonzalo graham grant gregg griffin guilherme guillaume
+guillermo gustavo guy gérard hakan hal hani hank hans hany hari
+harrison hasan hassan hernán hiroshi hiroyuki hugo hunter hussein
+héctor iain ibrahim ignacio igor imran ira isaiah iván jacek jackson
+jacques jaime jake jakob jamal jan jean-claude jeremiah jermaine
+jerzy jesús jitendra joaquín johan johannes jonah jonas jonny jonny
+joonas jordi josh José joão jude julien julio julius julián kabir
+kai kamal karan karim kazuya ken kenji kenny kentaro ketan khaled
+khalid kirill kishore koichi koji krishna krzysztof kunal lachlan
+lars laurent leandro lenny lenny leonardo liam lionel lorenzo luc
+luca luciano lukas maciej mads mahesh mahmoud malcolm malik manish
+manny manoj marcel marcelo marco marcos marek mariano mario mark
+martín mason massimo matheus matias matt matteo matthias matías
+mauricio maximilian maxwell mehmet mert metin micah michel michał
+mick mickey miguel miles milind milo mitch mohamed mohammad mohammed
+mohan mohit morten mostafa muhammad mukesh murat mustafa
+nacho nate nelson nico nicolas nicolás nigel nikhil noel nolan omar
+onur orlando osman otto owen pablo paco paolo pascal patricio paulo
+pavel pawan pepe pete phil philippe pierre piotr pradeep prakash
+prasad prashant prem quincy rafael rafał rahul raj raja rajeev rajesh
+rajiv rakesh ram ramesh ramón raphael raúl ravi reggie renato rene
+rhys riccardo rich richie rico rob robbie rod rodrigo rohan rohit
+roman rory rubén rupert ryo ryu sachin saeed sahil said sal salah
+nick andy charlie joey logan august angel daniele jude ira eli gabe
+amr abdullah abhishek aditya cory jaime
+salman sameer sami samir sandeep sanjay sanjeev santiago satish
+saurabh sebastian sebastián serdar shaun shawn sherif shinji
+siddharth sonny spencer stefan stefano stig stéphane sudhir suhas
+sumeet sunil suresh sébastien takahiro takashi takeshi takuya tamer
+tarek tarun teddy terence theo thierry thom tobias toby tolga tomasz
+tomás toru toshiyuki trey tsuyoshi ty umesh umut vaibhav varun vic
+vicente victor vijay vikas vikram vinay vince vincenzo vinod vishal
+vivek vladimir víctor wes will willie wilson wojciech xavier yasser
+yousef youssef yusuf zach zack zain zak álex álvaro óscar
+""".split()
+
+_FEMALE = """
+abby abeer ada aditi adriana adrienne aida alba alejandra alessandra
+alexa alexia alina alison alma alyssa amrita ana angelina angie
+anjali annabelle antonia aparna ariana asha ashleigh aurora ava aya
+ayesha ayten ayça bea belén bella bianca billie blanca brianna
+brianne bridget brigitte britt brooke bruna burcu bárbara caitlin
+camila camilla camille cara carolina cassandra celeste celia chelsea
+chika ciara claudine cleo courtney cristina daisy daniela daniella
+daphne dina divya dolly eliza elisa elisabeth ellie elsa elvira
+emilie eri erika eve ewa fanny farah fatima fernanda fiona florencia
+francesca gabriela gabrielle gemma georgina gillian giovanna giselle
+giulia greta hala haley hana hanna harriet haruka hayley helena hope
+ingrid isabella isabelle isha itziar ivana jade jasmine jen jenna
+jessie joanna johanna joséphine joy juliana julieta juliet juliette
+junko jyoti kaitlyn kana kaori karina karla kat katarzyna kate
+katrina katy kay kiki kirsten kristina laila lakshmi lana lara
+larissa laura lea leila lena lexi lili lily lina lindsay lindsey liz
+liza lola lorena lorna lucia lucía luisa luna lynn maría allie
+maddie madeleine madeline magdalena maggie mai maite mandy manuela
+marcela margarita margot mari mariam mariana marianne marina
+marisa marissa marta martina mayumi maya megumi meera melinda
+mercedes mia michaela miranda mimi mina mona monika monique mónica
+nabila nadia nadine natalia natasha nathalie neha nia nikki noriko
+olga paige pallavi paola pascale paulina pilar polly pooja poonam
+priya priyanka rachael rania raquel reem renée rie rina robyn rosie
+sabina sabrina sadie salma sana saskia sayaka seema sharifah shelley
+sheryl shivani shreya shruti shweta sierra silvia simran siobhan
+smita sneha sofia sofía sonal sonja sonya sophie summer supriya
+susana susanne svetlana tania tia usha valeria veena verónica vidya
+yasmin yoko yui yuka yuko zara zeynep zoe zoë
+""".split()
+
+# Deliberate 'andy' fold (task.py:47-49): androgynous given names, or
+# tokens the first-space split produces that are not gendered given
+# names (East Asian surname-first, initials/titles). Kept as an
+# explicit list so snapshot regeneration records the DECISION, not an
+# accident of coverage.
+_ANDY = """
+ahn ai alaa alex alexis apoorva ariel aubrey ayo bae bailey blair bo
+casey cha chang chi cho choi coco cooper dakota dana dani dara dee
+deep deng deniz devon dj dominique dong drew el fan femi feng frankie
+gao go gong guo han happy hayden hikaru he hilary hong hu huang hwang
+iman indra jackie jacky jamie jang jean jeon jeong jess ji jiang jin
+mackenzie marion
+jo jordan jun jung kang kaya kelly kerry kim kiran kiko ko kris kwon
+lai lam laurence lee lesley leslie liang lim lin liu lou lu ma manu
+mel miki mika mo moon morgan nam nana nat nicky nicola nikita noor
+nour oh paris park parker pat peyton quinn rana riley robin sacha
+sandy sasha seo shannon shen shim shin simone song stacy sterling su
+sultan suman sun sung sydney sunny t.j. tan taylor terry tracey tracy
+vicky wang wei wong wu xu yang yao yi yin yoo yoon yu yuan yuen yuki
+yuri zhang zhao zhou zhu dr. j. j.d. k. m. r.
+""".split()
+
+_MALE = [n.lower() for n in _MALE]
+
+
+def observed_names(min_count: int) -> dict[str, int]:
+    """Distinct lowercase first names with >= min_count personnel
+    rows, from the real pipeline output (the same table Q3-Q5/Q10
+    read)."""
+    sys.path.insert(0, str(REPO))
+    from pyspark.sql import functions as F
+
+    from data_engineer_task_spark.plans.netflix import NetflixPipeline
+    from data_engineer_task_spark.session import get_spark
+
+    spark = get_spark("vendor-gender", cpus=8)
+    pipe = NetflixPipeline(spark, tempfile.mkdtemp())
+    pipe.run(str(REPO.parent / "reference" / "netflix_titles.csv"))
+    rows = (
+        pipe.table("personnel")
+        .groupBy(F.lower("first_name").alias("k"))
+        .count()
+        .where(F.col("count") >= min_count)
+        .collect()
+    )
+    return {r["k"]: r["count"] for r in rows}
+
+
+def build(min_count: int) -> tuple[dict[str, str], list[str]]:
+    male = {n.lower() for n in _MALE}
+    female = {n.lower() for n in _FEMALE}
+    andy = {n.lower() for n in _ANDY}
+    both = male & female
+    if both:
+        raise SystemExit(f"names in BOTH male and female sets: {sorted(both)}")
+    overlap = (male | female) & andy
+    if overlap:
+        raise SystemExit(f"names in both gendered and andy sets: {sorted(overlap)}")
+
+    existing: dict[str, str] = {}
+    with open(SNAPSHOT, newline="") as f:
+        for row in csv.DictReader(f):
+            existing[row["name_key"].lower()] = row["gender"]
+
+    merged = dict(existing)
+    conflicts = []
+    curated = (
+        {n: "male" for n in male}
+        | {n: "female" for n in female}
+        | {n: "unknown" for n in andy}
+    )
+    for name, g in curated.items():
+        if name in merged and merged[name] != g:
+            conflicts.append(f"{name}: snapshot={merged[name]} curated={g}")
+        merged[name] = g
+
+    for name in observed_names(min_count):
+        merged.setdefault(name, "unknown")
+    return merged, conflicts
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--min-count", type=int, default=5)
+    ap.add_argument("--dry-run", action="store_true")
+    args = ap.parse_args()
+
+    merged, conflicts = build(args.min_count)
+    for c in conflicts:
+        print("RELABELED", c)
+    by = {"male": 0, "female": 0, "unknown": 0}
+    for g in merged.values():
+        by[g] += 1
+    print(f"snapshot: {len(merged)} names {by}")
+    if args.dry_run:
+        return 0
+    with open(SNAPSHOT, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["name_key", "gender"])
+        for name in sorted(merged):
+            w.writerow([name, merged[name]])
+    print(f"wrote {SNAPSHOT}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
