@@ -173,3 +173,6 @@ def sketch_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+from . import analytics_ext36  # noqa: E402,F401  isort:skip

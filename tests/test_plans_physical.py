@@ -813,6 +813,7 @@ def test_no_cartesian_or_row_udfs_in_any_declared_entry(spark):
         "hybrid_rrf_search",
         "purchase_asof_click",
         "multimodal_decode",
+        "multimodal_feature_topk",
         "purchase_click_cogroup_stats",
         "embedding_ann_recall",
         "embedding_semantic_dup_pairs",
