@@ -238,6 +238,32 @@ def fam_curation_funnel(spark, n):
     )
 
 
+def fam_curation_keepbest(spark, n):
+    """The keep-best × segment-dedup classify() variant (VERDICT r7
+    item 4 — the single most expensive declared entry): adds the
+    corpus-wide segment rewrite (one window shuffle on seg_hash) and
+    the per-cluster keep-longest argmax on top of the base funnel.
+    Shingle frames CANNOT be shared with the segment stage: the
+    near-dup key is the REWRITTEN text, which only exists after the
+    segment window — see SCALING.md's documented rejection."""
+    from data_engineer_task_spark.plans.curation import (
+        CurationConfig,
+        CurationPipeline,
+    )
+
+    docs = _docs(spark, n)
+    cfg = CurationConfig(
+        min_tokens=10,
+        max_tokens=60,
+        near_dup_threshold=0.5,
+        near_dup_keep="best",
+        segment_dedup=True,
+    )
+    return CurationPipeline(spark, config=cfg).classify(
+        docs.select("doc_id", "text")
+    )
+
+
 def fam_hll_sketch_fold(spark, n):
     from data_engineer_task_spark.operators.sketch import (
         hll_estimate,
@@ -274,6 +300,7 @@ def fam_cms_join_size(spark, n):
 FAMILIES = [
     ("lsh_near_dup", (5_000, 20_000, 80_000), fam_near_dup),
     ("curation_funnel", (5_000, 20_000, 80_000), fam_curation_funnel),
+    ("curation_keepbest", (5_000, 20_000, 80_000), fam_curation_keepbest),
     ("two_phase_cc", (100_000, 400_000, 1_600_000), fam_two_phase_cc),
     ("ivf_pq", (10_000, 40_000, 160_000), fam_ivf_pq),
     ("bpe_merge_rounds", (5_000, 20_000, 80_000), fam_bpe),
@@ -284,9 +311,11 @@ FAMILIES = [
         (1_000_000, 4_000_000, 16_000_000, 64_000_000),
         fam_ordered_prefix,
     ),
+    # 64M rung (VERDICT r7 item 8): the newest family and the closest
+    # alpha to the gate (0.91 at 16M) — confirm no kink one rung deeper
     (
         "ordered_prefix_part",
-        (1_000_000, 4_000_000, 16_000_000),
+        (1_000_000, 4_000_000, 16_000_000, 64_000_000),
         fam_ordered_prefix_part,
     ),
     # ladder = GROUP COUNT at fixed 8M rows (alpha ≈ 0 expected)
