@@ -116,3 +116,7 @@ def multimodal_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(
         kept, "id", "features", query_filter=F.col("id") < 40, k=3
     ).orderBy("query_id", F.desc_nulls_last("cos_sim"), F.asc("neighbor_id"))
+
+
+# Next-batch entries register on import (chained, keeps each file navigable).
+from . import analytics_ext37  # noqa: E402,F401  isort:skip

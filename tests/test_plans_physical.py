@@ -814,6 +814,8 @@ def test_no_cartesian_or_row_udfs_in_any_declared_entry(spark):
         "purchase_asof_click",
         "multimodal_decode",
         "multimodal_feature_topk",
+        "multimodal_frame_sample",
+        "multimodal_resize",
         "purchase_click_cogroup_stats",
         "embedding_ann_recall",
         "embedding_semantic_dup_pairs",

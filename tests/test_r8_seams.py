@@ -7,9 +7,10 @@ divergence at the seams fails here before any driver round sees it.
     raw-length ties inside a cluster, and a cluster where the longest
     member is NOT the min-id (classify(), run(), and the oracle's
     argmax must all agree);
-(b) cms_inner_product one-sidedness under shard merges with DISJOINT
-    key domains and under mismatched build depths (the derived-spine
-    fix, ADVICE r7);
+(b) cms_inner_product under DOMAIN-SHARDED merges at 30k-row scale:
+    cell-exact vs one-shot, one-sided within the CM error bound, and
+    the direct disjoint-shard pairing (complements the small-corpus
+    fuzz in test_scale_patterns.py);
 (c) the rolling HLL cube's trailing-window trim when the events table
     ends in NULL-user-only days (bounds come from the UNFILTERED
     frame) with a zero-event gap day inside the history.
@@ -199,11 +200,14 @@ def test_keepbest_segment_seam_classify_matches_run(spark, seam_docs_dir, tmp_pa
 
 def test_cms_inner_product_disjoint_domain_shards(spark):
     """Shards partitioned BY KEY DOMAIN (each key lives in exactly one
-    shard — the layout of per-tenant / per-date shard sketches): the
-    merge must equal the one-shot sketch cell-for-cell, and the inner
-    product stays one-sided against a probe overlapping only ONE
-    domain; fully-disjoint sketches stay >= the true 0 with the
-    derived [0, depth) spine keeping zero-overlap rows in the min."""
+    shard — the layout of per-tenant / per-date shard sketches), at
+    30k-row scale: the merge must equal the one-shot sketch
+    CELL-FOR-CELL; the inner product against a probe overlapping only
+    ONE domain stays one-sided AND inside the Cormode-Muthukrishnan
+    e/w bound; and two disjoint shard sketches paired directly stay
+    >= the true 0. (The small-corpus one-sidedness fuzz incl.
+    mismatched build depths lives in test_scale_patterns.py::
+    test_cms_inner_product_disjoint_shard_merge_fuzz.)"""
     import math
 
     from data_engineer_task_spark.operators.sketch import (
@@ -241,14 +245,6 @@ def test_cms_inner_product_disjoint_domain_shards(spark):
     n_all, n_probe = toks.count(), probe.count()
     assert est >= exact, "one-sided even when 2 of 3 domains never overlap"
     assert est - exact <= math.e / 256 * n_all * n_probe
-
-    # mismatched build depths: the spine is the INTERSECTION of the two
-    # j domains — every common row is a valid per-row overestimate, so
-    # min stays one-sided (never 0-from-minted-rows; ADVICE r7)
-    sk2 = cms_build(toks, "token", depth=2)
-    sk6 = cms_build(probe, "token", depth=6)
-    est_mm = cms_inner_product(sk2, sk6).collect()[0]["cms_est"]
-    assert est_mm >= exact
 
     # fully disjoint domains: truth 0; the estimate is collision mass
     # only, and must be >= 0 (not NULL, not negative)

@@ -24,6 +24,14 @@ Run on demand (not part of pytest, not the driver bench):
 
     python tools/bench_sf1.py               # build (first run) + bench
     python tools/bench_sf1.py --rebuild     # force dataset rebuild
+    python tools/bench_sf1.py --reps 3      # min-of-3 timed passes
+
+``--reps N`` (VERDICT r7 item 6): the timed pass repeats N times warm
+in the same session and the table reports the MIN plus the observed
+spread — single-pass sf1 numbers were measured swinging 2-3x on
+code-untouched heavies (JIT/GC transients on this box,
+BASELINE.md sf1 caveat), so round-over-round comparisons should use
+min-of-N, which converges on the code-determined floor.
 
 Output: a markdown table (paste into BASELINE.md) + one JSON line.
 Plan notes are recorded per entry: UW = analyzed plan contains an
@@ -173,6 +181,11 @@ def build(spark) -> None:
 
 
 def main() -> None:
+    reps = (
+        int(sys.argv[sys.argv.index("--reps") + 1])
+        if "--reps" in sys.argv
+        else 1
+    )
     spark = get_spark("bench-sf1")
     if "--rebuild" in sys.argv and os.path.isdir(DST):
         shutil.rmtree(DST)
@@ -200,31 +213,41 @@ def main() -> None:
         # would measure a cached tail.
         fn(spark, DST).collect()
         _settle()
-        t0 = time.perf_counter()
-        df = fn(spark, DST)
-        rows = len(df.collect())
-        dt = time.perf_counter() - t0
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, DST)
+            rows = len(df.collect())
+            times.append(time.perf_counter() - t0)
+            _settle()
         notes = []
         if unpartitioned_specs(analyzed_plan(df)):
             notes.append("UW")
         phys = df._jdf.queryExecution().executedPlan().toString()
         if "Exchange SinglePartition" in phys:
             notes.append("1P")
-        _settle()
         results.append(
             {
                 "name": name,
-                "sec": round(dt, 2),
+                "sec": round(min(times), 2),
+                "max_sec": round(max(times), 2),
                 "rows": rows,
                 "notes": ",".join(notes) or "-",
             }
         )
-        print(f"{name}: {dt:.2f}s ({rows} rows) [{results[-1]['notes']}]", flush=True)
+        print(
+            f"{name}: min {min(times):.2f}s / max {max(times):.2f}s of "
+            f"{reps} ({rows} rows) [{results[-1]['notes']}]",
+            flush=True,
+        )
 
-    print("\n| entry | sf1 wall (s) | rows | plan notes |")
-    print("|---|---|---|---|")
+    print(f"\n| entry | sf1 wall (s, min of {reps}) | max | rows | plan notes |")
+    print("|---|---|---|---|---|")
     for r in results:
-        print(f"| {r['name']} | {r['sec']} | {r['rows']} | {r['notes']} |")
+        print(
+            f"| {r['name']} | {r['sec']} | {r['max_sec']} | {r['rows']} "
+            f"| {r['notes']} |"
+        )
     print()
     print(
         json.dumps(
@@ -233,6 +256,7 @@ def main() -> None:
                 "value": round(sum(r["sec"] for r in results), 2),
                 "unit": "sec",
                 "queries": {r["name"]: r["sec"] for r in results},
+                "reps": reps,
                 "sf": 1,
             }
         )
