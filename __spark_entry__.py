@@ -37,38 +37,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # registration order (harmless re-verification fills spare slots).
 # Re-check nominations: every entry whose SPARK PLAN was rewritten or
 # whose kernel changed this round — the old plan's driver-green row
-# says nothing about the new plan. Round 7: ADVICE r6 landed in the
-# `ordered_prefix` core (rank windows order by the RAW key instead of
-# its double cast; the partitioned-spec offset join lost its forced
-# broadcast hint; output-name collision validation) — every declared
-# caller re-enters; `phrase_merge_rounds` releases its trailing cache
-# generation (cache-lifecycle only) — both BPE entries re-enter;
-# `classify()` grew the segment-dedup stage (union restructure), so
-# the base funnel entry re-enters (values parity-proven unchanged at
-# sf0.01 for all of these). The new `curation_keepbest_survivors`
-# entry is never-checked and leads the window automatically via the
-# mechanical head — as do the four late-r7 sketch/IVM gates
-# (`event_user_hll_distinct`, `orders_incremental_join_merge`,
-# `lineitem_selfjoin_size_cms`, `rolling_weekly_hll_users`,
-# analytics_ext34.py) and `stream_running_user_totals`.
+# says nothing about the new plan. Round 8: ADVICE r7 landed in
+# `cms_inner_product` (the min's spine is now DERIVED from the
+# sketches' j domains — the fold subplan changed) and in
+# `orders_incremental_join_merge` (explicit NULLS LAST month ordering
+# on both engines); both re-enter. The r7 nominations (ordered_prefix
+# raw-key callers, BPE cache release, classify() restructure) all
+# went driver-green in CORRECTNESS_r07 on their current plans and
+# left this list. The four r8 gates (`sketch_rollup_report`,
+# `multimodal_feature_topk`, `multimodal_frame_sample`,
+# `multimodal_resize`) are never-checked and lead the window
+# automatically via the mechanical head.
 _RECHECK = [
-    # ordered_prefix raw-key ordering + partitioned-offset broadcast
-    # guard (r7) — all declared callers
-    "customer_rfm_segments",
-    "order_acctbal_spearman",
-    "order_price_woe_bins",
-    "customer_revenue_gini",
-    "part_abc_classification",
-    "doc_negative_pairs",
-    "event_value_ks_test",
-    "doc_balanced_lang_sample",
-    "segment_balance_deciles",
-    "segment_acctbal_ranks",
-    # phrase_merge_rounds trailing-cache release (r7)
-    "doc_bpe_phrase_merges",
-    "doc_bpe_encode_lengths",
-    # classify() union restructure for the segment stage (r7)
-    "curation_pipeline_survivors",
+    # cms_inner_product derived-spine rewrite (ADVICE r7)
+    "lineitem_selfjoin_size_cms",
+    # explicit month null ordering both sides (ADVICE r7)
+    "orders_incremental_join_merge",
 ]
 
 
