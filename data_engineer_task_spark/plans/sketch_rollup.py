@@ -160,9 +160,34 @@ class SketchRollup:
         return True
 
     def _shards(self, kind: str) -> DataFrame:
-        return self.spark.read.parquet(
-            os.path.join(self.state_dir, kind, "*")
+        """Union read of every persisted shard slice of one kind, via
+        EXPLICIT child listing (Hadoop FS API) instead of a `kind/*`
+        glob: globs make Spark probe `kind/*` itself for a streaming
+        `_spark_metadata` dir, logging a benign-but-noisy
+        FileNotFoundException stack per read (it leaked past the bench
+        driver's line filters), and on object stores a listing beats a
+        glob expansion anyway. Missing/empty state raises the
+        descriptive no-shards error for BOTH kinds (ADVICE r7)."""
+        sc = self.spark.sparkContext
+        base = sc._jvm.org.apache.hadoop.fs.Path(
+            os.path.join(self.state_dir, kind)
         )
+        fs = base.getFileSystem(sc._jsc.hadoopConfiguration())
+        paths = (
+            [
+                st.getPath().toString()
+                for st in fs.listStatus(base)
+                if st.isDirectory()
+            ]
+            if fs.exists(base)
+            else []
+        )
+        if not paths:
+            raise ValueError(
+                f"no shards ingested at {self.state_dir} — call "
+                "ingest() at least once before estimates()"
+            )
+        return self.spark.read.parquet(*paths)
 
     def estimates(self) -> DataFrame:
         """Fold ALL persisted shard sketches and estimate per group:
@@ -173,14 +198,8 @@ class SketchRollup:
         to the shard-directory union read (no re-implemented fold that
         could drift from the merge contract — code-review r7)."""
         self._check_or_stamp_config(stamp=False)
-        # fail with a DESCRIPTIVE error on a state dir with no folded
-        # shards (config-only or brand-new), not the opaque
-        # PATH_NOT_FOUND the hll/* glob read would raise (ADVICE r7)
-        if not self._config_exists(os.path.join(self.state_dir, "hll")):
-            raise ValueError(
-                f"no shards ingested at {self.state_dir} — call "
-                "ingest() at least once before estimates()"
-            )
+        # (_shards raises the descriptive no-shards error on a
+        # config-only or brand-new state dir — ADVICE r7)
         hll_folded = hll_merge(
             self._shards("hll"), group_cols=self.group_cols
         )
