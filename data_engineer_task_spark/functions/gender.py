@@ -15,12 +15,15 @@ Lookup is case-insensitive on the FIRST name (the reference passes
 
 HERMETIC SOURCE (VERDICT r1 missing-4): the canonical mapping is the
 checked-in snapshot ``resources/gender_names.csv`` — results never
-depend on which packages are installed. ``tools/refresh_gender_snapshot.py``
-regenerates the snapshot from gender_guesser's full nam_dict when that
-lib is available (folding mostly_*/andy at refresh time), so exact
-reference parity is a refresh away without being a runtime dependency.
-The embedded ``_FALLBACK`` dict remains only as a last resort if the
-resource file is deleted.
+depend on which packages are installed. Since r8 the snapshot is the
+CURATED table written by ``tools/vendor_gender_names.py`` (every
+dataset first name with >=5 occurrences is an explicit decision;
+golden-label tests pin it). ``tools/refresh_gender_snapshot.py``
+derives a nam_dict-exact table when that lib is available, but writes
+it ALONGSIDE the snapshot by default and prints the label diff —
+replacing the curated snapshot (--overwrite) requires reconciling the
+diff and re-running the golden tests. The embedded ``_FALLBACK`` dict
+remains only as a last resort if the resource file is deleted.
 """
 
 from __future__ import annotations

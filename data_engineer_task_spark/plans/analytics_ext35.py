@@ -38,6 +38,13 @@ from .analytics_ext26 import _K, _KMV_SCALE, _md5_uint48_sql
 from .analytics_ext34 import _hll_sql
 
 _N_SHARDS = 3
+# Folded into the state-dir tag: config identity (k/group/value — a
+# config change must get a FRESH dir, not a config-mismatch error
+# against stale /tmp state) and a manual state version — BUMP IT
+# whenever operators/sketch.py changes any persisted derivation
+# (register hash, rho, KMV hash), or the ledger will skip ingest and
+# serve sketches built by the old code (code-review r8).
+_STATE_VERSION = "v1"
 
 
 @q(
@@ -130,7 +137,8 @@ def sketch_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     tag = hashlib.md5(
-        f"{events_path}|{_N_SHARDS}|{stats}".encode()
+        f"{events_path}|{_N_SHARDS}|{stats}|{_STATE_VERSION}"
+        f"|event_type|user_id|{_K}".encode()
     ).hexdigest()[:12]
     state = os.path.join(tempfile.gettempdir(), f"sketch_rollup_{tag}")
 
@@ -147,15 +155,20 @@ def sketch_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"events-shard-{s}",
         )
     # replay: the ledger must skip (False) — the idempotency half of
-    # the pipeline contract, exercised inside the hash-gated run so a
-    # regression (double-fold) breaks the hash, not just a pytest
-    assert (
-        roll.ingest(
-            ev.where(F.pmod(F.col("event_id"), F.lit(_N_SHARDS)) == 0),
-            "events-shard-0",
+    # the pipeline contract, exercised inside the hash-gated run. This
+    # raise is the ONLY detection (a regressed re-ingest overwrites
+    # the same slug with identical state, so the folded answer — and
+    # the hash — would be unchanged); explicit if/raise, not assert,
+    # so -O/PYTHONOPTIMIZE can strip neither the check nor the replay
+    # exercise itself (code-review r8).
+    replay_ingested = roll.ingest(
+        ev.where(F.pmod(F.col("event_id"), F.lit(_N_SHARDS)) == 0),
+        "events-shard-0",
+    )
+    if replay_ingested is not False:
+        raise AssertionError(
+            "ledger replay must skip an already-ingested shard"
         )
-        is False
-    ), "ledger replay must skip an already-ingested shard"
 
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("n_exact")

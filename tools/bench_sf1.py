@@ -181,11 +181,14 @@ def build(spark) -> None:
 
 
 def main() -> None:
-    reps = (
-        int(sys.argv[sys.argv.index("--reps") + 1])
-        if "--reps" in sys.argv
-        else 1
-    )
+    reps = 1
+    if "--reps" in sys.argv:
+        i = sys.argv.index("--reps")
+        if i + 1 >= len(sys.argv) or not sys.argv[i + 1].isdigit():
+            raise SystemExit("--reps needs a positive integer, e.g. --reps 3")
+        reps = int(sys.argv[i + 1])
+        if reps < 1:
+            raise SystemExit("--reps needs a positive integer, e.g. --reps 3")
     spark = get_spark("bench-sf1")
     if "--rebuild" in sys.argv and os.path.isdir(DST):
         shutil.rmtree(DST)

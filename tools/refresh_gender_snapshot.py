@@ -1,15 +1,26 @@
-"""Regenerate resources/gender_names.csv from gender_guesser's nam_dict.
+"""Derive a nam_dict-exact name→gender table from gender_guesser.
 
 The engine's gender enrichment (functions/gender.py) reads ONLY the
 checked-in snapshot, so results are hermetic — independent of installed
-packages (SURVEY §2.4 D6). When exact parity with a specific
-gender_guesser release matters (reference ``task.py:34,43-51`` calls it
-per row), run this tool in an environment where the lib is installed;
-it folds the reference's label rules (mostly_male→male,
-mostly_female→female, andy→unknown) at refresh time and rewrites the
-snapshot sorted for stable diffs.
+packages (SURVEY §2.4 D6). Since r8 the CANONICAL snapshot is the
+curated 1,464-name table written by ``tools/vendor_gender_names.py``
+(every dataset name ≥5 occurrences is an explicit decision), and three
+test suites pin exact golden labels against it — so this tool no
+longer overwrites the snapshot by default: blindly replacing it with
+raw nam_dict output would drop curated names nam_dict lacks and revert
+curated relabels, breaking ``test_q5_golden_labels`` /
+``test_q10_cohort_full`` / ``test_gender_snapshot_census``.
 
-Usage:  python tools/refresh_gender_snapshot.py
+Default behavior: write the folded nam_dict table NEXT TO the snapshot
+(``gender_names_namdict.csv``) and print the label diff vs the current
+snapshot for review. Pass ``--overwrite`` only if you really want
+nam_dict to replace the curated snapshot — then reconcile the diff
+into tools/vendor_gender_names.py's lists and re-run the golden tests
+(the reference's label rules, mostly_male→male / mostly_female→female
+/ andy→unknown per ``task.py:34,43-51``, are folded at refresh time
+either way).
+
+Usage:  python tools/refresh_gender_snapshot.py [--overwrite]
 """
 
 from __future__ import annotations
@@ -34,12 +45,42 @@ def main() -> None:
         name.lower(): _FOLD.get(det.get_gender(name), det.get_gender(name))
         for name in det.names
     }
-    with open(_SNAPSHOT, "w", newline="") as f:
+
+    current: dict[str, str] = {}
+    with open(_SNAPSHOT, newline="") as f:
+        for row in csv.DictReader(f):
+            current[row["name_key"].lower()] = row["gender"]
+    relabeled = sorted(
+        k for k in current if k in folded and folded[k] != current[k]
+    )
+    dropped = sorted(k for k in current if k not in folded)
+    print(
+        f"nam_dict: {len(folded)} names; vs snapshot: "
+        f"{len(relabeled)} relabeled, {len(dropped)} curated names absent"
+    )
+    for k in relabeled[:40]:
+        print(f"  RELABEL {k}: {current[k]} -> {folded[k]}")
+    if dropped:
+        print(f"  ABSENT (first 20): {dropped[:20]}")
+
+    overwrite = "--overwrite" in sys.argv
+    out = (
+        Path(_SNAPSHOT)
+        if overwrite
+        else Path(_SNAPSHOT).with_name("gender_names_namdict.csv")
+    )
+    with open(out, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["name_key", "gender"])
         for k in sorted(folded):
             w.writerow([k, folded[k]])
-    print(f"wrote {len(folded)} names to {_SNAPSHOT}")
+    print(f"wrote {len(folded)} names to {out}")
+    if overwrite:
+        print(
+            "NOTE: the curated snapshot was replaced — reconcile "
+            "tools/vendor_gender_names.py and re-run "
+            "tests/test_netflix.py's golden-label tests"
+        )
 
 
 if __name__ == "__main__":

@@ -17,9 +17,12 @@ table is an explicit, reviewable decision:
     ``unknown`` bucket the reference produces for them.
 
 Snapshot discipline (functions/gender.py): the CSV stays the canonical
-HERMETIC source — this tool is how it is refreshed, and the diff is
-reviewable name-by-name. ``tools/refresh_gender_snapshot.py`` remains
-the exact-nam_dict path when that lib is installable.
+HERMETIC source — THIS tool is how it is refreshed, and the diff is
+reviewable name-by-name. ``tools/refresh_gender_snapshot.py`` derives
+the exact-nam_dict table when that lib is installable, but writes it
+alongside the snapshot by default (overwriting the curated snapshot
+would revert curated names/relabels and break the golden-label tests
+— reconcile its printed diff into the lists below instead).
 
 Run:  python tools/vendor_gender_names.py [--min-count 5] [--dry-run]
 """
@@ -46,46 +49,49 @@ SNAPSHOT = (
 # ---------------------------------------------------------------------------
 
 _MALE = """
-abel adel adnan adriano adrián ahmad ahmed ahmet ajay akira akshay al
+abdullah abel abhishek adel aditya adnan adriano adrián ahmad ahmed
+ahmet ajay akira akshay al
 alain alberto alden aleksandr aleksey alejandro alessandro alessio
-alexandre alfonso ali allan allen amin amir amit aman anand anant
-anders andre andreas andrzej andré andrés angel angus anil anton
+alexandre alfonso ali allan allen amin amir amit aman amr anand anant
+anders andre andreas andrzej andré andrés andy angel angus anil anton
 antoine archie ari arjun armando art arturo arun ashish ashok ashraf
 ashwin atsushi atul august avinash beau ben benny benoît bharat björn
 blake boris brady brendan brent bruno bryce burak byron cal camilo
-carlo cem chetan chris christoph christophe chuck clark claudio clay
+carlo cem charlie chetan chris christoph christophe chuck clark
+claudio clay
 clint clive cody cole connor conor conrad cory césar daisuke damian
-damien damon danish dante darin darío deepak denis desmond devin
+damien damon daniele danish dante darin darío deepak denis desmond
+devin
 dilip dillon dinesh dino dion donny dorian doug duncan ed eli elliot
 emilio emmanuel emre enzo ernie esteban fabian fabio fabrizio fabián
 federico felipe finn florian franck franco francesco freddie freddy
-françois fábio ganesh gareth garrett garry gaurav gautam gavin geoff
+françois fábio gabe ganesh gareth garrett garry gaurav gautam gavin
+geoff
 geoffrey georges gerard gerardo gerry giorgio gil gilles giovanni
 girish gonzalo graham grant gregg griffin guilherme guillaume
 guillermo gustavo guy gérard hakan hal hani hank hans hany hari
 harrison hasan hassan hernán hiroshi hiroyuki hugo hunter hussein
 héctor iain ibrahim ignacio igor imran ira isaiah iván jacek jackson
 jacques jaime jake jakob jamal jan jean-claude jeremiah jermaine
-jerzy jesús jitendra joaquín johan johannes jonah jonas jonny jonny
+jerzy jesús jitendra joaquín joey johan johannes jonah jonas jonny
 joonas jordi josh José joão jude julien julio julius julián kabir
 kai kamal karan karim kazuya ken kenji kenny kentaro ketan khaled
 khalid kirill kishore koichi koji krishna krzysztof kunal lachlan
-lars laurent leandro lenny lenny leonardo liam lionel lorenzo luc
+lars laurent leandro lenny leonardo liam lionel logan lorenzo luc
 luca luciano lukas maciej mads mahesh mahmoud malcolm malik manish
 manny manoj marcel marcelo marco marcos marek mariano mario mark
 martín mason massimo matheus matias matt matteo matthias matías
 mauricio maximilian maxwell mehmet mert metin micah michel michał
 mick mickey miguel miles milind milo mitch mohamed mohammad mohammed
 mohan mohit morten mostafa muhammad mukesh murat mustafa
-nacho nate nelson nico nicolas nicolás nigel nikhil noel nolan omar
+nacho nate nelson nick nico nicolas nicolás nigel nikhil noel nolan
+omar
 onur orlando osman otto owen pablo paco paolo pascal patricio paulo
 pavel pawan pepe pete phil philippe pierre piotr pradeep prakash
 prasad prashant prem quincy rafael rafał rahul raj raja rajeev rajesh
 rajiv rakesh ram ramesh ramón raphael raúl ravi reggie renato rene
 rhys riccardo rich richie rico rob robbie rod rodrigo rohan rohit
 roman rory rubén rupert ryo ryu sachin saeed sahil said sal salah
-nick andy charlie joey logan august angel daniele jude ira eli gabe
-amr abdullah abhishek aditya cory jaime
 salman sameer sami samir sandeep sanjay sanjeev santiago satish
 saurabh sebastian sebastián serdar shaun shawn sherif shinji
 siddharth sonny spencer stefan stefano stig stéphane sudhir suhas
@@ -99,7 +105,7 @@ yousef youssef yusuf zach zack zain zak álex álvaro óscar
 
 _FEMALE = """
 abby abeer ada aditi adriana adrienne aida alba alejandra alessandra
-alexa alexia alina alison alma alyssa amrita ana angelina angie
+alexa alexia alina alison allie alma alyssa amrita ana angelina angie
 anjali annabelle antonia aparna ariana asha ashleigh aurora ava aya
 ayesha ayten ayça bea belén bella bianca billie blanca brianna
 brianne bridget brigitte britt brooke bruna burcu bárbara caitlin
@@ -114,7 +120,7 @@ jessie joanna johanna joséphine joy juliana julieta juliet juliette
 junko jyoti kaitlyn kana kaori karina karla kat katarzyna kate
 katrina katy kay kiki kirsten kristina laila lakshmi lana lara
 larissa laura lea leila lena lexi lili lily lina lindsay lindsey liz
-liza lola lorena lorna lucia lucía luisa luna lynn maría allie
+liza lola lorena lorna lucia lucía luisa luna lynn maría
 maddie madeleine madeline magdalena maggie mai maite mandy manuela
 marcela margarita margot mari mariam mariana marianne marina
 marisa marissa marta martina mayumi maya megumi meera melinda
@@ -140,10 +146,11 @@ casey cha chang chi cho choi coco cooper dakota dana dani dara dee
 deep deng deniz devon dj dominique dong drew el fan femi feng frankie
 gao go gong guo han happy hayden hikaru he hilary hong hu huang hwang
 iman indra jackie jacky jamie jang jean jeon jeong jess ji jiang jin
-mackenzie marion
 jo jordan jun jung kang kaya kelly kerry kim kiran kiko ko kris kwon
-lai lam laurence lee lesley leslie liang lim lin liu lou lu ma manu
-mel miki mika mo moon morgan nam nana nat nicky nicola nikita noor
+lai lam laurence lee lesley leslie liang lim lin liu lou lu ma
+mackenzie manu
+marion mel miki mika mo moon morgan nam nana nat nicky nicola nikita
+noor
 nour oh paris park parker pat peyton quinn rana riley robin sacha
 sandy sasha seo shannon shen shim shin simone song stacy sterling su
 sultan suman sun sung sydney sunny t.j. tan taylor terry tracey tracy
