@@ -135,6 +135,18 @@ def fam_near_dup(spark, n):
     return near_duplicates(docs, "doc_id", "text", threshold=0.5)
 
 
+def fam_ppjoin_jaccard(spark, n):
+    """Exact Jaccard self-join via PPJoin prefix filtering — the
+    heaviest *non-composed* declared family and the one with the
+    widest measured run-to-run spread (2.1-2.7x warm at sf1); a soak
+    row separates its data term from that noise. Candidate count is
+    bounded by prefix co-occurrence, never |docs|²."""
+    from data_engineer_task_spark.operators.dedup import jaccard_join_exact
+
+    docs = _docs(spark, n)
+    return jaccard_join_exact(docs, "doc_id", "text", threshold=0.5)
+
+
 def fam_two_phase_cc(spark, n):
     from data_engineer_task_spark.operators.graph import connected_components
 
@@ -299,6 +311,7 @@ def fam_cms_join_size(spark, n):
 
 FAMILIES = [
     ("lsh_near_dup", (5_000, 20_000, 80_000), fam_near_dup),
+    ("ppjoin_jaccard", (5_000, 20_000, 80_000), fam_ppjoin_jaccard),
     ("curation_funnel", (5_000, 20_000, 80_000), fam_curation_funnel),
     ("curation_keepbest", (5_000, 20_000, 80_000), fam_curation_keepbest),
     ("two_phase_cc", (100_000, 400_000, 1_600_000), fam_two_phase_cc),
