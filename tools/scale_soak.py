@@ -147,6 +147,29 @@ def fam_ppjoin_jaccard(spark, n):
     return jaccard_join_exact(docs, "doc_id", "text", threshold=0.5)
 
 
+def fam_multimodal_topk(spark, n):
+    """The r8 composed multimodal path (synthesize → Arrow decode →
+    metadata filter → Arrow featurize → brute-force cosine top-3 for a
+    fixed 40-id query panel): two map-only Arrow stages + one narrow
+    semi join + a matmul scan — wall should track the scan, i.e. stay
+    near-linear with a fixed query panel."""
+    from data_engineer_task_spark.operators.multimodal import (
+        decode_media,
+        extract_features,
+        synthesize_media_column,
+    )
+    from data_engineer_task_spark.operators.similarity import cosine_topk
+
+    docs = _docs(spark, n)
+    media = synthesize_media_column(docs, "doc_id", "text")
+    meta = decode_media(media, "doc_id", "media")
+    feats = extract_features(media, "doc_id", "media", dim=8)
+    kept = feats.join(
+        meta.where(F.col("format") != "mp4").select("id"), "id", "left_semi"
+    )
+    return cosine_topk(kept, "id", "features", query_filter=F.col("id") < 40, k=3)
+
+
 def fam_two_phase_cc(spark, n):
     from data_engineer_task_spark.operators.graph import connected_components
 
@@ -312,6 +335,7 @@ def fam_cms_join_size(spark, n):
 FAMILIES = [
     ("lsh_near_dup", (5_000, 20_000, 80_000), fam_near_dup),
     ("ppjoin_jaccard", (5_000, 20_000, 80_000), fam_ppjoin_jaccard),
+    ("multimodal_topk", (20_000, 80_000, 320_000), fam_multimodal_topk),
     ("curation_funnel", (5_000, 20_000, 80_000), fam_curation_funnel),
     ("curation_keepbest", (5_000, 20_000, 80_000), fam_curation_keepbest),
     ("two_phase_cc", (100_000, 400_000, 1_600_000), fam_two_phase_cc),
