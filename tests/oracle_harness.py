@@ -8,6 +8,7 @@ row count, column names, and an order-insensitive value comparison
 from __future__ import annotations
 
 import math
+import os
 from decimal import Decimal
 from typing import Any
 
@@ -19,8 +20,13 @@ from data_engineer_task_spark.schemas import TESTDATA_TABLES
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            # Spark-written table = a DIRECTORY of part files (the
+            # .sf1data layout); driver testdata is single-file parquet
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
         )
     return con
 
