@@ -85,13 +85,49 @@ def cms_build(
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
-    """Merge sketches by cell-wise addition (exact, order-free)."""
+    """Merge sketches by cell-wise addition (exact, order-free).
+
+    Depth-safety (ADVICE r8): a naive cell-sum of MIXED-depth shards
+    leaves partial-mass rows at ``j >= min shard depth`` (only the
+    deeper shards contributed there), and a later ``min_j`` estimate
+    over those rows can UNDERESTIMATE — breaking the sketch's
+    one-sided contract. Depths aren't knowable without an action (the
+    inputs are lazy), so instead of validating, the merge keeps only
+    the j rows covered by EVERY non-empty input (``cms_build`` writes
+    all ``j in [0, depth)`` whenever its input is non-empty, so
+    coverage == depth reach): the result is a clean
+    ``min(non-empty depths)``-deep sketch in which every row carries
+    full mass. Equal-depth merges — the only intended use — are
+    byte-identical to the plain cell-sum; empty shards (no rows at
+    any j) add zero mass and don't shrink the domain. All the extra
+    bookkeeping runs on the post-shuffle cell frame (<= depth x 256
+    rows per input), and the doubly-referenced ``cells`` subtree sits
+    above the one shuffle, so inputs are still scanned once."""
     if not sketches:
         raise ValueError("cms_merge needs at least one sketch")
-    out = sketches[0]
-    for s in sketches[1:]:
-        out = out.unionByName(s)
-    return out.groupBy("j", "bucket").agg(F.sum("c").cast("long").alias("c"))
+    if len(sketches) == 1:
+        return sketches[0]
+    tagged = None
+    for i, s in enumerate(sketches):
+        t = s.select("j", "bucket", "c", F.lit(i).alias("_si"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    cells = tagged.groupBy("j", "bucket").agg(
+        F.sum("c").cast("long").alias("c"),
+        F.collect_set("_si").alias("_sis"),
+    )
+    # per-depth-row coverage: how many inputs wrote ANY cell at this j
+    perj = (
+        cells.select("j", F.explode("_sis").alias("_si"))
+        .groupBy("j")
+        .agg(F.countDistinct("_si").alias("_nc"))
+    )
+    full = perj.agg(F.max("_nc").alias("_mx"))
+    keep = (
+        perj.crossJoin(F.broadcast(full))
+        .where(F.col("_nc") == F.col("_mx"))
+        .select("j")
+    )
+    return cells.join(F.broadcast(keep), "j").select("j", "bucket", "c")
 
 
 def cms_estimate(
@@ -153,9 +189,14 @@ def cms_inner_product(
     # its input is non-empty), never from a caller-supplied depth: a
     # depth parameter LARGER than the build depth would mint
     # zero-overlap spine rows and silently return 0, breaking the
-    # one-sided contract (ADVICE r7). Intersecting the two j domains
-    # also keeps mismatched-depth folds one-sided (min over the common
-    # rows is a min over valid per-row overestimates).
+    # one-sided contract (ADVICE r7). Intersecting the two ARGUMENTS'
+    # j domains also keeps a mismatched-depth pair one-sided (each
+    # common row carries both sketches' full mass, so min over them is
+    # a min over valid per-row overestimates) — that claim is scoped
+    # to the two arguments as built: it needs every row of each input
+    # to carry that input's FULL mass, which cms_build guarantees and
+    # cms_merge now preserves by trimming mixed-depth merges to the
+    # covered-by-all j domain (ADVICE r8).
     spine = (
         sketch_a.select("j")
         .distinct()

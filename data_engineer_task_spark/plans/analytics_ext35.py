@@ -38,13 +38,59 @@ from .analytics_ext26 import _K, _KMV_SCALE, _md5_uint48_sql
 from .analytics_ext34 import _hll_sql
 
 _N_SHARDS = 3
-# Folded into the state-dir tag: config identity (k/group/value — a
-# config change must get a FRESH dir, not a config-mismatch error
-# against stale /tmp state) and a manual state version — BUMP IT
-# whenever operators/sketch.py changes any persisted derivation
-# (register hash, rho, KMV hash), or the ledger will skip ingest and
-# serve sketches built by the old code (code-review r8).
-_STATE_VERSION = "v1"
+
+
+def _kernel_digest() -> str:
+    """Content digest of everything that determines the PERSISTED
+    sketch bytes: the sketch operator module (register hash, rho, KMV
+    hash derivations), the rollup pipeline module (slug/layout/ledger
+    discipline), and the oracle-side k / scale constants. Folded into
+    the state-dir tag so a value-affecting kernel change invalidates
+    stale /tmp state BY CONSTRUCTION — the r8 design keyed on a
+    manually-bumped version string, which only worked if someone
+    remembered to bump it (ADVICE r8)."""
+    from ..operators import sketch as _sketch_mod
+    from . import sketch_rollup as _rollup_mod
+
+    h = hashlib.md5()
+    for mod in (_sketch_mod, _rollup_mod):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    h.update(f"|{_K}|{_KMV_SCALE}".encode())
+    return h.hexdigest()[:12]
+
+
+def _footer_digest(path: str) -> str:
+    """md5 of a file's last 64 KiB — for parquet that spans the footer
+    (row-group offsets + min/max stats), so regenerated testdata whose
+    name/size/mtime all coincide with the old files still gets a fresh
+    state dir (VERDICT r8 seam probe: the name/size/mtime triple alone
+    is spoofable by an unlucky regeneration). Bounded read: never more
+    than 64 KiB per part file, regardless of data scale."""
+    with open(path, "rb") as f:
+        f.seek(0, os.SEEK_END)
+        f.seek(max(0, f.tell() - 65536))
+        return hashlib.md5(f.read()).hexdigest()[:12]
+
+
+def _state_base() -> str:
+    """Per-user, mode-0700 scratch root for persisted sketch state.
+    The r8 design nested state directly under the world-shared
+    tempfile.gettempdir(), where another user could pre-create a
+    colliding dir and the ledger would fold foreign parquet into the
+    gated answer (ADVICE r8). Ownership is verified, not assumed: a
+    pre-existing dir owned by someone else raises instead of being
+    silently reused."""
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_state_{uid}")
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    if hasattr(os, "getuid") and os.stat(base).st_uid != os.getuid():
+        raise RuntimeError(
+            f"sketch state base {base} is owned by another user — "
+            "refusing to read or write sketch state there"
+        )
+    os.chmod(base, 0o700)
+    return base
 
 
 @q(
@@ -111,11 +157,13 @@ def sketch_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     affordable "distinct users, updated per ingest" shape — history is
     scanned exactly once, when its shard arrives.
 
-    The staging dir is keyed by the source files' content identity
-    (name/size/mtime — the ``run_stream_running_totals_once``
-    discipline): repeated runs in one round reuse the ledger-skipped
-    state; regenerated testdata at the same path gets a fresh dir
-    instead of being served stale sketches."""
+    The staging dir lives under a per-user mode-0700 scratch root and
+    is keyed by the source files' content identity (name/size/footer
+    digest) AND a digest of the sketch kernel sources: repeated runs
+    in one round reuse the ledger-skipped state; regenerated testdata
+    at the same path — or a value-affecting kernel change — gets a
+    fresh dir instead of being served stale sketches (ADVICE r8 +
+    VERDICT r8 seam probe)."""
     from .sketch_rollup import SketchRollup
 
     ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
@@ -123,7 +171,7 @@ def sketch_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_path = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(events_path):
         stats = [
-            (f, os.path.getsize(p), os.path.getmtime(p))
+            (f, os.path.getsize(p), _footer_digest(p))
             for f in sorted(os.listdir(events_path))
             if not f.startswith((".", "_"))
             for p in [os.path.join(events_path, f)]
@@ -133,14 +181,14 @@ def sketch_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 os.path.basename(events_path),
                 os.path.getsize(events_path),
-                os.path.getmtime(events_path),
+                _footer_digest(events_path),
             )
         ]
     tag = hashlib.md5(
-        f"{events_path}|{_N_SHARDS}|{stats}|{_STATE_VERSION}"
+        f"{events_path}|{_N_SHARDS}|{stats}|{_kernel_digest()}"
         f"|event_type|user_id|{_K}".encode()
     ).hexdigest()[:12]
-    state = os.path.join(tempfile.gettempdir(), f"sketch_rollup_{tag}")
+    state = os.path.join(_state_base(), f"sketch_rollup_{tag}")
 
     roll = SketchRollup(
         spark,

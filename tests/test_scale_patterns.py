@@ -425,6 +425,48 @@ def test_cms_partial_merge_matches_oneshot(spark):
     assert cells(whole) == cells(halves)
 
 
+def test_cms_merge_mixed_depth_stays_one_sided(spark):
+    """ADVICE r8: merging MIXED-depth shards must not leave partial-mass
+    depth rows (only the deeper shard contributed at j >= min depth)
+    that a later min_j estimate could UNDERESTIMATE from. cms_merge
+    trims the merged sketch to the covered-by-all j domain, so the
+    result is a clean min-depth sketch: every estimate stays >= truth,
+    and each surviving depth row carries the full stream mass. Empty
+    shards must neither shrink the domain nor add mass."""
+    from data_engineer_task_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    truth = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("true_cnt"))
+
+    shallow = cms_build(tokens.where("doc_id % 2 = 0"), "token", depth=4)
+    deep = cms_build(tokens.where("doc_id % 2 = 1"), "token", depth=8)
+    merged = cms_merge(shallow, deep).cache()
+
+    # trimmed to the common domain: j in [0, 4) only
+    assert sorted(r["j"] for r in merged.select("j").distinct().collect()) == [0, 1, 2, 3]
+    # every surviving depth row carries the FULL stream mass
+    n_stream = tokens.count()
+    row_totals = [r["t"] for r in
+                  merged.groupBy("j").agg(F.sum("c").alias("t")).collect()]
+    assert row_totals == [n_stream] * 4
+    # and the one-sided estimate contract holds through the merge
+    est = cms_estimate(merged, truth, "token", depth=4).collect()
+    assert est and all(r["cms_est"] >= r["true_cnt"] for r in est)
+    merged.unpersist()
+
+    # an EMPTY shard (no rows at any j) is a no-op for both the domain
+    # and the mass
+    empty = cms_build(tokens.where("doc_id < 0"), "token", depth=4)
+    with_empty = cms_merge(shallow, empty)
+    cells = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert cells(with_empty) == cells(shallow)
+
+
 def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
     """Z-order layout must give file-level min/max locality on BOTH
     clustering columns — the property that makes footer-stats skipping

@@ -11,9 +11,11 @@ raw nam_dict output would drop curated names nam_dict lacks and revert
 curated relabels, breaking ``test_q5_golden_labels`` /
 ``test_q10_cohort_full`` / ``test_gender_snapshot_census``.
 
-Default behavior: write the folded nam_dict table NEXT TO the snapshot
-(``gender_names_namdict.csv``) and print the label diff vs the current
-snapshot for review. Pass ``--overwrite`` only if you really want
+Default behavior: write the folded nam_dict table to a SCRATCH path
+(``tempdir/gender_names_namdict.csv`` — never inside the shipped
+package's resources tree, where a future glob/packaging change could
+pick up the untracked artifact; ADVICE r8) and print the label diff vs
+the current snapshot for review. Pass ``--overwrite`` only if you really want
 nam_dict to replace the curated snapshot — then reconcile the diff
 into tools/vendor_gender_names.py's lists and re-run the golden tests
 (the reference's label rules, mostly_male→male / mostly_female→female
@@ -64,10 +66,14 @@ def main() -> None:
         print(f"  ABSENT (first 20): {dropped[:20]}")
 
     overwrite = "--overwrite" in sys.argv
+    # review copies go to scratch, NOT next to the canonical snapshot
+    # inside the package resources tree (ADVICE r8)
+    import tempfile
+
     out = (
         Path(_SNAPSHOT)
         if overwrite
-        else Path(_SNAPSHOT).with_name("gender_names_namdict.csv")
+        else Path(tempfile.gettempdir()) / "gender_names_namdict.csv"
     )
     with open(out, "w", newline="") as f:
         w = csv.writer(f)
