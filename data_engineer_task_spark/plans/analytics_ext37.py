@@ -108,3 +108,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("media").cast("long").alias("byte_len"),
         F.lower(F.hex("media")).alias("resized_hex"),
     ).orderBy("id")
+
+
+# Next-batch entries register on import (chained, keeps each file navigable).
+from . import analytics_ext38  # noqa: E402,F401  isort:skip

@@ -816,6 +816,7 @@ def test_no_cartesian_or_row_udfs_in_any_declared_entry(spark):
         "multimodal_feature_topk",
         "multimodal_frame_sample",
         "multimodal_resize",
+        "multimodal_header_decode",
         "purchase_click_cogroup_stats",
         "embedding_ann_recall",
         "embedding_semantic_dup_pairs",
@@ -842,6 +843,7 @@ def test_no_cartesian_or_row_udfs_in_any_declared_entry(spark):
         if name not in arrow_ok and (
             "ArrowEvalPython" in plan
             or "MapInPandas" in plan
+            or "MapInArrow" in plan
             or "FlatMapCoGroupsInPandas" in plan
         ):
             offenders.append((name, "undocumented Arrow stage"))
