@@ -37,22 +37,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # registration order (harmless re-verification fills spare slots).
 # Re-check nominations: every entry whose SPARK PLAN was rewritten or
 # whose kernel changed this round — the old plan's driver-green row
-# says nothing about the new plan. Round 8: ADVICE r7 landed in
-# `cms_inner_product` (the min's spine is now DERIVED from the
-# sketches' j domains — the fold subplan changed) and in
-# `orders_incremental_join_merge` (explicit NULLS LAST month ordering
-# on both engines); both re-enter. The r7 nominations (ordered_prefix
-# raw-key callers, BPE cache release, classify() restructure) all
-# went driver-green in CORRECTNESS_r07 on their current plans and
-# left this list. The four r8 gates (`sketch_rollup_report`,
-# `multimodal_feature_topk`, `multimodal_frame_sample`,
-# `multimodal_resize`) are never-checked and lead the window
+# says nothing about the new plan. Round 9: the integer-accumulator
+# overflow audit (VERDICT r8 item 3) changed four plans —
+# `embedding_pca_top_component` (moments via the count-guarded
+# `_integer_moments`, stats job first), `event_value_cusum_changepoint`
+# (daily series DECIMAL(38,0)), `event_value_ks_test` (decimal ECDF
+# products), `orders_incremental_join_merge` (count-guarded revenue
+# accumulator) — and `sketch_rollup_report`'s state plumbing moved to
+# content-digest tags under a per-user root (ADVICE r8). The r8
+# nominations went driver-green in CORRECTNESS_r08 on their current
+# plans and left this list. The new r9 gate
+# (`multimodal_header_decode`) is never-checked and leads the window
 # automatically via the mechanical head.
 _RECHECK = [
-    # cms_inner_product derived-spine rewrite (ADVICE r7)
-    "lineitem_selfjoin_size_cms",
-    # explicit month null ordering both sides (ADVICE r7)
+    "embedding_pca_top_component",
+    "event_value_cusum_changepoint",
+    "event_value_ks_test",
     "orders_incremental_join_merge",
+    "sketch_rollup_report",
 ]
 
 

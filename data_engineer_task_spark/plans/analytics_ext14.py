@@ -84,8 +84,15 @@ def event_value_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+    # DECIMAL(38,0) from the daily rollup on: the frame is tiny
+    # (|types| x |days| — calendar-bounded), and int64 walls sit both
+    # on the per-type total (tot overflows past ~9e15 value units) and
+    # on the n·prefix products (past ~9.2e18/n_days) — exact decimal
+    # costs nothing here and a 100x corpus never hits the ANSI throw
+    # (VERDICT r8 item 3 audit; the DuckDB side already auto-widens
+    # its sums to HUGEINT, so only the Spark wall existed)
     daily = ev.groupBy("event_type", "day").agg(
-        F.round(F.sum("value") * 1000.0).cast("long").alias("s")
+        F.round(F.sum("value") * 1000.0).cast("decimal(38,0)").alias("s")
     )
     wt = W.partitionBy("event_type")
     wo = wt.orderBy(F.asc("day"))

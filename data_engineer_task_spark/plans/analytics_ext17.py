@@ -124,7 +124,17 @@ def event_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_b1") + F.col("c1")).alias("cum1"),
         (F.col("_b2") + F.col("c2")).alias("cum2"),
     ).join(F.broadcast(totals), "event_type")
-    dnum = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    # DECIMAL(38,0) products: cum·n reaches n1·n2 <= (N/2)² per type,
+    # which blows int64 past ~6e9 events per type — real at 100 TB.
+    # The multiply runs on the COLLAPSED per-distinct-value frame
+    # (post-shuffle, 2 ops per row), so exact decimal is free; the
+    # DuckDB oracle's window sums are already HUGEINT (VERDICT r8
+    # item 3 audit). The prefix/total COUNTS stay long — they are
+    # bounded by events-per-type (< 9.2e18 at any reachable scale).
+    dnum = F.abs(
+        F.col("cum1").cast("decimal(38,0)") * F.col("n2")
+        - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
+    )
     # argmax by (dnum DESC, value ASC) == min-struct over (-dnum,
     # value): dnum is an exact BIGINT, so the negation and the
     # lexicographic struct order are exact.

@@ -247,6 +247,76 @@ def _pca_power_ctes(d: int, iters: int) -> str:
     return ",\n    ".join(parts)
 
 
+def _integer_moments(
+    base: DataFrame, d: int
+) -> tuple[int, dict[int, int], dict[tuple[int, int], int]]:
+    """Exact integer first/second moments of a quantized-vector frame
+    ``base(q: array<long>)``: returns ``(n, S, P)`` with
+    ``S[i] = Σ q_i`` and ``P[(i,j)] = Σ q_i·q_j`` (symmetric), the
+    driver-side state the PCA power method folds.
+
+    Accumulator-width escalation (VERDICT r8 item 3): int64 moment
+    sums carry ~3e7 rows per dimension pair at micro-unit quantization
+    before ANSI mode THROWS on overflow — a loud wall, but a wall. One
+    stats job (piggybacked on the n-count the caller needs anyway)
+    also takes ``qmax = max_i |q_i|``; the worst-case moment bound
+    ``n·qmax²`` is then computed in exact Python-int arithmetic, and
+    if it crosses 2^62 (2× safety under the int64 max) BOTH the
+    per-row products and the sums run as DECIMAL(38,0) — exact to
+    1e38, so a 100×-scale corpus degrades to a slightly slower exact
+    plan instead of an exception. The returned values are plain Python
+    ints either way (Decimal → int is exact), so the caller's
+    covariance arithmetic — and the cross-engine bitwise contract with
+    the DuckDB oracle, whose BIGINT sums auto-widen to HUGEINT — is
+    unchanged by the escalation."""
+    st = base.select(
+        F.count(F.lit(1)).alias("n"),
+        F.max(
+            F.aggregate(
+                F.col("q"),
+                F.lit(0).cast("long"),
+                lambda a, x: F.greatest(a, F.abs(x)),
+            )
+        ).alias("qmax"),
+    ).collect()[0]
+    n, qmax = int(st["n"]), int(st["qmax"] or 0)
+    prod_t = "decimal(38,0)" if n * qmax * qmax >= (1 << 62) else "long"
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(d)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(d)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (
+                        F.get(F.col("q"), i - 1).cast(prod_t)
+                        * F.get(F.col("q"), j - 1).cast(prod_t)
+                    ).cast(prod_t).alias("p"),
+                ),
+            ),
+        )
+    )
+    prows = (
+        base.select(F.explode(pairs).alias("e"))
+        .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
+        .agg(F.sum("e.p").cast(prod_t).alias("p"))
+        .collect()
+    )
+    srows = (
+        base.select(F.posexplode("q").alias("i0", "x"))
+        .groupBy((F.col("i0") + 1).alias("i"))
+        .agg(F.sum(F.col("x").cast(prod_t)).cast(prod_t).alias("s"))
+        .collect()
+    )
+    S = {int(r["i"]): int(r["s"]) for r in srows}
+    P: dict[tuple[int, int], int] = {}
+    for r in prows:
+        P[(int(r["i"]), int(r["j"]))] = int(r["p"])
+        P[(int(r["j"]), int(r["i"]))] = int(r["p"])
+    return n, S, P
+
+
 @q(
     "embedding_pca_top_component",
     f"""
@@ -299,11 +369,14 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact integer moment, every transform a defined-order sequence
     of correctly-rounded IEEE ops). DETERMINISM: the one discrete
     output (top_dim) argmaxes |v_i| over bitwise-identical doubles
-    with a dim tie-break; the floats are display-rounded. At larger
-    corpora the BIGINT moment sums need DECIMAL(38,0) headroom
-    (ANSI overflow throws loudly, never silently wraps; micro-unit
-    products are ~3e11 per row, so int64 carries ~3e7 rows per
-    dimension pair)."""
+    with a dim tie-break; the floats are display-rounded. Overflow
+    headroom (VERDICT r8 item 3): int64 moment sums carry ~3e7 rows
+    per dimension pair at micro-unit quantization; ``_integer_moments``
+    bounds the worst case as n·qmax² from the n-count job it runs
+    anyway and escalates the accumulators to exact DECIMAL(38,0) past
+    2^62 — a 100× scale-up degrades to a slightly slower exact plan,
+    never an ANSI throw (pinned by
+    ``test_r9_seams.py::test_integer_moments_escalate_past_int64``)."""
     import math
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -313,40 +386,7 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.round(x.cast("double") * 1000000.0).cast("long"),
     )
     base = emb.select(q_col.alias("q"))
-    seq_i = F.sequence(F.lit(1), F.lit(d))
-    pairs = F.flatten(
-        F.transform(
-            seq_i,
-            lambda i: F.transform(
-                F.sequence(i, F.lit(d)),
-                lambda j: F.struct(
-                    i.cast("int").alias("i"),
-                    j.cast("int").alias("j"),
-                    (F.get(F.col("q"), i - 1) * F.get(F.col("q"), j - 1)).alias(
-                        "p"
-                    ),
-                ),
-            ),
-        )
-    )
-    prows = (
-        base.select(F.explode(pairs).alias("e"))
-        .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
-        .agg(F.sum("e.p").cast("long").alias("p"))
-        .collect()
-    )
-    srows = (
-        base.select(F.posexplode("q").alias("i0", "x"))
-        .groupBy((F.col("i0") + 1).alias("i"))
-        .agg(F.sum("x").cast("long").alias("s"))
-        .collect()
-    )
-    n = base.count()
-    S = {r["i"]: r["s"] for r in srows}
-    P = {}
-    for r in prows:
-        P[(r["i"], r["j"])] = r["p"]
-        P[(r["j"], r["i"])] = r["p"]
+    n, S, P = _integer_moments(base, d)
     assert len(S) == d, f"embedding dim {len(S)} != {d}"
     # covariance: same op sequence as the oracle's cfull expression
     C = {

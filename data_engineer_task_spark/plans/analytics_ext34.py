@@ -202,6 +202,21 @@ def orders_incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     l_old = li.where(F.coalesce(F.col("l_shipdate") < l_cut, F.lit(True)))
     l_new = li.where(F.col("l_shipdate") >= l_cut)
 
+    # Count-guarded accumulator escalation (VERDICT r8 item 3 audit):
+    # per-row 1e-4-unit products reach round(max_price·1e4) ≈ 1e9, so
+    # int64 carries ~9e9 rows per month-group — marginal at 100 TB.
+    # Unlike the tiny CUSUM/KS frames this sum IS the hot path (it
+    # folds the whole fact scan), so decimal is gated on a measured
+    # bound: one cheap 2-column stats job (count + max price), and the
+    # conservative all-rows-in-one-month product bound against 2^62.
+    # The DuckDB oracle already sums to HUGEINT; escalation changes
+    # only the Spark accumulator width, never the value.
+    li_st = li.agg(
+        F.count(F.lit(1)).alias("n"), F.max("l_extendedprice").alias("mx")
+    ).collect()[0]
+    rev_bound = int(li_st["n"]) * int(round(float(li_st["mx"] or 0) * 10000))
+    rev_t = "decimal(38,0)" if rev_bound >= (1 << 62) else "long"
+
     def partial(o: DataFrame, l: DataFrame) -> DataFrame:
         return (
             o.join(l, o.o_orderkey == l.l_orderkey)
@@ -213,7 +228,7 @@ def orders_incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame
                         F.col("l_extendedprice")
                         * (1 - F.col("l_discount"))
                         * 10000.0
-                    ).cast("long")
+                    ).cast(rev_t)
                 ).alias("ps"),
             )
         )

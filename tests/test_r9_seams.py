@@ -163,3 +163,32 @@ def test_sample_frames_single_frame_and_large_stride(spark):
     # stride past the clip length: frame 0 only, for every non-empty clip
     wide = sample_frames(df, "id", "media", every_n=100).collect()
     assert sorted((r["id"], r["frame_idx"]) for r in wide) == [(1, 0), (2, 0)]
+
+
+# ---------------------------------------------------------------------------
+# integer-moment kernels past the int64 wall (VERDICT r8 item 3)
+# ---------------------------------------------------------------------------
+
+def test_integer_moments_escalate_past_int64(spark):
+    """Drive the PCA moment kernel past the int64 accumulator bound:
+    per-row products of 9e18 sit just INSIDE int64, but the 40-row sum
+    (3.6e20) overflows it — without the count-guarded DECIMAL(38,0)
+    escalation ANSI mode throws ArithmeticException here. The escalated
+    path must return the exact value."""
+    from data_engineer_task_spark.plans.analytics_ext25 import _integer_moments
+
+    rows = [([3_000_000_000, 2_000_000_000],) for _ in range(40)]
+    base = spark.createDataFrame(rows, "q array<long>")
+    n, S, P = _integer_moments(base, 2)
+    assert n == 40
+    assert S[1] == 40 * 3_000_000_000 and S[2] == 40 * 2_000_000_000
+    assert P[(1, 1)] == 40 * 9_000_000_000_000_000_000  # 3.6e20 > int64
+    assert P[(1, 2)] == 40 * 6_000_000_000_000_000_000
+    assert P[(2, 1)] == P[(1, 2)]
+    assert P[(2, 2)] == 40 * 4_000_000_000_000_000_000
+
+    # the small-corpus fast path (long accumulators) stays exact too
+    small = spark.createDataFrame([([3, 4],), ([5, 6],)], "q array<long>")
+    n2, S2, P2 = _integer_moments(small, 2)
+    assert (n2, S2[1], S2[2]) == (2, 8, 10)
+    assert (P2[(1, 1)], P2[(1, 2)], P2[(2, 2)]) == (34, 42, 52)
