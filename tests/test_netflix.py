@@ -117,19 +117,21 @@ def test_q5_golden_labels(star):
 
 
 def test_gender_snapshot_census(star):
-    """Every first name with >=5 personnel rows must be an EXPLICIT
-    snapshot decision (male/female/unknown row in gender_names.csv) —
-    unknowns are curated 'andy' folds or non-given-name tokens, never
-    accidental coverage gaps. Keeps future snapshot regenerations
-    honest: a new dataset name above the threshold fails here until
-    tools/vendor_gender_names.py is re-run and the label reviewed."""
+    """Every first name with >=3 personnel rows (threshold lowered
+    from 5 in r9, VERDICT r8 item 5) must be an EXPLICIT snapshot
+    decision (male/female/unknown row in gender_names.csv) — unknowns
+    are curated 'andy' folds, non-given-name tokens, or documented
+    curator-declined rows, never accidental coverage gaps. Keeps
+    future snapshot regenerations honest: a new dataset name above the
+    threshold fails here until tools/vendor_gender_names.py is re-run
+    and the label reviewed."""
     from data_engineer_task_spark.functions.gender import _mapping
 
     mapping = _mapping()
-    assert len(mapping) > 1000, "vendored snapshot missing?"
+    assert len(mapping) > 2500, "vendored snapshot missing or stale?"
     freq = (
         star.personnel.groupBy(F.lower("first_name").alias("k"))
-        .count().where(F.col("count") >= 5).collect()
+        .count().where(F.col("count") >= 3).collect()
     )
     missing = sorted(r["k"] for r in freq if r["k"] not in mapping)
     assert not missing, f"uncurated names >=5 occurrences: {missing[:20]}"

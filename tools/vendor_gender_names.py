@@ -1,8 +1,9 @@
 """Vendor a fuller name→gender snapshot (VERDICT r7 item 2).
 
 Regenerates ``resources/gender_names.csv`` so that EVERY first name
-appearing >= MIN_COUNT times in the reference dataset's personnel
-table is an explicit, reviewable decision:
+appearing >= MIN_COUNT times (default 3 since r9; was 5 in r8) in the
+reference dataset's personnel table is an explicit, reviewable
+decision:
 
   - ``male`` / ``female``  — from the curated public-knowledge map
     below (common given names and their predominant gender across the
@@ -24,7 +25,7 @@ alongside the snapshot by default (overwriting the curated snapshot
 would revert curated names/relabels and break the golden-label tests
 — reconcile its printed diff into the lists below instead).
 
-Run:  python tools/vendor_gender_names.py [--min-count 5] [--dry-run]
+Run:  python tools/vendor_gender_names.py [--min-count 3] [--dry-run]
 """
 
 from __future__ import annotations
@@ -158,6 +159,129 @@ vicky wang wei wong wu xu yang yao yi yin yoo yoon yu yuan yuen yuki
 yuri zhang zhao zhou zhu dr. j. j.d. k. m. r.
 """.split()
 
+# ---------------------------------------------------------------------------
+# r9 widening (VERDICT r8 item 5): curated labels for names observed
+# 3-4 times in the dataset (the census threshold dropped from 5 to 3).
+# Same discipline as the >=5 blocks above; names observed at >=3 that
+# appear in NONE of these lists are written as 'unknown' by the
+# observed-names sweep — the documented "curator declined" bucket.
+# ---------------------------------------------------------------------------
+
+_MALE += """
+aakash aamir abbas abdel abdul abdulaziz abhay abhijit abhinav abraham
+adan adarsh adeel adrien agustín aiden aitor akash aksel alastair
+alban aldo alec aleksandar alistair alok alphonso alvin amar amol
+anand andrei andres anish ankit ankush anoop anson antony anupam
+anurag arash arie arman armand armin arnold artur arvind ashutosh
+asif asim augusto aurélien axel ayman ayumu aziz baron barış bassam
+bassel benedict benjamín bernie bert bertrand bhushan bikram bilal
+brennan buddy burt bülent caio callan callum calum caner carter cary
+celso cengiz cesar chandan chase chinmay ciarán clayton cliff colby
+colton corbin cyril cyrus daiki dane danilo darius darshan daryl
+declan deon dermot dev deven dhruv dick didier dieter dileep dimas
+dimitri dirk donnie donovan doron dragan dwayne dwight eddy edison
+edmond edmund edoardo ege elias elijah elvis emil emiliano emir
+emmett emrah engin enrico erdal erick ernesto erol eugen evgeniy ezra
+ezzat fabien fahad faisal farhan faris filippo fionn flavio fouad
+frédéric félix gabriele gagan gaspard gastón germán giacomo giancarlo
+gideon giles gino giulio gopal goran goro grégoire gunnar guru habib
+hadi hakim hamdi hamdy hamish hamza harald harish harsh hayato hemant
+henrik herb hesham himanshu hiro hiroaki hiroki hisham hitesh
+hrishikesh hubert humberto hussain ibrahima ismail israel issei iñaki
+iñigo i̇lker jai jairo janusz jasper javed jayden jayson jed
+jean-michel jean-pierre jiro joachim josep josiah judah junichi
+junior jérémie jérôme józef kane kapil karsten karthik kasper
+kazuhiro kazuki kedar keegan keenan keiichi kelvin kenan kengo kenn
+kent khalil kieran kohei konstantin kotaro kristian kubilay kumar
+kunle kushal kıvanç lalit landon lautaro levent levi lew louie lucien
+luka magnus maher mahmood majed majid makarand makoto mamoru manav
+mangesh manolo marcello mariusz markus marlon marty marwan masashi
+masato massimiliano mat mateusz mathias mauro mayur mehdi meshal
+michaël mikael mikey mikhail milan miquel mitsuru mohd mohsen monty
+moses moshe mukul myles nabil naoto narendra nasser nathanael naveen
+navin neal ned neeraj nestor niall nik niko nikolai nikolaj nils
+nishant nobuyuki norm néstor okan olaf olly om omari osama osvaldo
+ozan pankaj paras paresh partho patrik pau pep pierce pierfrancesco
+pietro philipp pramod pranav pratap praveen preston puneet pushkar
+quentin raghav rajat rajendra rajkumar rami ramiro ranjit rashid reda
+rehan remo rené rex ric rishi rocky rodger rodolfo rolf romain ronny
+rudy rufus rusty ryohei ryosuke ryota sagar salim salvatore sammy
+samrat santosh satoshi satya saul sayed seann serkan sergi shabbir
+sharad shashank sherman shigeru shiva shivam sho shubham shunsuke sid
+sibusiso silvio sinan sohail sooraj spike stan stephan stijn
+sudhanshu sumit suraj surya sushant sven syed sylvain sylvester
+søren taher takayuki talal tanner tanuj tarik tariq taro taron tarık
+tenzing teo tetsu tetsuya thiago thor théo timo tito titus tomas
+tomer tommaso tomohiro tomoyuki trent tristan tucker tunde tushar
+tyrone udo ulrich valentin venkatesh viktor vineeth vipin vishnu vlad
+volker wade wael wagner wale waleed wallace wally werner wil willy
+wolfgang wyatt yann yoshiyuki yosuke yuichi yuji yutaka yuto yves zac
+zafer zakariya zayed zoltán éric
+""".split()
+
+_FEMALE += """
+aarti abril adelaide adrianna adèle agnieszka agustina aimee
+aishwarya alana alexandria alia alisha alka ally alycia alyson amal
+amalia america amruta amrutha ananya anastasia angelica angeline
+angélica anisa anjana anju annabel antoinette anu anushka anya
+archana aria ashlyn asia aslı asmaa asuka ayaka ayu ayumi beatriz
+bebe becky begüm belinda berta bethany betsy bhavani blanche briana
+callie candace candela candice cansu carly carmina catalina cate
+celina celine chandini charity charmaine cherry chiara chie chioma
+christiane christy clare clotilde constanza consuelo corinne danica
+daria debbie deepali deepika deepti deirdre demet demi derya desiree
+devika devyani disha diya drea dulce eiko elise elle elsie emi
+emmanuelle emmy esha esra estelle eugenia fabiana fabiola fatma faye
+felicia felicity fleur freya gabby gabriella gauri geeta gia gwyneth
+géraldine hanan hande heba hema hind hisako hiyori huda hülya hélène
+ijeoma iliana ilse imani imelda imogen ina inas india indira inge
+inma irina ishita isis ivy i̇pek janel janelle jasmin jayne jazmyn
+jemima jemma jenn jillian jimena jocelyn jodi joelle jordana juana
+julianne júlia kajal kali kanako kara kari karolina katarina
+katharine kathrine katia katrin keiko kelli kelsey kemi kiana
+kimberley kimmy komal kristine kriti kritika krystal kyla kylie kyoko
+kyra laurel leanne leela leticia lidia liliana lilly lise liv lizzie
+luciana lucie lulu luz lynne lynsey léa macarena madhavi madhuri
+madoka maeve magda maha maia maisie maja majo mala malaika malena
+mallika mami manju margherita marguerite maribel maris marisol
+mariya marla marlene maryam masako mathilde may mayra małgorzata
+meagan meenakshi meg meghan meghna mei melina melis melisa melody
+meltem meral mercy meredith mikaela mikako millie minami mindy mira
+mireia mireille miu miyu montse montserrat myra myriam mélanie nada
+nandita naoko natsumi naya nidhi nika nita nur nuria padma paloma
+pam parvathy parveen patti penelope peta petra pia piper pippa
+preeti priscila priscilla puteri radha radhika rajeshwari ramona
+ramya randa rasika ratna reba reema reina rena renata rhea ria richa
+riham rima risa ritu riya rochelle rocío romina roopa rosamund
+rosanna roxanne ruhi rupa saki sakshi samira sammi samyuktha sandi
+sanya saori sapna sari sarika satomi savannah savita scarlet seda
+seiko selen selma serena shakira shalini shanna shauna shazia
+shefali shelby shilpa shiori shriya shubhangi sian sienna sigrid
+simi simona skye so-yeon suchitra sujata sumire susie swati sylvie
+sílvia takako talia tamar tamsin tanvi teri tess tessa tilda tomoko
+tori traci tricia trisha tyra urmila ursula vandana virginie wakana
+whitney ximena yael yara yasmine yoriko yoshiko yvette zoey zofia
+zoya ángela özge özlem
+""".split()
+
+_ANDY += """
+a. addison adi aj aki alexx amrit anindya anjum aoi arya ash ashton
+ashwini asri avery b. b.j. baek bela bimbo bin bing brit brooklyn
+byun cai carey cassidy chai chance chandra cheng chew chiaki chin
+chu chun chung cris d.b. dai dallas dany darby dayo dewi dian didi
+eden fran fu gaby georgie gim grey gulshan gurpreet ha hai harsha
+hou hsia hsieh hyun im ini izzy j.c. j.j. jaden jani jet ji-won jody
+jojo ju juri k.c. kader kaoru karol kei king kirby kit kranti ku
+kuang kuo kwok la lan lane lau lei leigh leung lex lil lo lung luo
+lyric lü mac manpreet mar master min ming minori mir misha moe
+montana mrunal mu na nao natsuki navneet ng ni nic ola p.j. pj qi qu
+reese remy ren rio rip rj roshan rowan rumi sai samar sani scottie
+seun seyi shadi shakti shan shao shashi sheng shi shree sky skylar
+so sol soma sonam sora stevie storm sura taiwo tate tatum tian tien
+ting tj tomiwa tomo tope tory tosin toyin tuna um v. van w. wai wen
+woo xiao yan yayo ye yen yeo yim yo yong yun zheng şafak
+""".split()
+
 _MALE = [n.lower() for n in _MALE]
 
 
@@ -219,7 +343,7 @@ def build(min_count: int) -> tuple[dict[str, str], list[str]]:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--min-count", type=int, default=5)
+    ap.add_argument("--min-count", type=int, default=3)
     ap.add_argument("--dry-run", action="store_true")
     args = ap.parse_args()
 
