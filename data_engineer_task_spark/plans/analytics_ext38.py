@@ -155,3 +155,88 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_arrow(
         media, "doc_id", "media", decode_fn=header_decode
     ).orderBy("id")
+
+
+_CMS_BUCKET = (
+    "(instr('0123456789abcdef',"
+    " substr(md5('cms:' || CAST({j} AS VARCHAR) || ':' || {tok}), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef',"
+    " substr(md5('cms:' || CAST({j} AS VARCHAR) || ':' || {tok}), 2, 1)) - 1)"
+)
+
+
+@q(
+    "doc_token_cms_sharded_merge",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    cells AS (
+      SELECT j, {_CMS_BUCKET.format(j="j", tok="token")} AS bucket, cnt
+      FROM vocab CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+    ),
+    sketch AS (
+      SELECT j, bucket, CAST(sum(cnt) AS BIGINT) AS c
+      FROM cells GROUP BY j, bucket
+    ),
+    panel AS (
+      SELECT token, CAST(cnt AS BIGINT) AS true_cnt
+      FROM vocab ORDER BY cnt DESC, token ASC LIMIT 10 OFFSET 10
+    ),
+    probe AS (
+      SELECT t.token, t.true_cnt, min(s.c) AS cms_est
+      FROM panel t
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) d
+      JOIN sketch s
+        ON s.j = d.j
+       AND s.bucket = {_CMS_BUCKET.format(j="d.j", tok="t.token")}
+      GROUP BY t.token, t.true_cnt
+    )
+    SELECT token, true_cnt, CAST(cms_est AS BIGINT) AS cms_est
+    FROM probe ORDER BY true_cnt DESC, token ASC
+    """,
+)
+def doc_token_cms_sharded_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS partial-merge contract as a gated entry: the corpus is
+    split into two doc shards, each reduced to its OWN 4x256 sketch,
+    and the shards are folded with ``cms_merge`` — whose r9 rewrite
+    (depth-row coverage trim, ADVICE r8) this gates end-to-end, since
+    the oracle builds the grid ONE-SHOT in SQL: hash equality proves
+    shard-build -> merge == one-shot, cell-exactly, cross-engine (the
+    equal-depth identity path of the trim; the mixed-depth trim path
+    is property-tested). The probe panel is the SECOND frequency
+    decile (ranks 11-20), where cells are lighter and a merge defect
+    that duplicated or dropped cell mass would not hide under a
+    heavy-hitter's collision slack.
+
+    Scale shape: one (shard, token) groupBy collapses the corpus with
+    map-side combine — the only shuffle that scales with data, and
+    ReuseExchange serves all three consumers (two shard sketches + the
+    exact panel) from that single exchange; everything after is
+    fixed-size (<= shards x depth x 256 cells). At 100 TB the shards
+    are per-day/per-partition persisted sketch state and the merge
+    reads only sketch rows — history is never re-scanned."""
+    from ..operators.sketch import cms_build, cms_estimate, cms_merge
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(2)).alias("sh"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    )
+    pv = toks.groupBy("sh", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    merged = cms_merge(
+        cms_build(pv.where(F.col("sh") == 0), "token", depth=4, weight_col="w"),
+        cms_build(pv.where(F.col("sh") == 1), "token", depth=4, weight_col="w"),
+    )
+    vocab = pv.groupBy("token").agg(
+        F.sum("w").cast("long").alias("true_cnt")
+    )
+    panel = (
+        vocab.orderBy(F.desc("true_cnt"), F.asc("token")).offset(10).limit(10)
+    )
+    return cms_estimate(merged, panel, "token", depth=4).orderBy(
+        F.desc("true_cnt"), F.asc("token")
+    )

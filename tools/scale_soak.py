@@ -337,7 +337,10 @@ FAMILIES = [
     ("ppjoin_jaccard", (5_000, 20_000, 80_000), fam_ppjoin_jaccard),
     ("multimodal_topk", (20_000, 80_000, 320_000), fam_multimodal_topk),
     ("curation_funnel", (5_000, 20_000, 80_000), fam_curation_funnel),
-    ("curation_keepbest", (5_000, 20_000, 80_000), fam_curation_keepbest),
+    # 320k rung (VERDICT r8 item 6): the 80k step ratio rose to ~4.0x
+    # per 4x docs (locally linear) — one rung deeper confirms it stays
+    # <=1 before anything builds on it
+    ("curation_keepbest", (5_000, 20_000, 80_000, 320_000), fam_curation_keepbest),
     ("two_phase_cc", (100_000, 400_000, 1_600_000), fam_two_phase_cc),
     ("ivf_pq", (10_000, 40_000, 160_000), fam_ivf_pq),
     ("bpe_merge_rounds", (5_000, 20_000, 80_000), fam_bpe),
