@@ -74,10 +74,16 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    # priors are comparable only at the SAME scale factor (code-review
+    # r9): without this guard a cross-sf run trips the 'moved >1.5x'
+    # trigger on every entry and silently doubles the bench wall
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     prior: dict[str, float] = {}
     try:
         with open(detail_path) as f:
-            prior = json.load(f).get("queries", {})
+            _prior_doc = json.load(f)
+        if _prior_doc.get("sf") == sf_val:
+            prior = _prior_doc.get("queries", {})
     except Exception:
         prior = {}
     timings: dict[str, float] = {}
@@ -128,7 +134,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": {k: timings[k] for k in flagship if k in timings},
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         "n_queries": len(timings),
         "detail_file": "BENCH_DETAIL.json",
     }

@@ -164,8 +164,14 @@ def event_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n1").cast("long").alias("n_pre"),
             F.col("n2").cast("long").alias("n_post"),
             (
+                # n1*n2 in DECIMAL too (code-review r9): a long*long
+                # product here would re-open the exact int64 wall the
+                # dnum escalation removed. Exact product -> one
+                # double conversion, same as DuckDB's HUGEINT path.
                 F.round(
-                    F.col("dnum") * 1.0 / (F.col("n1") * F.col("n2")) * 1000000.0
+                    F.col("dnum") * 1.0
+                    / (F.col("n1").cast("decimal(38,0)") * F.col("n2"))
+                    * 1000000.0
                 )
                 / 1000000.0
             ).alias("ks_stat"),

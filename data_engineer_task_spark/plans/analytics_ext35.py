@@ -81,10 +81,25 @@ def _state_base() -> str:
     gated answer (ADVICE r8). Ownership is verified, not assumed: a
     pre-existing dir owned by someone else raises instead of being
     silently reused."""
+    import stat as statmod
+
     uid = os.getuid() if hasattr(os, "getuid") else "u"
     base = os.path.join(tempfile.gettempdir(), f"spark_graft_state_{uid}")
+    # lstat + symlink rejection (code-review r9): makedirs/stat/chmod
+    # all FOLLOW symlinks, so a pre-planted symlink at this predictable
+    # name pointing at a victim-owned directory would pass a stat-based
+    # ownership check while redirecting state to an attacker-chosen
+    # location. Refuse anything that is not a real directory we own.
+    if os.path.islink(base):
+        raise RuntimeError(
+            f"sketch state base {base} is a symlink — refusing to "
+            "follow it for sketch state"
+        )
     os.makedirs(base, mode=0o700, exist_ok=True)
-    if hasattr(os, "getuid") and os.stat(base).st_uid != os.getuid():
+    st = os.lstat(base)
+    if not statmod.S_ISDIR(st.st_mode):
+        raise RuntimeError(f"sketch state base {base} is not a directory")
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
         raise RuntimeError(
             f"sketch state base {base} is owned by another user — "
             "refusing to read or write sketch state there"
@@ -170,12 +185,24 @@ def sketch_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events_path = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(events_path):
-        stats = [
-            (f, os.path.getsize(p), _footer_digest(p))
-            for f in sorted(os.listdir(events_path))
-            if not f.startswith((".", "_"))
-            for p in [os.path.join(events_path, f)]
-        ]
+        # recursive, deterministic walk (code-review r9): a
+        # partitionBy layout nests part files under key=... dirs, and
+        # open()ing a directory entry raises IsADirectoryError — the
+        # digest must key on the FILES wherever they sit
+        stats = []
+        for root, dirs, files in os.walk(events_path):
+            dirs[:] = sorted(d for d in dirs if not d.startswith((".", "_")))
+            for f in sorted(files):
+                if f.startswith((".", "_")):
+                    continue
+                p = os.path.join(root, f)
+                stats.append(
+                    (
+                        os.path.relpath(p, events_path),
+                        os.path.getsize(p),
+                        _footer_digest(p),
+                    )
+                )
     else:
         stats = [
             (

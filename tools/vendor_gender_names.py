@@ -21,9 +21,9 @@ Snapshot discipline (functions/gender.py): the CSV stays the canonical
 HERMETIC source — THIS tool is how it is refreshed, and the diff is
 reviewable name-by-name. ``tools/refresh_gender_snapshot.py`` derives
 the exact-nam_dict table when that lib is installable, but writes it
-alongside the snapshot by default (overwriting the curated snapshot
-would revert curated names/relabels and break the golden-label tests
-— reconcile its printed diff into the lists below instead).
+to a SCRATCH path by default (overwriting the curated snapshot would
+revert curated names/relabels and break the golden-label tests —
+reconcile its printed diff into the lists below instead).
 
 Run:  python tools/vendor_gender_names.py [--min-count 3] [--dry-run]
 """
