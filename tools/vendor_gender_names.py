@@ -1,7 +1,7 @@
 """Vendor a fuller name→gender snapshot (VERDICT r7 item 2).
 
 Regenerates ``resources/gender_names.csv`` so that EVERY first name
-appearing >= MIN_COUNT times (default 3 since r9; was 5 in r8) in the
+appearing >= MIN_COUNT times (default 2 since r9; was 5 in r8) in the
 reference dataset's personnel table is an explicit, reviewable
 decision:
 
@@ -25,7 +25,7 @@ to a SCRATCH path by default (overwriting the curated snapshot would
 revert curated names/relabels and break the golden-label tests —
 reconcile its printed diff into the lists below instead).
 
-Run:  python tools/vendor_gender_names.py [--min-count 3] [--dry-run]
+Run:  python tools/vendor_gender_names.py [--min-count 2] [--dry-run]
 """
 
 from __future__ import annotations
@@ -282,6 +282,176 @@ ting tj tomiwa tomo tope tory tosin toyin tuna um v. van w. wai wen
 woo xiao yan yayo ye yen yeo yim yo yong yun zheng şafak
 """.split()
 
+# ---------------------------------------------------------------------------
+# r9 second widening: curated labels for names observed exactly TWICE
+# (census threshold 3 → 2). Same discipline; two-occurrence names in
+# none of these lists are written as documented-declined 'unknown'.
+# ---------------------------------------------------------------------------
+
+_MALE += """
+aanand aashish abdellah abdulla abdulmohsen abdur abe abhimanyu abu
+ace adebayo ademola adil afonso aftab ahsan ajinkya ajit akin akio
+akiva akram albrecht aleksander alfredo alon alper ambrose amitabh
+amitabha ammar anatole angad angelo anirban aniruddha anirudh anjan
+anshuman antoni antti anubhav anuj arif arkadiusz arnar arno arsenio
+arshad asier asit atanu atharva atticus ayaz ayberk ayhan ayub babak
+baptiste bart barun bas basil bassem bastian benson bentley beppe
+berat bernd bharath bikramjeet birkan bjarne bogdan boman borja
+braeden brando brendon brody bronson burgess carles carmelo carmine
+carson carsten casper cassius cedric cemal cesare chaitanya chandler
+chandrakant chang-hwan chapman chatchai chester chirag chittaranjan
+ciaran ciro claes clem clovis coby collin colm cosme cosmo crispin
+cristián dalip damián dario darragh darryl dash davide dejan delroy
+demetri devendra dexter dharmendra dharmesh dheeraj dhirendra dhiru
+diallo digvijay domenico donal drake dusan eamon eduard eldar elie
+elliott elyes emad emanuele enric eoin erich erkan ervin erwin esben
+etienne evans everardo ewen eyad ezequiel fabrice fadi fatih fathy
+fayez fedor ferdi feroz firat florent flynn forrest fraser fredric
+fritz fumihiko gaetano gage gautham gbenga ghassan gianluca gianni
+gijs giorgi godfrey gord gorka gregorio grégory gus güven götz
+hafeez hajime hallvard hamad hannes hardik hareesh harris
+harshvardhan hatem hemanth henning henryk herbie herry hervé hideaki
+hideyuki hitoshi ho-jin horacio hung husam hussien huub hüseyin idir
+idris ike ikechukwu ilia ilkka indrajit iqbal irfan irshad ishaan
+isiah ismael issa issac i̇brahim jace jagdeep jameel jarred jayan
+jayant jayaprakash jean-baptiste jean-françois jefferson jens
+jeremie jerod jeroen jett jimi joaquin johann john-paul johnathan
+johny joko jonás joris josef joyraj juanjo judd jules junaid juraj
+jérémy jürgen kaan kadeem kamil kamlesh karanvir kareem kashyap
+kaustubh kavin kazuma keanu keiji keir keisuke kemal kenichi kenjiro
+kenta kento kepa kerem kerr kitaro kiyoshi klaus koen koki kosuke
+krish krishan kristoffer kristopher kunihiko lakeith lal lambert
+lancelot lander latif lauri leif lennie leopoldo les lev levan
+lincoln lonny ludovico ludovik luigi lukasz lyle lyman lyndon madan
+maged magdy magnús mahavir mahendra mahir majdi maksim mamadou
+mandla manikandan manop mansaku marcial marius marko marques mart
+masaaki masahiko masaki masaru masaya mateo mathis matthieu maurizio
+maurício maxim maxime mehmood mesut meyer mihai mikel mikkel minoru
+mirosław mitsuaki mitsuo mohamad mohsin moritz mounir mourad moussa
+muhammed muharrem munish murad murray máximo måns müfit nadeem
+nadim nadir nagesh nakul nam-gil naman nandu nash nassar navid nazim
+neville niels niklas nimai ninad nirmal nishikant nitin nitish
+noam nobuaki nonso numa obi oded oguzhan ohad olli omero omkar oren oriol
+orkun orson osamu padam palash pancho parambrata paritosh paxton
+peppino percy piers piyush pongsatorn prabhu pradip praneet prasanna
+prasanth prateik pratik prince priyadarshan priyanshu pulkit punit
+puru raaghav rainer rajan ralf raman ramez ramsey ramzy ranbir
+randal randhir randolph rasmus redouane reece reg reid reiner
+reinout renan rendy renny reuben reza rik ringo rishabh ritchie
+ritesh ritwik rizky robb robby robinson rocco romeo ronan rotimi
+royce rudolf rui rupaul ryotaro ryuichi rıza saad sajid saket
+samer samit samson samy sanath sandro santhosh saqib saravana
+saurav saverio sawyer saúl scot sedat sello serge sergei sergey
+sethu seán shaad shaan shad shadab shahid shailesh sheldon
+shinnosuke shintaro shirish shishir shivaji shota shreeram shreyas
+shrikant shubhankar siddarth siddhant sidharth slimane soham sohrab
+soliman souleymane soumitra sreekanth sridhar stafford stanislav
+stanisław stellan stu subbu sudheer sudip sudipto suhaas suhail
+sujith sullivan sunder sushanth sushil swapnil sérgio tadeusz
+tae-hwan tait takanori takaya takeo takeru takumi takuro tamir
+tanvir tarsem tato tej tejas teun thabo thomás tiger timm timmy
+tomokazu tomoki tomoya toshiki toygan toño trae tristán trond
+tuncer tye uday uriel usher utkarsh utpal uwe uğur vadim vance
+vatsal ved vidyut viju vikrant vineet vinoth vipul vishesh vishwas
+vito vitthal wataru wendell wilfred willem wilmer wim winston
+woo-sung wynton xander xavi yaser yash yasir yasuaki yasuhiro
+yasushi yoel yogesh yoji yong-woo yoshihiko younes young-hoon yudai
+yukitoshi yul yusuke yuta yutaro yuya yvan zaki zayn zbigniew
+zdzislaw zeb zeeshan ziad zion zygmunt àlex ángel çetin édouard
+ömer öner ümit
+""".split()
+
+_FEMALE += """
+achita adeline adriane afra agata ahna aisha aisling aja akanksha
+akemi alankrita alanna aleksandra alessia aline alisa allegra alli
+ama amala amara amelie amina amita amparo amyra amélia anahí anika
+anisha anja anjelica anne-marie anneliese anupama anusha apasiri
+aradhana ariadna ariane arielle arisa artemis aruna arunima arushi
+asami astrid asuman aswathy atsuko aura aurélie ayako ayisha bahar
+banita barbora başak beena berna bernadette berrak bette
+bhagyashree bharati bharti birgitte bo-ra bree brittney bronwen
+brooklynn bushra bérénice caitlyn calista canan candy carina
+carmela caro carole cayetana chantal charlize charo chelcie
+chitrangada chloé chloë chrissy christa christel christie
+clementine concha cornelia cosima cristine célia dalal danna danuta
+dasha davina deanne deb debi deepa defne delfina della delnaaz
+delphine denisse dianne dimple dinah dipti donia dora doria
+déborah ebru eda edie ekta elana eleonore elham eliane elif elissa
+satarupa
+elli elly eloise elçin emerald emy enaam erinn ester eugenie evelin
+evelyne ezgi faith farida farrah fathia fay federica fifi fify fina
+flavia flor flora franziska françoise gargi gautami gayathri
+geetanjali geetika genelia gigi ginger ginny giorgia gisela gizem
+gözde graciela gracy gretchen grażyna gwendoline haifa haifaa
+hailey halima hallie harleen hend henriette hermelinda hermione
+hiam hilda hina hye-jin iben ignacia ikumi ilana ileana ines inés
+inthira iria isla ivonne iza i̇dil jaclyn jacqui jamie-lee jamila
+janine janna jeanine jeannie jenni jennie ji-a jigna jocelyne joely
+joke jolie jonna jorja joselyn josie juhi jui justine kaho kaitlin
+kalpana kamini kanae kanika karena karima karoline karrie karuna
+kashmira kasia katerina katey katja kayli keira kika kimiko kinda
+kira kirstin kishori kitty konomi krisha krista krystle kumiko
+kumkum kunika kym lalita lavinia layla leonie leonora lesli leslye
+letícia leïla lia liana lila liliane lilli lisette lizzy loni lora
+lorene lorenza loretta louisa luana luise lynda maaike maaya macy
+madonna mahima mahira maika maisa majida makenzie maki mamiko
+mandakini manon mara maram marci mariah marianna maricel marika
+mariko mariona marita marlee marwa maudy mavis mawar mayu mayuko
+maïmouna maïwenn meena meesha mela melora menna meryl michela mila
+milene milla milly mine misato missi mita mitzi miwa miya momoko
+muriel médina mélissa naglaa nahed natali natalya natasa natascha
+nathalia neelam neena neetu nell nelly nerea nergis neta niamh
+nichole nicki nidia nil nisa noelia noelle noemi noorin nozomi
+noémie nutan nya odessa odette olive oona opal oriana orla padmini
+pamelyn parvati patrícia patsy paty paz pelin pepa peri perla
+philippine phyllida pimchanok polina poppy porscha portia prachi
+pratima praveena princess putri q'orianka queen ragaa rachelle
+raveena rebekah reiko renuka reshma revathi rhiannon rhoda rhona
+ritika roisin rola romy roselyn rossy roxy ruba rukhsar ryoko saara
+saba sabine safia safinaz saidah sakura salli samara sameera samia
+samiksha samina samriddhi sanaa sandrine sandrinna sangeetha sarita
+sawsan sayumi scarlett selina sema serra seung-yeon shaimaa shaina
+shailene shaily shama shari sheeba sheetal sherilyn sherine sherri
+shikha shirin shizuka shona shraddha siena sissi sissy sita sloane
+so-yeong soledad sonali sorcha souad srishti stefanie sudha
+suhasini sulakshana sumitra sunita suparna surabhi surbhi susanna
+susannah sushma sushmita suzan swara tabitha tallulah tami tanuja
+tanushree tarra tasha tatiana tejaswini telma tinna trish trupti
+tuba tuva tuğba tülay uma urvashi valentina valérie vasundhara
+veronika viktoriya viviana vivienne vrinda wafaa welile wendi
+wiktoria willa willow winnie xenia yasemin ye-jin yelena yoshimi
+yousra yukari yumi yurika yuriko yuuka zahra zainab zarina zerrin
+zita élodie ève öykü úrsula şenay
+""".split()
+
+_ANDY += """
+a.j. a.r. aarya abi abir ade ady alix aly amari ami an ananda andie
+andree ani arata arden asante aytaç b.n. baba baby bai baljinder
+balu ban beck bergur big bilge bille bj black blaire bolaji bora
+brune bucek bukky byeon c. c.j. cam camryn carmel cas chae chan
+chanon charley charli chia chicco chico china chow choe christoffer
+chuang cj corin cree d d. d.c. d.j. da dar dareen darcy daya dede
+deddy debo del ding doğa dorien dougie duan edi eike
+elisha eman g. g.k. geng gugu gulzar gunn gurinder hao harley harman
+heo hetal hira hsu hua hui i ireti j.r. j.t. jae janis jasbir jaylin
+jazz jazzy jc jessy ji-ho jian jin-young jinu jj joo jordyn jp jr
+juju jung-min juno ka kabby kalani kanan kavi kayode keerthi kehinde
+kendall kenya kid kimi kuan kuldeep kwak kwan kyung l. lao law le
+lego lilian liron loren loreto lotus lovely lupe lyon m.j. mako mali
+mana manjeet marin marley marlo marti masami matty mc meng
+miao mizuki momo mr. n. naga navdeep neet nene nguyen
+nozomu o.c. p. p.k. page pali pan patrice pei peng pepper
+phoenix poon qin qiu r.j. ra rabbit
+rae rahat rain randeep razor rez rica river roma ronit ronni
+rupinder ry saman sascha saumya shamim shammi shay shaz
+shea shiloh shiney shiny shu si sibongile skyler smith sola soni
+soo-bin soo-hyun sri stef steph tae tai talat tam tang tanveer
+tao taran taranjit tay tegan thanh tinu toa tolu trace tsai tsubasa
+ungku uzor v veera vega vin viva wan wi wynn xia xian
+xiang xie xin yani yee yemi yeon yeung yiğit you youn young yuma
+yuu yuval zhan zul
+""".split()
+
 _MALE = [n.lower() for n in _MALE]
 
 
@@ -343,7 +513,7 @@ def build(min_count: int) -> tuple[dict[str, str], list[str]]:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--min-count", type=int, default=3)
+    ap.add_argument("--min-count", type=int, default=2)
     ap.add_argument("--dry-run", action="store_true")
     args = ap.parse_args()
 
