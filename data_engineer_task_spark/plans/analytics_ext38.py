@@ -98,10 +98,27 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_media_arrow, header_decode
 
     docs = _t_wide(spark, sf_dir, "documents")
+    media = synth_header_media(docs)
+    return decode_media_arrow(
+        media, "doc_id", "media", decode_fn=header_decode
+    ).orderBy("id")
+
+
+def synth_header_media(docs: DataFrame) -> DataFrame:
+    """The entry's header synthesizer, factored for direct edge
+    testing (valid for ANY non-negative doc_id: every derived field is
+    modulo-bounded below its byte width). Input needs (doc_id, text);
+    output is (doc_id, media binary)."""
     did = F.col("doc_id")
     m = F.pmod(did, F.lit(4))
     w = (F.lit(1) + F.pmod(did, F.lit(4096))).cast("long")
-    h = (F.lit(1) + F.pmod(did * 7, F.lit(2160))).cast("long")
+    # (id % 2160) * 7 % 2160 == (id * 7) % 2160, without the int64
+    # multiply overflow a raw id*7 hits past ~1.3e18 under ANSI (found
+    # by the extreme-id seam test; the oracle's doc_id*7 spelling is
+    # safe at any reachable testdata id)
+    h = (F.lit(1) + F.pmod(F.pmod(did, F.lit(2160)) * 7, F.lit(2160))).cast(
+        "long"
+    )
     rate = (F.lit(8000) + F.pmod(did, F.lit(40)) * 1000).cast("long")
     ch = (F.lit(1) + F.pmod(did, F.lit(2))).cast("long")
     dl = (F.lit(4) * (F.lit(1) + F.pmod(did, F.lit(8)))).cast("long")
@@ -143,7 +160,7 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     unknown_hex = F.concat(F.lit("00"), F.md5(F.col("text")))
 
-    media = docs.select(
+    return docs.select(
         did.alias("doc_id"),
         F.unhex(
             F.when(m == 0, png_hex)
@@ -152,9 +169,6 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(unknown_hex)
         ).alias("media"),
     )
-    return decode_media_arrow(
-        media, "doc_id", "media", decode_fn=header_decode
-    ).orderBy("id")
 
 
 _CMS_BUCKET = (

@@ -192,3 +192,43 @@ def test_integer_moments_escalate_past_int64(spark):
     n2, S2, P2 = _integer_moments(small, 2)
     assert (n2, S2[1], S2[2]) == (2, 8, 10)
     assert (P2[(1, 1)], P2[(1, 2)], P2[(2, 2)]) == (34, 42, 52)
+
+    # empty corpus: graceful (0, {}, {}), not a None-arithmetic crash
+    empty = spark.createDataFrame([], "q array<long>")
+    assert _integer_moments(empty, 2) == (0, {}, {})
+
+
+def test_header_synthesis_valid_at_extreme_doc_ids(spark):
+    """The header synthesizer must emit parseable bytes for ANY
+    non-negative doc_id (every derived field is modulo-bounded below
+    its byte width) — probe the hex-surgery endian paths at huge ids,
+    the zero id, and each format branch at the 2^40 scale a 100 TB
+    corpus would reach."""
+    from data_engineer_task_spark.operators.multimodal import header_decode
+    from data_engineer_task_spark.plans.analytics_ext38 import synth_header_media
+
+    ids = [0, 1, 2, 3, (1 << 40) + 0, (1 << 40) + 1, (1 << 40) + 2,
+           (1 << 40) + 3, (1 << 62), (1 << 62) + 1, (1 << 62) + 2]
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in ids], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: bytes(r["media"])
+            for r in synth_header_media(docs).collect()}
+    for i in ids:
+        meta = header_decode(rows[i])
+        m = i % 4
+        if m == 3:
+            assert meta == {"format": "unknown", "width": 0, "height": 0,
+                            "n_frames": 0}
+            continue
+        exp_fmt = {0: "png", 1: "jpeg", 2: "wav"}[m]
+        assert meta["format"] == exp_fmt, (i, meta)
+        if m in (0, 1):
+            assert meta["width"] == 1 + i % 4096
+            assert meta["height"] == 1 + (i * 7) % 2160
+            assert meta["n_frames"] == 1
+        else:
+            ch, dl = 1 + i % 2, 4 * (1 + i % 8)
+            assert meta["width"] == 8000 + (i % 40) * 1000
+            assert meta["height"] == ch
+            assert meta["n_frames"] == dl // (2 * ch)
