@@ -452,6 +452,28 @@ xiang xie xin yani yee yemi yeon yeung yiğit you youn young yuma
 yuu yuval zhan zul
 """.split()
 
+# r9 final sweep: the 78 observed names that fell through the two
+# widening passes as auto-unknowns, now explicit decisions — after
+# this, EVERY snapshot row traces to a curated list (the observed-
+# names setdefault is a safety net, not a label source).
+_MALE += """
+archit avi andoni denny diaa diego francesc hengky hirofumi inigo
+kaito kokoy loyiso mathieu ole olivier ravindra sabry sameh supoj
+walid
+""".split()
+
+_FEMALE += """
+angelique claudette céline indrani mrinmayee nandini niveditha rashi
+sisca tomomi tomoyo tracee
+""".split()
+
+_ANDY += """
+adebukola arkie atom bryn chen damilola falz fezile fumi garland
+grand gökçe haru hayes honey in jaeden jing kaiwi kazumi ke kottayam
+li liao loo lucky mandeep merritt miss nie ning puri ravel s. s.s.
+sang shady silk son sukhbir sukhwinder udoka wofai xi zezé
+""".split()
+
 _MALE = [n.lower() for n in _MALE]
 
 
