@@ -66,16 +66,25 @@ def main() -> None:
         print(f"  ABSENT (first 20): {dropped[:20]}")
 
     overwrite = "--overwrite" in sys.argv
-    # review copies go to scratch, NOT next to the canonical snapshot
-    # inside the package resources tree (ADVICE r8)
+    # Review copies go to scratch, NOT next to the canonical snapshot
+    # inside the package resources tree (ADVICE r8). The scratch file
+    # must not be a fixed name in the world-writable tempdir either —
+    # a pre-planted symlink there could redirect the write or tamper
+    # with the artifact before review (ADVICE r9) — so mint it with
+    # mkstemp (O_CREAT|O_EXCL, mode 0600, unpredictable suffix).
+    import os
     import tempfile
 
-    out = (
-        Path(_SNAPSHOT)
-        if overwrite
-        else Path(tempfile.gettempdir()) / "gender_names_namdict.csv"
-    )
-    with open(out, "w", newline="") as f:
+    if overwrite:
+        out = Path(_SNAPSHOT)
+        fh = open(out, "w", newline="")
+    else:
+        fd, name = tempfile.mkstemp(
+            prefix="gender_names_namdict_", suffix=".csv"
+        )
+        out = Path(name)
+        fh = os.fdopen(fd, "w", newline="")
+    with fh as f:
         w = csv.writer(f)
         w.writerow(["name_key", "gender"])
         for k in sorted(folded):

@@ -474,6 +474,25 @@ li liao loo lucky mandeep merritt miss nie ning puri ravel s. s.s.
 sang shady silk son sukhbir sukhwinder udoka wofai xi zezé
 """.split()
 
+# ---------------------------------------------------------------------------
+# r10 final sweep (VERDICT r9 item 1, census threshold 2 -> 1): every
+# first name observed EXACTLY ONCE is an explicit decision too. The
+# ~8.8k singleton dispositions live in tools/gender_singletons.py
+# (3,720 male / 3,169 female / 1,890 reviewed-and-declined unknowns —
+# numerals, band names, initials, surname-first tokens, ambiguous).
+# After this merge the observed-names setdefault in build() is pure
+# safety net: a name reaching it means the dataset changed.
+# ---------------------------------------------------------------------------
+try:
+    from gender_singletons import DECLINED, FEMALE, MALE
+except ImportError:  # invoked as tools/vendor_gender_names.py from repo root
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from gender_singletons import DECLINED, FEMALE, MALE
+
+_MALE += MALE
+_FEMALE += FEMALE
+_ANDY += DECLINED
+
 _MALE = [n.lower() for n in _MALE]
 
 
