@@ -37,24 +37,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # registration order (harmless re-verification fills spare slots).
 # Re-check nominations: every entry whose SPARK PLAN was rewritten or
 # whose kernel changed this round — the old plan's driver-green row
-# says nothing about the new plan. Round 9: the integer-accumulator
-# overflow audit (VERDICT r8 item 3) changed four plans —
-# `embedding_pca_top_component` (moments via the count-guarded
-# `_integer_moments`, stats job first), `event_value_cusum_changepoint`
-# (daily series DECIMAL(38,0)), `event_value_ks_test` (decimal ECDF
-# products), `orders_incremental_join_merge` (count-guarded revenue
-# accumulator) — and `sketch_rollup_report`'s state plumbing moved to
-# content-digest tags under a per-user root (ADVICE r8). The r8
-# nominations went driver-green in CORRECTNESS_r08 on their current
-# plans and left this list. The new r9 gate
-# (`multimodal_header_decode`) is never-checked and leads the window
-# automatically via the mechanical head.
+# says nothing about the new plan. Round 10: `cms_merge` grew the
+# disjoint-domain loud-failure guard (ADVICE r9 — an extra tiny agg +
+# raise_error branch in the merge subplan), which rewrites
+# `doc_token_cms_sharded_merge`'s executed plan. The r9 nominations
+# went driver-green in CORRECTNESS_r09 on their current plans and left
+# this list. The new r10 gate (`doc_token_cms_mixed_depth_merge`) is
+# never-checked and leads the window automatically via the mechanical
+# head. (`doc_token_cms_topk` is NOT nominated: it calls
+# cms_estimate with an explicit depth, whose code path is unchanged.)
 _RECHECK = [
-    "embedding_pca_top_component",
-    "event_value_cusum_changepoint",
-    "event_value_ks_test",
-    "orders_incremental_join_merge",
-    "sketch_rollup_report",
+    "doc_token_cms_sharded_merge",
 ]
 
 

@@ -102,7 +102,18 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     any j) add zero mass and don't shrink the domain. All the extra
     bookkeeping runs on the post-shuffle cell frame (<= depth x 256
     rows per input), and the doubly-referenced ``cells`` subtree sits
-    above the one shuffle, so inputs are still scanned once."""
+    above the one shuffle, so inputs are still scanned once.
+
+    Inputs must be ``cms_build``/``cms_merge`` outputs: those cover a
+    contiguous ``[0, depth)`` j domain whenever non-empty, which is
+    what makes "per-j coverage == number of non-empty inputs" hold on
+    the kept rows. A hand-built or filtered sketch with a DISJOINT j
+    domain (e.g. A wrote only j=0, B only j=1) breaks that equation —
+    every kept row would carry partial mass and a later ``min_j``
+    estimate could underestimate — so the merge fails loudly
+    (``raise_error`` at execution) instead of degrading the one-sided
+    contract (ADVICE r9): it compares the kept rows' coverage against
+    the distinct non-empty inputs across ALL rows."""
     if not sketches:
         raise ValueError("cms_merge needs at least one sketch")
     if len(sketches) == 1:
@@ -116,16 +127,38 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
         F.collect_set("_si").alias("_sis"),
     )
     # per-depth-row coverage: how many inputs wrote ANY cell at this j
-    perj = (
-        cells.select("j", F.explode("_sis").alias("_si"))
-        .groupBy("j")
-        .agg(F.countDistinct("_si").alias("_nc"))
+    ex = cells.select("j", F.explode("_sis").alias("_si"))
+    perj = ex.groupBy("j").agg(F.countDistinct("_si").alias("_nc"))
+    # 1-row guard frame: max per-j coverage AND the count of distinct
+    # non-empty inputs overall. Well-formed inputs (contiguous
+    # [0, depth) domains) always reach _mx == _nin on their min-depth
+    # rows; a disjoint-domain input leaves _mx < _nin and every "kept"
+    # row partial — raise instead of serving underestimates.
+    full = perj.agg(F.max("_nc").alias("_mx")).crossJoin(
+        ex.agg(F.countDistinct("_si").alias("_nin"))
     )
-    full = perj.agg(F.max("_nc").alias("_mx"))
     keep = (
         perj.crossJoin(F.broadcast(full))
         .where(F.col("_nc") == F.col("_mx"))
-        .select("j")
+        .select(
+            F.when(F.col("_mx") == F.col("_nin"), F.col("j"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "cms_merge: disjoint depth-row domains — "
+                            "inputs must be cms_build/cms_merge outputs "
+                            "(max per-j coverage "
+                        ),
+                        F.col("_mx").cast("string"),
+                        F.lit(" < non-empty inputs "),
+                        F.col("_nin").cast("string"),
+                        F.lit(")"),
+                    )
+                )
+            )
+            .alias("j")
+        )
     )
     return cells.join(F.broadcast(keep), "j").select("j", "bucket", "c")
 
@@ -135,7 +168,7 @@ def cms_estimate(
     probes: DataFrame,
     token_col: str,
     *,
-    depth: int = 4,
+    depth: int | None = 4,
 ) -> DataFrame:
     """Estimate counts for a probe-token set: probes + ``cms_est``.
 
@@ -143,10 +176,25 @@ def cms_estimate(
     fan-out (probes × depth) joins it map-only, then one tiny groupBy
     takes the min across rows. Absent cells count as 0 (a token whose
     cell was never touched has true count 0).
+
+    ``depth=None`` follows the SKETCH's own depth-row domain (its
+    distinct j values, a <= depth-row broadcast) instead of assuming
+    ``[0, depth)`` — required after a mixed-depth ``cms_merge``, whose
+    trimmed domain a caller-supplied depth can only under-probe
+    (missing rows read as absent-cell zeros → underestimates) or
+    mis-probe. For an empty sketch the domain is empty, the fan-out
+    produces no rows, and the probe frame comes back empty — the same
+    "nothing to estimate against" a zero-row sketch means everywhere.
     """
-    fanout = probes.select(
-        "*", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
-    ).withColumn("bucket", _bucket(F.col("j"), F.col(token_col)))
+    if depth is None:
+        js = F.broadcast(sketch.select("j").distinct())
+        fanout = probes.crossJoin(js).withColumn(
+            "bucket", _bucket(F.col("j"), F.col(token_col))
+        )
+    else:
+        fanout = probes.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+        ).withColumn("bucket", _bucket(F.col("j"), F.col(token_col)))
     probe_cols = [c for c in probes.columns]
     return (
         fanout.join(F.broadcast(sketch), ["j", "bucket"], "left")

@@ -254,3 +254,6 @@ def doc_token_cms_sharded_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(merged, panel, "token", depth=4).orderBy(
         F.desc("true_cnt"), F.asc("token")
     )
+
+
+from . import analytics_ext39  # noqa: E402,F401  isort:skip

@@ -467,6 +467,29 @@ def test_cms_merge_mixed_depth_stays_one_sided(spark):
     assert cells(with_empty) == cells(shallow)
 
 
+def test_cms_merge_rejects_disjoint_depth_domains(spark):
+    """ADVICE r9: inputs whose j domains are DISJOINT (not cms_build
+    outputs — e.g. one sketch filtered to j=0, another to j=1) would
+    merge into all-partial-mass rows the coverage trim cannot
+    distinguish from a clean min-depth domain; every later min_j
+    estimate could underestimate. The merge must fail loudly at
+    execution instead of degrading the one-sided contract."""
+    import pytest
+
+    from data_engineer_task_spark.operators.sketch import cms_build, cms_merge
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    base = cms_build(tokens, "token", depth=2).cache()
+    try:
+        only_j0 = base.where("j = 0")
+        only_j1 = base.where("j = 1")
+        with pytest.raises(Exception, match="disjoint depth-row domains"):
+            cms_merge(only_j0, only_j1).collect()
+    finally:
+        base.unpersist()
+
+
 def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
     """Z-order layout must give file-level min/max locality on BOTH
     clustering columns — the property that makes footer-stats skipping
