@@ -46,8 +46,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # never-checked and leads the window automatically via the mechanical
 # head. (`doc_token_cms_topk` is NOT nominated: it calls
 # cms_estimate with an explicit depth, whose code path is unchanged.)
+# `multimodal_header_decode` is also nominated: the r10 seam fix
+# decorrelated the synthesizer's parameters from the format selector
+# (q = id >> 2 derivations on BOTH engine sides), rewriting its plan
+# and its oracle.
+# `orders_incremental_join_merge` is nominated out of caution: its
+# accumulator-width bound now derives from parquet footer stats
+# (cached, scan-free — ADVICE r9) instead of a Spark stats job; the
+# selected width is value-identical, so this is re-verification, not a
+# plan rewrite.
 _RECHECK = [
     "doc_token_cms_sharded_merge",
+    "multimodal_header_decode",
+    "orders_incremental_join_merge",
 ]
 
 

@@ -31,6 +31,38 @@ from data_engineer_task_spark.plans.analytics import QUERIES  # noqa: E402
 from data_engineer_task_spark.session import get_spark  # noqa: E402
 
 
+def _load_prior(detail_path: str, sf_val) -> dict[str, float]:
+    """Prior per-query times for the 'moved >1.5x' re-run trigger.
+
+    Priors are comparable only at the SAME scale factor (code-review
+    r9): without that guard a cross-sf run trips the trigger on every
+    entry and silently doubles the bench wall. The file is also
+    untrusted input (VERDICT r9 item 7c — it may be truncated by a
+    killed run, hand-edited, or copied from another machine): a parse
+    failure, a non-dict queries field, or non-numeric/non-positive
+    values must degrade to "no prior" (full-strength re-run policy),
+    never crash the bench mid-suite — a poisoned value would otherwise
+    raise TypeError inside the per-query noise check."""
+    try:
+        with open(detail_path) as f:
+            doc = json.load(f)
+        if not isinstance(doc, dict) or doc.get("sf") != sf_val:
+            return {}
+        queries = doc.get("queries", {})
+        if not isinstance(queries, dict):
+            return {}
+        return {
+            k: float(v)
+            for k, v in queries.items()
+            if isinstance(k, str)
+            and isinstance(v, (int, float))
+            and not isinstance(v, bool)
+            and 0 < v < float("inf")  # drops NaN/inf too
+        }
+    except Exception:
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -74,18 +106,8 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
-    # priors are comparable only at the SAME scale factor (code-review
-    # r9): without this guard a cross-sf run trips the 'moved >1.5x'
-    # trigger on every entry and silently doubles the bench wall
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    prior: dict[str, float] = {}
-    try:
-        with open(detail_path) as f:
-            _prior_doc = json.load(f)
-        if _prior_doc.get("sf") == sf_val:
-            prior = _prior_doc.get("queries", {})
-    except Exception:
-        prior = {}
+    prior = _load_prior(detail_path, sf_val)
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         times: list[float] = []

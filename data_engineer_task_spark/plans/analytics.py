@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..operators.normalize import explode_multivalue, surrogate_key
 from ..operators.relational import anti_join, semi_join, top_k, top_k_per_group, yoy_growth
-from ..sources.catalog import load_table
+from ..sources.catalog import gated_broadcast, load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -135,9 +135,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join: fact lineitem ⋈ orders, then broadcast dims. nation/
-    region/customer are broadcast (≪ threshold) so only the
-    lineitem⋈orders join shuffles — at 100 TB that's the one join that
-    should shuffle, co-partitioned on orderkey."""
+    region are constant-size (25/5 rows at ANY scale factor) and stay
+    unconditionally hinted; customer GROWS with the corpus, so its
+    hint is gated on footer-measured size (``gated_broadcast``, r10
+    audit) — under the cap only the lineitem⋈orders join shuffles,
+    co-partitioned on orderkey; past it the customer join falls back
+    to the planner instead of OOMing every executor at 100 TB."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -145,7 +148,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(gated_broadcast(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..operators.sampling import _md5_uint16
 from .analytics import _t, q
+from ..sources.catalog import gated_broadcast
 from .analytics_ext7 import _md5_u16_sql
 
 _CELL = 10.0  # degrees; coarse enough that dense cells exist at test SFs
@@ -392,7 +393,7 @@ def nation_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     x = (
-        rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+        rev.join(gated_broadcast(c, sf_dir, "customer"), rev.o_custkey == c.c_custkey)
         .join(F.broadcast(nat), c.c_nationkey == nat.n_nationkey)
         .select(F.col("n_name").alias("nation"), (F.col("cents") * 1.0).alias("v"))
     )

@@ -136,8 +136,9 @@ def event_value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
     )
     # argmax by (dnum DESC, value ASC) == min-struct over (-dnum,
-    # value): dnum is an exact BIGINT, so the negation and the
-    # lexicographic struct order are exact.
+    # value): dnum is an exact DECIMAL(38,0) integer (r9 width
+    # escalation), so the negation and the lexicographic struct order
+    # are exact.
     ranked = (
         cum.select(
             "event_type",

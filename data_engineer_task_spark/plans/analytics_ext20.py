@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .analytics import _SHINGLE_CTE, _SPLIT_BYTE, _near_dup_tail, _t, _t_wide, q
+from ..sources.catalog import gated_broadcast
 
 
 @q(
@@ -173,7 +174,7 @@ def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(gated_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(

@@ -144,6 +144,71 @@ def event_user_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REV_BOUND_CACHE: dict[tuple, int] = {}
+
+
+def _lineitem_revenue_bound(sf_dir: str, li: DataFrame) -> int:
+    """Upper bound on Σ round(price·1e4) if EVERY lineitem row landed
+    in one month-group: rows × round(max_price·1e4).
+
+    Footer-first (ADVICE r9): parquet footers carry exact row counts
+    and column min/max, so the bound costs O(files) metadata reads
+    instead of a driver action scanning the fact table — and the
+    result is cached on the files' (path, size, mtime) identity, so
+    bench reps and repeated session calls skip even that. Falls back
+    to a 2-column Spark stats job when footers are unreadable or a
+    row group lacks l_extendedprice stats (then cached under the same
+    key). Python ints are unbounded, so the product itself cannot
+    overflow while deciding whether Spark's accumulator would."""
+    import os
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    files = []
+    if os.path.isdir(path):
+        for root, _dirs, names in os.walk(path):
+            files += [os.path.join(root, n) for n in names
+                      if n.endswith(".parquet")]
+    elif os.path.exists(path):
+        files = [path]
+    files.sort()
+    key = tuple(
+        (f, st.st_size, st.st_mtime_ns)
+        for f in files
+        for st in [os.stat(f)]
+    )
+    if key and key in _REV_BOUND_CACHE:
+        return _REV_BOUND_CACHE[key]
+
+    bound = None
+    if files:
+        try:
+            import pyarrow.parquet as pq
+
+            n, mx = 0, 0.0
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                n += md.num_rows
+                idx = md.schema.to_arrow_schema().get_field_index(
+                    "l_extendedprice"
+                )
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError("row group without price stats")
+                    mx = max(mx, float(st.max))
+            bound = n * int(round(mx * 10000))
+        except Exception:
+            bound = None
+    if bound is None:
+        st = li.agg(
+            F.count(F.lit(1)).alias("n"), F.max("l_extendedprice").alias("mx")
+        ).collect()[0]
+        bound = int(st["n"]) * int(round(float(st["mx"] or 0) * 10000))
+    if key:
+        _REV_BOUND_CACHE[key] = bound
+    return bound
+
+
 @q(
     "orders_incremental_join_merge",
     """
@@ -207,14 +272,15 @@ def orders_incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     # int64 carries ~9e9 rows per month-group — marginal at 100 TB.
     # Unlike the tiny CUSUM/KS frames this sum IS the hot path (it
     # folds the whole fact scan), so decimal is gated on a measured
-    # bound: one cheap 2-column stats job (count + max price), and the
-    # conservative all-rows-in-one-month product bound against 2^62.
-    # The DuckDB oracle already sums to HUGEINT; escalation changes
-    # only the Spark accumulator width, never the value.
-    li_st = li.agg(
-        F.count(F.lit(1)).alias("n"), F.max("l_extendedprice").alias("mx")
-    ).collect()[0]
-    rev_bound = int(li_st["n"]) * int(round(float(li_st["mx"] or 0) * 10000))
+    # bound (conservative all-rows-in-one-month product vs 2^62). The
+    # bound comes from parquet FOOTER stats — row counts + column
+    # max — not a scan, and is cached per file identity, so repeated
+    # invocations in one session (bench reps) pay nothing (ADVICE
+    # r9); a stats-less layout falls back to the one 2-column Spark
+    # stats job, overcounting nothing. The DuckDB oracle already sums
+    # to HUGEINT; escalation changes only the Spark accumulator
+    # width, never the value.
+    rev_bound = _lineitem_revenue_bound(sf_dir, li)
     rev_t = "decimal(38,0)" if rev_bound >= (1 << 62) else "long"
 
     def partial(o: DataFrame, l: DataFrame) -> DataFrame:

@@ -48,10 +48,19 @@ def _le(col: Column, nbytes: int) -> Column:
     "multimodal_header_decode",
     """
     WITH p AS (
+      -- parameters derive from q = doc_id // 4, NOT doc_id itself:
+      -- the format selector m consumes doc_id's low bits, so any
+      -- parameter still keyed on doc_id is CORRELATED with its own
+      -- branch (r10 seam probe: ch = 1 + doc_id % 2 under m = 2 --
+      -- which forces doc_id even -- could never reach ch = 2, and
+      -- dl hit only {12, 28}); ch and dl further split q's parity
+      -- (r = q // 2) so the ch x dl grid has no dead corners
       SELECT doc_id AS id, doc_id % 4 AS m,
-             1 + doc_id % 4096 AS w, 1 + (doc_id * 7) % 2160 AS h,
-             8000 + (doc_id % 40) * 1000 AS rate, 1 + doc_id % 2 AS ch,
-             4 * (1 + doc_id % 8) AS dl
+             1 + (doc_id // 4) % 4096 AS w,
+             1 + ((doc_id // 4) * 7) % 2160 AS h,
+             8000 + ((doc_id // 8) % 40) * 1000 AS rate,
+             1 + (doc_id // 4) % 2 AS ch,
+             4 * (1 + (doc_id // 8) % 8) AS dl
       FROM documents
     )
     SELECT id,
@@ -85,10 +94,13 @@ def multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     then parses the bytes with the REAL ``header_decode`` through the
     pandas-free ``mapInArrow`` seam. Dims/rates/channels are doc_id
-    arithmetic (w = 1+id%4096, h = 1+(7id)%2160, rate = 8000+1000·(id%40),
-    ch = 1+id%2, data_len = 4·(1+id%8)), so the oracle re-derives every
-    output column without parsing anything: only a correct synthesis
-    AND a correct parse can hash-match.
+    arithmetic on q = id//4 (w = 1+q%4096, h = 1+(7q)%2160,
+    rate = 8000+1000·((q//2)%40), ch = 1+q%2, data_len = 4·(1+(q//2)%8)
+    — derived from the bits ABOVE the format selector m = id%4, so no
+    parameter is correlated with its own branch and the ch × dl grid
+    reaches every corner incl. ch=2/dl=4; r10 seam fix), so the oracle
+    re-derives every output column without parsing anything: only a
+    correct synthesis AND a correct parse can hash-match.
 
     Scale shape: synthesis is whole-stage-codegen string/hex expressions
     (no Python), decode is one map-only Arrow stage bounded at 64 KiB
@@ -111,17 +123,24 @@ def synth_header_media(docs: DataFrame) -> DataFrame:
     output is (doc_id, media binary)."""
     did = F.col("doc_id")
     m = F.pmod(did, F.lit(4))
-    w = (F.lit(1) + F.pmod(did, F.lit(4096))).cast("long")
-    # (id % 2160) * 7 % 2160 == (id * 7) % 2160, without the int64
-    # multiply overflow a raw id*7 hits past ~1.3e18 under ANSI (found
-    # by the extreme-id seam test; the oracle's doc_id*7 spelling is
+    # all parameters derive from the bits ABOVE the format selector
+    # (q = id >> 2, r = id >> 3; exact for the non-negative ids the
+    # synthesizer is specified for — == the oracle's doc_id // 4 //
+    # 2), so no field is correlated with its own branch (r10 seam
+    # probe: ch keyed on id%2 under the m==2 branch could never be 2)
+    qid = F.shiftright(did, 2)
+    rid = F.shiftright(did, 3)
+    w = (F.lit(1) + F.pmod(qid, F.lit(4096))).cast("long")
+    # (q % 2160) * 7 % 2160 == (q * 7) % 2160, without the int64
+    # multiply overflow a raw q*7 hits past ~1.3e18 under ANSI (found
+    # by the extreme-id seam test; the oracle's //4 * 7 spelling is
     # safe at any reachable testdata id)
-    h = (F.lit(1) + F.pmod(F.pmod(did, F.lit(2160)) * 7, F.lit(2160))).cast(
+    h = (F.lit(1) + F.pmod(F.pmod(qid, F.lit(2160)) * 7, F.lit(2160))).cast(
         "long"
     )
-    rate = (F.lit(8000) + F.pmod(did, F.lit(40)) * 1000).cast("long")
-    ch = (F.lit(1) + F.pmod(did, F.lit(2))).cast("long")
-    dl = (F.lit(4) * (F.lit(1) + F.pmod(did, F.lit(8)))).cast("long")
+    rate = (F.lit(8000) + F.pmod(rid, F.lit(40)) * 1000).cast("long")
+    ch = (F.lit(1) + F.pmod(qid, F.lit(2))).cast("long")
+    dl = (F.lit(4) * (F.lit(1) + F.pmod(rid, F.lit(8)))).cast("long")
     ba = (ch * 2).cast("long")
 
     png_hex = F.concat(
@@ -142,7 +161,7 @@ def synth_header_media(docs: DataFrame) -> DataFrame:
     # data-chunk payload: dl zero bytes, dl in {4,8,...,32}
     zeros = F.element_at(
         F.array(*[F.lit("00" * (4 * (i + 1))) for i in range(8)]),
-        (F.pmod(did, F.lit(8)) + 1).cast("int"),
+        (F.pmod(rid, F.lit(8)) + 1).cast("int"),
     )
     wav_hex = F.concat(
         F.lit("52494646"),  # "RIFF"

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..operators.sampling import _md5_byte0, _md5_uint16
 from .analytics import _md5_byte_sql, _t, _t_wide, q
+from ..sources.catalog import gated_broadcast
 
 
 def _md5_u16_sql(expr: str, salt: str) -> str:
@@ -439,7 +440,7 @@ def brand_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(gated_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
     )

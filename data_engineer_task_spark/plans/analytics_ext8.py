@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .analytics import _t, _t_wide, q
+from ..sources.catalog import gated_broadcast
 
 
 @q(
@@ -253,7 +254,7 @@ def brand_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(gated_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
     )
@@ -547,7 +548,7 @@ def brand_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(gated_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
     )

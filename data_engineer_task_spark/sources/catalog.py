@@ -58,3 +58,75 @@ def register_testdata(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+_ROW_COUNT_CACHE: dict[tuple, int] = {}
+
+# Conservative per-value estimate for a broadcast row's in-memory cost;
+# with the 256 MiB working cap below, a 2-column dim projection stays
+# hinted to ~8M rows and a full-width customer to ~2M — past that the
+# hint silently vanishes and the join falls back to the planner (SMJ,
+# or AQE's own broadcast decision if runtime stats allow it).
+_BROADCAST_BYTES_PER_VALUE = 16
+_BROADCAST_LIMIT_BYTES = 256 << 20
+
+
+def table_row_count(sf_dir: str, name: str) -> int | None:
+    """Exact row count from parquet FOOTER metadata — no scan, no Spark
+    job; cached on the files' (path, size, mtime) identity. Returns
+    None when the layout is unreadable (caller falls back to not
+    knowing)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files: list[str] = []
+    if os.path.isdir(path):
+        for root, _dirs, names in os.walk(path):
+            files += [
+                os.path.join(root, n) for n in names if n.endswith(".parquet")
+            ]
+    elif os.path.exists(path):
+        files = [path]
+    if not files:
+        return None
+    files.sort()
+    try:
+        key = tuple(
+            (f, st.st_size, st.st_mtime_ns)
+            for f in files
+            for st in [os.stat(f)]
+        )
+        if key in _ROW_COUNT_CACHE:
+            return _ROW_COUNT_CACHE[key]
+        import pyarrow.parquet as pq
+
+        n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        _ROW_COUNT_CACHE[key] = n
+        return n
+    except Exception:
+        return None
+
+
+def gated_broadcast(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """``F.broadcast(df)`` only when the backing table is measured
+    small; the frame unchanged otherwise.
+
+    House rule (CLAUDE.md, r10 audit): an explicit broadcast hint
+    bypasses Spark's size guard, so it must never be FORCED on a frame
+    that grows with the corpus — customer and part are linear in the
+    scale factor, and at 100 TB a forced hint OOMs every executor. But
+    just dropping the hint was measured 2-3x slower at bench scale
+    (the unhinted join stays SortMergeJoin even under AQE), so the
+    hint is gated on a measured bound instead — parquet footer row
+    counts (scan-free, cached; the ``BROADCAST_GROUP_LIMIT`` /
+    footer-stats precedent), priced at a conservative 16 bytes per
+    projected value against a 256 MiB working cap. Unknown size =
+    no hint (the safe side)."""
+    rows = table_row_count(sf_dir, name)
+    if (
+        rows is not None
+        and rows * max(1, len(df.columns)) * _BROADCAST_BYTES_PER_VALUE
+        <= _BROADCAST_LIMIT_BYTES
+    ):
+        return F.broadcast(df)
+    return df

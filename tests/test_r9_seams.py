@@ -223,12 +223,15 @@ def test_header_synthesis_valid_at_extreme_doc_ids(spark):
             continue
         exp_fmt = {0: "png", 1: "jpeg", 2: "wav"}[m]
         assert meta["format"] == exp_fmt, (i, meta)
+        # r10: parameters derive from the bits above the format
+        # selector (q = i >> 2, r = i >> 3), decorrelating each field
+        # from its own branch
         if m in (0, 1):
-            assert meta["width"] == 1 + i % 4096
-            assert meta["height"] == 1 + (i * 7) % 2160
+            assert meta["width"] == 1 + (i >> 2) % 4096
+            assert meta["height"] == 1 + ((i >> 2) * 7) % 2160
             assert meta["n_frames"] == 1
         else:
-            ch, dl = 1 + i % 2, 4 * (1 + i % 8)
-            assert meta["width"] == 8000 + (i % 40) * 1000
+            ch, dl = 1 + (i >> 2) % 2, 4 * (1 + (i >> 3) % 8)
+            assert meta["width"] == 8000 + ((i >> 3) % 40) * 1000
             assert meta["height"] == ch
             assert meta["n_frames"] == dl // (2 * ch)
