@@ -495,6 +495,41 @@ def jaccard_join_exact(
         sets = shingle_set(df, id_col, text_col, shingle_k=shingle_k).persist()
         sets.count()  # materialize before AQE races the three consumers
 
+    cands = _ppjoin_candidates(sets, id_col, threshold)
+    arrs = sets.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("shingle")).alias("shset")
+    )
+    aa = arrs.select(
+        F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a")
+    )
+    ab = arrs.select(
+        F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(aa, "id_a")
+        .join(ab, "id_b")
+        # membership on TRUE Jaccard (matches the pruning guarantee);
+        # the reported value uses scale-then-divide rounding — see
+        # jaccard_verify above
+        .where(inter * 1.0 / union >= F.lit(threshold))
+        .select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("n_common"),
+            (F.round(inter * 10000.0 / union) / 10000.0).alias("jaccard"),
+        )
+    )
+
+
+def _ppjoin_candidates(
+    sets: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """The PPJoin candidate stage of ``jaccard_join_exact``, factored
+    out so the soak harness can time/count candidates separately from
+    exact verification (VERDICT r9 item 4 stage attribution). Pure
+    refactor: the composed plan is byte-identical."""
     dfreq = sets.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sets.join(dfreq, "shingle")
     wsz = W.partitionBy(id_col)
@@ -555,31 +590,7 @@ def jaccard_join_exact(
         .select("id_a", "id_b")
         .distinct()
     )
-    arrs = sets.groupBy(id_col).agg(
-        F.array_sort(F.collect_set("shingle")).alias("shset")
-    )
-    aa = arrs.select(
-        F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a")
-    )
-    ab = arrs.select(
-        F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        cands.join(aa, "id_a")
-        .join(ab, "id_b")
-        # membership on TRUE Jaccard (matches the pruning guarantee);
-        # the reported value uses scale-then-divide rounding — see
-        # jaccard_verify above
-        .where(inter * 1.0 / union >= F.lit(threshold))
-        .select(
-            "id_a",
-            "id_b",
-            inter.cast("long").alias("n_common"),
-            (F.round(inter * 10000.0 / union) / 10000.0).alias("jaccard"),
-        )
-    )
+    return cands
 
 
 def text_segments(
@@ -646,6 +657,95 @@ def segment_dedup_rewrite(
         .cast("long")
         .alias("n_kept"),
         F.sum(F.when(F.col("rn") == 1, F.col("seg_len")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["seg_text"],
+            ),
+            " ",
+        ).alias("rewritten_text"),
+    )
+
+
+def segment_first_index(
+    df: DataFrame, id_col: str, text_col: str, *, seg: int = 10
+) -> DataFrame:
+    """The persistable STATE of incremental segment dedup: one row per
+    distinct segment hash with its first occurrence ``(seg_hash,
+    first_id, first_seg_id)`` under ingestion order (id, seg_id).
+
+    Built with a map-side-combinable ``min(struct)`` groupBy — NOT a
+    window — so constructing (and later compacting) the index never
+    funnels a hash's occurrences through one task beyond the combine.
+    At 100 TB this frame is the thing you persist bucketed by
+    ``seg_hash`` (`writer.bucketBy`): the incremental join in
+    ``segment_dedup_incremental`` then co-locates with the state and
+    only the new batch shuffles."""
+    segs = text_segments(df, id_col, text_col, seg=seg)
+    first = F.min(
+        F.struct(F.col(id_col).alias("first_id"),
+                 F.col("seg_id").alias("first_seg_id"))
+    ).alias("_f")
+    return segs.groupBy("seg_hash").agg(first).select(
+        "seg_hash", "_f.first_id", "_f.first_seg_id"
+    )
+
+
+def segment_dedup_incremental(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    seg: int = 10,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental (IVM-style) exact-substring dedup: curate ONLY the
+    new batch against the already-curated base, without re-windowing
+    the whole corpus (VERDICT r9 item 8 — the seg_hash window is the
+    keep-best funnel's one corpus-growing stage, and re-curation
+    must not pay it again for history).
+
+    Exactness: when every base id precedes every delta id (ingestion
+    order), the full-corpus keep-first rule restricted to delta rows
+    factorizes EXACTLY as
+
+        delta row is kept  ⇔  its hash is absent from the base index
+                              AND it is the first occurrence within
+                              the delta batch
+
+    — the base side enters only through the first-occurrence INDEX
+    (``segment_first_index``), so the recurring cost is one |Δ|-sized
+    window plus one hash join against persisted state; history is
+    never re-scanned. Output schema matches
+    ``segment_dedup_rewrite`` restricted to delta documents (the
+    gated entry hash-proves that equivalence cross-engine).
+
+    State maintenance: the next index = index ∪ (fresh delta hashes'
+    first occurrences) — append-only; with the index bucketed by
+    seg_hash both the probe join and the append are co-located."""
+    if index is None:
+        index = segment_first_index(base, id_col, text_col, seg=seg)
+    segs_d = text_segments(delta, id_col, text_col, seg=seg)
+    rn = F.row_number().over(
+        W.partitionBy("seg_hash").orderBy(id_col, "seg_id")
+    )
+    ranked = segs_d.select(
+        id_col, "seg_id", "seg_text", "seg_len", rn.alias("rn"), "seg_hash"
+    )
+    probed = ranked.join(
+        index.select("seg_hash", F.lit(1).alias("_in_base")),
+        "seg_hash",
+        "left",
+    )
+    keep = (F.col("rn") == 1) & F.col("_in_base").isNull()
+    kept_struct = F.when(keep, F.struct("seg_id", "seg_text"))
+    return probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(keep, F.col("seg_len")).otherwise(0))
         .cast("long")
         .alias("tokens_kept"),
         F.array_join(

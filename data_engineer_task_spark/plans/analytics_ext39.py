@@ -115,3 +115,73 @@ def doc_token_cms_mixed_depth_merge(
     return cms_estimate(merged, panel, "token", depth=None).orderBy(
         F.desc("true_cnt"), F.asc("token")
     )
+
+
+from .analytics_ext21 import _SEG, _SEGMENT_CTE  # noqa: E402  isort:skip
+
+
+@q(
+    "doc_segment_dedup_incremental",
+    f"""
+    WITH {_SEGMENT_CTE},
+    thr AS (SELECT (max(doc_id) // 5) * 4 AS t FROM documents),
+    ranked AS (
+      SELECT doc_id, seg_id, seg_text, seg_len,
+             row_number() OVER (PARTITION BY seg_hash
+                                ORDER BY doc_id, seg_id) AS rn
+      FROM segh
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN rn = 1 THEN seg_len ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           md5(coalesce(string_agg(seg_text, ' ' ORDER BY seg_id)
+                          FILTER (WHERE rn = 1), '')) AS rewritten_md5
+    FROM ranked, thr WHERE doc_id > thr.t
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_segment_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental segment dedup as a gated entry (VERDICT r9 item 8's
+    optional IVM gate): the corpus splits at (max_id // 5) * 4 into an
+    already-curated BASE (~80%) and a new DELTA batch; the base is
+    reduced to its segment first-occurrence INDEX
+    (``segment_first_index`` — the persistable bucketed state) and the
+    delta is curated with ``segment_dedup_incremental`` — one
+    |Δ|-sized window plus one hash join against the index, history
+    never re-windowed. The oracle computes the FULL-corpus keep-first
+    window and restricts output to delta docs: hash equality proves
+    the incremental factorization (absent-from-index AND
+    first-within-delta) is exactly the recompute, cross-engine.
+
+    Scale shape: the recurring cost is |Δ| log |Δ| (delta window) +
+    one co-located join against state bucketed by seg_hash; the index
+    build is a map-side-combinable min-struct groupBy paid ONCE per
+    base (and in steady state maintained append-only). This is the
+    100 TB answer to the keep-best funnel's corpus-growing seg_hash
+    shuffle measured in SCALING.md r9: re-curation joins, instead of
+    re-windowing the corpus."""
+    from ..operators.dedup import segment_dedup_incremental
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    # integer `div`, not float `/`+cast: the float path loses exactness
+    # past 2^53 and the oracle's `//` is integer floor division
+    thr = docs.agg((F.expr("max(doc_id) div 5") * 4).alias("t"))
+    with_thr = docs.crossJoin(F.broadcast(thr))
+    base = with_thr.where(F.col("doc_id") <= F.col("t")).drop("t")
+    delta = with_thr.where(F.col("doc_id") > F.col("t")).drop("t")
+    return (
+        segment_dedup_incremental(base, delta, "doc_id", "text", seg=_SEG)
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_kept",
+            "tokens_kept",
+            F.md5("rewritten_text").alias("rewritten_md5"),
+        )
+        .orderBy("doc_id")
+    )
