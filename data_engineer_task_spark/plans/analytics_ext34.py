@@ -154,29 +154,20 @@ def _lineitem_revenue_bound(sf_dir: str, li: DataFrame) -> int:
     Footer-first (ADVICE r9): parquet footers carry exact row counts
     and column min/max, so the bound costs O(files) metadata reads
     instead of a driver action scanning the fact table — and the
-    result is cached on the files' (path, size, mtime) identity, so
-    bench reps and repeated session calls skip even that. Falls back
-    to a 2-column Spark stats job when footers are unreadable or a
-    row group lacks l_extendedprice stats (then cached under the same
-    key). Python ints are unbounded, so the product itself cannot
-    overflow while deciding whether Spark's accumulator would."""
-    import os
+    result is cached on the files' (path, size, mtime) identity
+    (``catalog.parquet_file_identity``, the one shared spelling of
+    the walk/stat pattern — code-review r10 findings 2 and 4: a file
+    vanishing mid-walk now degrades to the fallback instead of
+    crashing the entry). Falls back to a 2-column Spark stats job
+    when footers are unreadable or a row group lacks l_extendedprice
+    stats (then cached under the same key). Python ints are
+    unbounded, so the product itself cannot overflow while deciding
+    whether Spark's accumulator would."""
+    from ..sources.catalog import parquet_file_identity
 
-    path = os.path.join(sf_dir, "lineitem.parquet")
-    files = []
-    if os.path.isdir(path):
-        for root, _dirs, names in os.walk(path):
-            files += [os.path.join(root, n) for n in names
-                      if n.endswith(".parquet")]
-    elif os.path.exists(path):
-        files = [path]
-    files.sort()
-    key = tuple(
-        (f, st.st_size, st.st_mtime_ns)
-        for f in files
-        for st in [os.stat(f)]
-    )
-    if key and key in _REV_BOUND_CACHE:
+    ident = parquet_file_identity(sf_dir, "lineitem")
+    files, key = ident if ident is not None else ([], None)
+    if key is not None and key in _REV_BOUND_CACHE:
         return _REV_BOUND_CACHE[key]
 
     bound = None
@@ -204,7 +195,7 @@ def _lineitem_revenue_bound(sf_dir: str, li: DataFrame) -> int:
             F.count(F.lit(1)).alias("n"), F.max("l_extendedprice").alias("mx")
         ).collect()[0]
         bound = int(st["n"]) * int(round(float(st["mx"] or 0) * 10000))
-    if key:
+    if key is not None:
         _REV_BOUND_CACHE[key] = bound
     return bound
 

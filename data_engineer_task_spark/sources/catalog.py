@@ -71,40 +71,62 @@ _BROADCAST_BYTES_PER_VALUE = 16
 _BROADCAST_LIMIT_BYTES = 256 << 20
 
 
-def table_row_count(sf_dir: str, name: str) -> int | None:
-    """Exact row count from parquet FOOTER metadata — no scan, no Spark
-    job; cached on the files' (path, size, mtime) identity. Returns
-    None when the layout is unreadable (caller falls back to not
-    knowing)."""
+def parquet_file_identity(
+    sf_dir: str, name: str
+) -> tuple[list[str], tuple] | None:
+    """The part-file list and a (path, size, mtime_ns) identity key
+    for ``{sf_dir}/{name}.parquet`` (file or partitioned dir) — the
+    shared base of every footer-metadata shortcut (row counts, column
+    stats), so the walk/sort/stat pattern exists ONCE (code-review r10
+    finding 4). Returns None when the layout is missing or a file
+    vanishes between walk and stat (testdata regeneration racing a
+    run) — callers fall back to not knowing."""
     import os
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    files: list[str] = []
-    if os.path.isdir(path):
-        for root, _dirs, names in os.walk(path):
-            files += [
-                os.path.join(root, n) for n in names if n.endswith(".parquet")
-            ]
-    elif os.path.exists(path):
-        files = [path]
-    if not files:
-        return None
-    files.sort()
     try:
+        files: list[str] = []
+        if os.path.isdir(path):
+            for root, _dirs, names in os.walk(path):
+                files += [
+                    os.path.join(root, n)
+                    for n in names
+                    if n.endswith(".parquet")
+                ]
+        elif os.path.exists(path):
+            files = [path]
+        if not files:
+            return None
+        files.sort()
         key = tuple(
             (f, st.st_size, st.st_mtime_ns)
             for f in files
             for st in [os.stat(f)]
         )
-        if key in _ROW_COUNT_CACHE:
-            return _ROW_COUNT_CACHE[key]
+        return files, key
+    except OSError:
+        return None
+
+
+def table_row_count(sf_dir: str, name: str) -> int | None:
+    """Exact row count from parquet FOOTER metadata — no scan, no Spark
+    job; cached on the files' (path, size, mtime) identity. Returns
+    None when the layout is unreadable (caller falls back to not
+    knowing)."""
+    ident = parquet_file_identity(sf_dir, name)
+    if ident is None:
+        return None
+    files, key = ident
+    if key in _ROW_COUNT_CACHE:
+        return _ROW_COUNT_CACHE[key]
+    try:
         import pyarrow.parquet as pq
 
         n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-        _ROW_COUNT_CACHE[key] = n
-        return n
     except Exception:
         return None
+    _ROW_COUNT_CACHE[key] = n
+    return n
 
 
 def gated_broadcast(df: DataFrame, sf_dir: str, name: str) -> DataFrame:

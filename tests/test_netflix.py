@@ -135,7 +135,7 @@ def test_gender_snapshot_census(star):
         .count().where(F.col("count") >= 1).collect()
     )
     missing = sorted(r["k"] for r in freq if r["k"] not in mapping)
-    assert not missing, f"uncurated names >=2 occurrences: {missing[:20]}"
+    assert not missing, f"uncurated observed names: {missing[:20]}"
 
 
 def test_surrogate_ids_dense_unique(star):

@@ -72,7 +72,6 @@ def test_header_decode_truncated_bodies_never_raise():
     SOME dict (unknown or a partial parse) without raising — the
     resync/bounds logic has no index-error path."""
     from data_engineer_task_spark.operators.multimodal import header_decode
-    from data_engineer_task_spark.plans.analytics_ext38 import synth_header_media
 
     wav = bytes.fromhex(
         "52494646"  # RIFF

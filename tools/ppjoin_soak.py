@@ -40,7 +40,18 @@ from scale_smoke import make_corpus
 
 
 def _settle(spark) -> None:
+    """Full between-RUNG settle: drop every cached frame + GC."""
     spark.catalog.clearCache()
+    spark._jvm.System.gc()
+
+
+def _gc_only(spark) -> None:
+    """Between-REP settle INSIDE a rung: GC, but keep the rung's
+    persisted docs/shingle frames cached — clearCache here would
+    unpersist the shared base, making rep 2 (and the full-stage runs)
+    silently rebuild the corpus from lineage and corrupting the
+    t_full − t_cand attribution (code-review r10 finding 1: the first
+    soak take did exactly that)."""
     spark._jvm.System.gc()
 
 
@@ -61,7 +72,7 @@ def _best_of(k: int, spark, fn):
         t0 = time.perf_counter()
         rows = fn()
         best = min(best, time.perf_counter() - t0)
-        _settle(spark)
+        _gc_only(spark)
     return best, rows
 
 

@@ -1,9 +1,9 @@
 """Vendor a fuller name→gender snapshot (VERDICT r7 item 2).
 
 Regenerates ``resources/gender_names.csv`` so that EVERY first name
-appearing >= MIN_COUNT times (default 2 since r9; was 5 in r8) in the
-reference dataset's personnel table is an explicit, reviewable
-decision:
+appearing >= MIN_COUNT times (default 1 since r10 — every observed
+name; was 2 in r9, 5 in r8) in the reference dataset's personnel
+table is an explicit, reviewable decision:
 
   - ``male`` / ``female``  — from the curated public-knowledge map
     below (common given names and their predominant gender across the
@@ -25,7 +25,7 @@ to a SCRATCH path by default (overwriting the curated snapshot would
 revert curated names/relabels and break the golden-label tests —
 reconcile its printed diff into the lists below instead).
 
-Run:  python tools/vendor_gender_names.py [--min-count 2] [--dry-run]
+Run:  python tools/vendor_gender_names.py [--min-count 1] [--dry-run]
 """
 
 from __future__ import annotations
@@ -554,7 +554,10 @@ def build(min_count: int) -> tuple[dict[str, str], list[str]]:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--min-count", type=int, default=2)
+    # default 1 since r10 (census covers EVERY observed name); a
+    # higher default would make the observed-names safety net skip
+    # new singletons and leave the census test unfixable by re-run
+    ap.add_argument("--min-count", type=int, default=1)
     ap.add_argument("--dry-run", action="store_true")
     args = ap.parse_args()
 
