@@ -55,10 +55,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # (cached, scan-free — ADVICE r9) instead of a Spark stats job; the
 # selected width is value-identical, so this is re-verification, not a
 # plan rewrite.
+# `stream_user_sessions` / `stream_purchase_click_outer` are
+# nominated because their replay source changed (r10 sf1 sweep
+# finding: minutes-delay watermarks + arbitrarily ordered multi-file
+# layouts silently drop late files; both now stream through the
+# event-time-ordered `_ordered_replay` rewrite).
 _RECHECK = [
     "doc_token_cms_sharded_merge",
     "multimodal_header_decode",
     "orders_incremental_join_merge",
+    "stream_user_sessions",
+    "stream_purchase_click_outer",
 ]
 
 

@@ -180,6 +180,76 @@ def _event_bounds(spark: SparkSession, glob_path: str) -> DataFrame:
     return df
 
 
+_REPLAY_CACHE: dict[tuple, str] = {}
+
+
+def _ordered_replay(
+    spark: SparkSession, glob_path: str, *, n_chunks: int = 4
+) -> str:
+    """Rewrite a (possibly multi-file, arbitrarily ordered) events
+    source into ``n_chunks`` EVENT-TIME-ORDERED chunk files and return
+    a glob over them, for replaying history into a streaming query
+    whose watermark delay is SHORT (minutes).
+
+    Why (r10 sf1 sweep finding): the file stream source feeds part
+    files in modification-time order, which for a Spark-written
+    directory bears no relation to event time — with
+    ``maxFilesPerTrigger 1`` the first file advances the watermark to
+    its own max(ts) − delay and every later file's rows arrive "late"
+    and are silently DROPPED (measured at sf1: exactly 4 of 5 part
+    files lost). A short-delay watermark is only sound when arrival
+    order ≈ event-time order — which is what a production backfill
+    does and what this rewrite recreates: exact ts-quantile range
+    split, each chunk written as its OWN job so mtimes strictly
+    increase and the source replays chunks oldest-first. The 45-day
+    wrappers (dedup / inner interval join) tolerate the disorder by
+    delay instead and skip this.
+
+    The rewrite is cached on the source files' (path, size, mtime)
+    identity — bench reps and repeated gates re-stream the same chunk
+    files without re-writing them."""
+    import glob as globmod
+    import os
+    import tempfile
+
+    src_files = sorted(globmod.glob(glob_path))
+    key = tuple(
+        (f, st.st_size, st.st_mtime_ns)
+        for f in src_files
+        for st in [os.stat(f)]
+    ) or (glob_path,)
+    cached = _REPLAY_CACHE.get(key)
+    if cached is not None and globmod.glob(cached):
+        return cached
+
+    ev = _event_bounds(spark, glob_path)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    qs = [i / n_chunks for i in range(1, n_chunks)]
+    cuts = (
+        ev.agg(
+            F.percentile(us, F.array(*[F.lit(q) for q in qs])).alias("c")
+        ).collect()[0]["c"]
+        if qs
+        else []
+    )
+    bounds = [None, *[int(c) for c in cuts], None]
+    tmp = tempfile.mkdtemp(prefix="stream_replay_")
+    for i in range(n_chunks):
+        lo, hi = bounds[i], bounds[i + 1]
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.where(us >= F.lit(lo))
+        if hi is not None:
+            chunk = chunk.where(us < F.lit(hi))
+        # one write job per chunk -> strictly increasing mtimes
+        chunk.coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp}/c{i:02d}"
+        )
+    out = f"{tmp}/c*/part-*.parquet"
+    _REPLAY_CACHE[key] = out
+    return out
+
+
 def run_stream_dedup_once(
     spark: SparkSession,
     events_path: str,
@@ -285,16 +355,22 @@ def run_stream_interval_outer_join_once(
     margin keeps the >/≥ edge out of the comparison) — the trim is the
     honest expression of outer-join completeness semantics, not a
     fudge: rows above the boundary are not yet FINAL in any streaming
-    engine."""
+    engine.
+
+    The MINUTES-scale delay makes replay order load-bearing, so the
+    source goes through ``_ordered_replay`` (r10: an arbitrarily
+    ordered multi-file layout dropped 4/5 of the corpus as late at
+    sf1 — see that helper's docstring)."""
     glob_path = _as_glob(events_path)
+    stream_glob = _ordered_replay(spark, glob_path)
     p = (
-        _event_stream(spark, glob_path)
+        _event_stream(spark, stream_glob)
         .where(F.col("event_type") == "purchase")
         .select("event_id", "user_id", F.col("ts").alias("p_ts"))
         .withWatermark("p_ts", watermark_delay)
     )
     c = (
-        _event_stream(spark, glob_path)
+        _event_stream(spark, stream_glob)
         .where(F.col("event_type") == "click")
         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
         .withWatermark("c_ts", watermark_delay)
@@ -426,9 +502,16 @@ def run_stream_sessions_once(
     so sessions ending above (max − delay − gap) may still sit open in
     state. Both the returned frame and the declared oracle trim to
     end ≤ max − delay − gap − 1 min margin (the margin keeps the
-    strict-< emission edge out of the comparison)."""
+    strict-< emission edge out of the comparison).
+
+    The MINUTES-scale delay makes replay order load-bearing, so the
+    source goes through ``_ordered_replay`` (r10: an arbitrarily
+    ordered multi-file layout dropped 4/5 of the corpus as late at
+    sf1 — see that helper's docstring)."""
     glob_path = _as_glob(events_path)
-    ev = _event_stream(spark, glob_path).withWatermark("ts", watermark_delay)
+    ev = _event_stream(spark, _ordered_replay(spark, glob_path)).withWatermark(
+        "ts", watermark_delay
+    )
     agg = (
         ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(
