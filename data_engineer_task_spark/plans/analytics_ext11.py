@@ -171,14 +171,22 @@ def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).withColumn("bucket", _md5_byte0(F.col("token"), salt="fh:"))
-    tot = hashed.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    grouped = hashed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_instances"),
+        F.countDistinct("token").cast("long").alias("n_distinct_tokens"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    # r10 optimization (guide §2.4): the corpus token total used to be
+    # a SECOND aggregate over the exploded+md5'd corpus — a full extra
+    # pass of the entry's only heavy stage. Σ n_instances over the
+    # 256-row grouped frame is the same number, and both consumers sit
+    # above the same groupBy exchange, so ReuseExchange computes the
+    # explode+hash subplan once (plan: 2 scans -> 1, see plans/r10/).
+    tot = grouped.agg(
+        F.sum("n_instances").cast("double").alias("t")
+    )
     return (
-        hashed.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_instances"),
-            F.countDistinct("token").cast("long").alias("n_distinct_tokens"),
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
-        )
+        grouped
         .crossJoin(F.broadcast(tot))
         .select(
             "bucket",

@@ -122,24 +122,50 @@ def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / 100000.0
     )
+    # r10 optimization (guide §2.4/§4.1): the exact and ANN rankings
+    # used to be two separate broadcast joins, each paying the
+    # interpreted `_dot` fold over every (query x corpus) pair, each
+    # with its own window shuffle+sort on query_id. The ANN candidate
+    # set is the bucket-matched SUBSET of the exact pair set under the
+    # SAME (cos DESC, vec_id ASC) total order, so its row_number
+    # equals a running count of bucket-matched rows in the global
+    # ranking — one scored join, one exchange, one sort, one fold
+    # pass; both ranks read off the same WindowExec. (vec_id is unique
+    # per query partition, so the order is total and the running count
+    # over matched rows is exactly the subset's row_number.)
+    scored = base.join(
+        F.broadcast(qv), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        cos.alias("_cos"),
+        (F.col("bucket") == F.col("qbucket")).alias("_m"),
+    )
     rank_w = W.partitionBy("query_id").orderBy(
-        cos.desc(), F.asc("vec_id")
+        F.col("_cos").desc(), F.asc("vec_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        "_m",
+        F.row_number().over(rank_w).alias("rn"),
+        F.sum(F.when(F.col("_m"), 1).otherwise(0))
+        .over(rank_w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("rn_ann"),
     )
     exact = (
-        base.join(F.broadcast(qv), F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", F.row_number().over(rank_w).alias("rn"))
-        .where(F.col("rn") <= 10)
+        ranked.where(F.col("rn") <= 10)
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
+    # alias-to-self mints fresh expression ids (CLAUDE.md cogroup
+    # pitfall): exact and annc now share the `ranked` lineage, and the
+    # recall join below would otherwise self-join on duplicate ids.
     annc = (
-        base.join(
-            F.broadcast(qv),
-            (F.col("bucket") == F.col("qbucket"))
-            & (F.col("vec_id") != F.col("query_id")),
+        ranked.where(F.col("_m") & (F.col("rn_ann") <= 10))
+        .select(
+            F.col("query_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
         )
-        .select("query_id", "vec_id", F.row_number().over(rank_w).alias("rn"))
-        .where(F.col("rn") <= 10)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
     ann = annc.withColumn(
         "n_cand",
