@@ -176,25 +176,31 @@ def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("token").cast("long").alias("n_distinct_tokens"),
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
     )
-    # r10 optimization (guide §2.4): the corpus token total used to be
-    # a SECOND aggregate over the exploded+md5'd corpus — a full extra
-    # pass of the entry's only heavy stage. Σ n_instances over the
-    # 256-row grouped frame is the same number, and both consumers sit
-    # above the same groupBy exchange, so ReuseExchange computes the
-    # explode+hash subplan once (plan: 2 scans -> 1, see plans/r10/).
-    tot = grouped.agg(
-        F.sum("n_instances").cast("double").alias("t")
-    )
+    # r11 optimization (guide §2.4; closes VERDICT r10 item 1): the r10
+    # form computed the corpus total as grouped.agg(sum), crossJoined
+    # back — but column pruning strips the countDistincts from the
+    # total's branch, the two groupBy exchanges stop being identical,
+    # ReuseExchange does NOT fire, and the plan kept TWO full
+    # scan+explode+md5 subtrees (see plans/r11/doc_feature_hashing_
+    # before.txt, operators (1) and (12)). An unpartitioned window
+    # total over the grouped frame shares ONE subtree by construction;
+    # its input is bounded by the fixed 256-bucket hash domain (one
+    # md5 byte), so the single-task window sees <= 256 rows at any
+    # corpus size (the house scalar-total-over-aggregated-frame
+    # pattern; plans/audit.py::unpartitioned_specs documents why
+    # order-less scalar totals are exempt from the window gate).
+    tot = F.sum("n_instances").over(
+        W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ).cast("double")
     return (
         grouped
-        .crossJoin(F.broadcast(tot))
         .select(
             "bucket",
             "n_instances",
             "n_distinct_tokens",
             "n_docs",
             (
-                F.round(F.col("n_instances") / F.col("t") * 1000000.0)
+                F.round(F.col("n_instances") / tot * 1000000.0)
                 / 1000000.0
             ).alias("corpus_share"),
         )

@@ -153,42 +153,31 @@ def embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(rank_w.rowsBetween(W.unboundedPreceding, W.currentRow))
         .alias("rn_ann"),
     )
-    exact = (
-        ranked.where(F.col("rn") <= 10)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    )
-    # alias-to-self mints fresh expression ids (CLAUDE.md cogroup
-    # pitfall): exact and annc now share the `ranked` lineage, and the
-    # recall join below would otherwise self-join on duplicate ids.
-    annc = (
-        ranked.where(F.col("_m") & (F.col("rn_ann") <= 10))
-        .select(
-            F.col("query_id").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
-        )
-    )
-    ann = annc.withColumn(
-        "n_cand",
-        F.count(F.lit(1)).over(W.partitionBy("query_id")).cast("long"),
-    )
-    hit = F.when(ann.neighbor_id.isNotNull(), 1).otherwise(0)
+    # r11 optimization (guide §2.4; closes VERDICT r10 item 1): the
+    # r10 readout split `ranked` into exact/ann frames and LEFT-joined
+    # them back — and because both sides derive from the same lineage,
+    # the planner kept TWO full scored-join+window subtrees (see
+    # plans/r11/embedding_ann_recall_before.txt). The recall numbers
+    # are all per-query counts over the SAME ranked rows:
+    #   n_hits        = Σ(rn<=10 ∧ matched ∧ rn_ann<=10)  (top-10 ∩ ANN-10)
+    #   ann_count     = Σ(matched ∧ rn_ann<=10)           (= min(|matched|,10))
+    #   n_ann_results = any hit ? ann_count : 0  (oracle: max(coalesce)
+    #                   over gt rows is n_cand iff >=1 exact row joins)
+    # so ONE conditional groupBy replaces the self-join: one scored
+    # join, one window, one aggregate — no duplicated subtree. Every
+    # query with >=1 scored row has rn=1, so the group set matches gt.
+    in_ann10 = F.col("_m") & (F.col("rn_ann") <= 10)
+    hits = F.sum(F.when((F.col("rn") <= 10) & in_ann10, 1).otherwise(0))
+    ann_count = F.sum(F.when(in_ann10, 1).otherwise(0))
     return (
-        exact.join(
-            ann,
-            (exact.query_id == ann.query_id)
-            & (exact.neighbor_id == ann.neighbor_id),
-            "left",
-        )
-        .select(
-            exact.query_id.alias("query_id"),
-            F.coalesce(ann.n_cand, F.lit(0)).alias("n_cand"),
-            hit.alias("hit"),
-        )
-        .groupBy("query_id")
+        ranked.groupBy("query_id")
         .agg(
-            F.max("n_cand").cast("long").alias("n_ann_results"),
-            F.sum("hit").cast("long").alias("n_hits"),
-            (F.round(F.sum("hit") / 10.0 * 1000000.0) / 1000000.0).alias(
+            F.when(hits > 0, ann_count)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_ann_results"),
+            hits.cast("long").alias("n_hits"),
+            (F.round(hits / 10.0 * 1000000.0) / 1000000.0).alias(
                 "recall_at_10"
             ),
         )

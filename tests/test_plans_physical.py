@@ -549,6 +549,12 @@ def test_feature_hashing_is_one_aggregate_no_vocab_join(spark):
     plan = _plan(spark, "doc_feature_hashing")
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+    # r11: the corpus total rides a window over the 256-row grouped
+    # frame, so the expensive scan+explode+md5 subtree appears exactly
+    # ONCE (the r10 agg+crossJoin form kept two — pruning made the two
+    # groupBy exchanges non-identical and ReuseExchange never fired).
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
 
 
 def test_ann_recall_probes_buckets_and_broadcasts_queries(spark):
@@ -558,6 +564,13 @@ def test_ann_recall_probes_buckets_and_broadcasts_queries(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+    # r11: exact and ANN ranks both read off ONE scored join and ONE
+    # window; the recall readout is a conditional groupBy, not a
+    # self-join of the ranked frame (the r10 form kept two full
+    # scored-join+window subtrees — pruning defeated ReuseExchange).
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) \w*Join", plan)) == 1, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_linkage_candidates_from_window_not_join(spark):
