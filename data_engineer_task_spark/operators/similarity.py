@@ -567,57 +567,12 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
-def pq_fit(
-    emb: DataFrame,
-    id_col: str,
-    vec_col: str,
-    *,
-    m: int = 4,
-    k: int = 4,
-    n_iters: int = 2,
-    round_to: int = 6,
-) -> list[list[list[float]]]:
-    """Train m independent subspace codebooks (each k × d/m) with the
-    deterministic ``kmeans_fit`` contract (lowest-id init, per-iteration
-    half-away-rounded centroids, quantized-d2 argmin). Training state is
-    O(m·k·d) on the driver; at corpus scale you fit on a sample and
-    encode everything — the fit never needs the full table."""
-    dim = emb.select(F.size(vec_col).alias("n")).limit(1).collect()[0]["n"]
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
-    codebooks: list[list[list[float]]] = []
-    for j in range(m):
-        sub = emb.select(
-            id_col,
-            F.slice(as_double(F.col(vec_col)), j * dsub + 1, dsub).alias(
-                "_sub"
-            ),
-        )
-        cb, assigned = kmeans_fit(
-            sub, id_col, "_sub", k=k, n_iters=n_iters, round_to=round_to
-        )
-        # only the codebook is needed; drop the assignment plan
-        del assigned
-        codebooks.append(cb)
-    return codebooks
-
-
-def pq_encode(
-    emb: DataFrame,
-    id_col: str,
-    vec_col: str,
-    codebooks: list[list[list[float]]],
-    *,
-    round_to: int = 6,
-) -> DataFrame:
-    """Encode every vector to its m PQ codes in ONE map-only Arrow pass
-    (all m codebooks ride the closure — O(m·k·d), broadcast-sized).
-    Per subspace: expanded-form squared L2 to each code centroid,
-    clamped at zero and QUANTIZED to ``round_to`` decimals before the
-    argmin (lowest-code tie-break) — the exact ``_assign_to_centroids``
-    cross-engine contract, so a SQL oracle that sums (x−c)² directly
-    and rounds reproduces the same codes. Output: (id, codes array<int>)."""
+def _pq_codes_udf(codebooks: list[list[list[float]]], round_to: int):
+    """Arrow kernel shared by ``pq_fit`` and ``pq_encode``: all m
+    codebooks ride the closure; per subspace the expanded-form squared
+    L2, clamped at zero and QUANTIZED to ``round_to`` decimals before
+    the argmin (lowest-code tie-break) — the exact
+    ``_assign_to_centroids`` cross-engine contract."""
     m = len(codebooks)
     Cs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
     dsub = Cs[0].shape[1]
@@ -647,6 +602,107 @@ def pq_encode(
             codes[:, j] = q2.argmin(axis=1)
         return pd.Series(list(codes))
 
+    return encode
+
+
+def pq_fit(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int = 4,
+    k: int = 4,
+    n_iters: int = 2,
+    round_to: int = 6,
+) -> list[list[list[float]]]:
+    """Train m independent subspace codebooks (each k × d/m) with the
+    deterministic ``kmeans_fit`` contract (lowest-id init, per-iteration
+    half-away-rounded centroids, quantized-d2 argmin). Training state is
+    O(m·k·d) on the driver; at corpus scale you fit on a sample and
+    encode everything — the fit never needs the full table.
+
+    r11 (guide §2.4/§4.3): all m subspace fits ride ONE job per Lloyd
+    iteration instead of m independent ``kmeans_fit`` loops — a single
+    Arrow pass assigns every row to its m subspace clusters (the
+    ``pq_encode`` kernel on the current codebooks), then one
+    posexplode + (subspace, cluster) groupBy computes all m·k centroid
+    means map-side-combined. Per subspace the math is unchanged
+    (identical init slices of the k lowest-``id_col`` vectors,
+    identical quantized-d2 argmin, identical per-dim means rounded
+    half-away each iteration; the per-subspace update is a pure
+    function of (data, that subspace's centroids), so iterating a
+    subspace already at its rounded fixpoint is a no-op — joint
+    early-stop therefore returns exactly what the sequential loop
+    did). Jobs: 1 + n_iters, down from m·(1 + n_iters)."""
+    base = emb.select(id_col, as_double(F.col(vec_col)).alias("_v")).persist()
+    init = base.orderBy(id_col).limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"need >= {k} vectors, got {len(init)}")
+    dim = len(init[0]["_v"])
+    if dim % m != 0:
+        base.unpersist(blocking=False)
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    codebooks = [
+        [
+            [
+                _round_half_away_scalar(float(x), round_to)
+                for x in r["_v"][j * dsub : (j + 1) * dsub]
+            ]
+            for r in init
+        ]
+        for j in range(m)
+    ]
+    for _ in range(n_iters):
+        codes = _pq_codes_udf(codebooks, round_to)
+        rows = (
+            base.select("_v", F.posexplode(codes(F.col("_v"))).alias("_j", "_cl"))
+            .groupBy("_j", "_cl")
+            .agg(
+                *[
+                    F.avg(
+                        F.element_at("_v", F.col("_j") * dsub + d + 1)
+                    ).alias(f"c{d}")
+                    for d in range(dsub)
+                ]
+            )
+            .collect()
+        )
+        new = {
+            (r["_j"], r["_cl"]): [
+                _round_half_away_scalar(float(r[f"c{d}"]), round_to)
+                for d in range(dsub)
+            ]
+            for r in rows
+        }
+        updated = [
+            [new.get((j, c), codebooks[j][c]) for c in range(k)]
+            for j in range(m)
+        ]
+        if updated == codebooks:
+            # Rounded fixpoint in every subspace: further iterations
+            # are no-ops (same early-stop rule as kmeans_fit).
+            break
+        codebooks = updated
+    base.unpersist(blocking=False)
+    return codebooks
+
+
+def pq_encode(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Encode every vector to its m PQ codes in ONE map-only Arrow pass
+    (all m codebooks ride the closure — O(m·k·d), broadcast-sized).
+    Per subspace: expanded-form squared L2, clamped and quantized
+    before the argmin — see ``_pq_codes_udf`` for the cross-engine
+    contract (a SQL oracle that sums (x−c)² directly and rounds
+    reproduces the same codes). Output: (id, codes array<int>)."""
+    encode = _pq_codes_udf(codebooks, round_to)
     return emb.select(
         id_col, encode(as_double(F.col(vec_col))).alias("codes")
     )

@@ -56,9 +56,17 @@ def get_spark(
             "spark.sql.codegen.cache.maxEntries",
             os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "10000"),
         )
-        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
     )
-    for k, v in (extra_conf or {}).items():
+    # Env-overridable like the cache size (ADVICE r10), and APPENDED to
+    # any caller-supplied extraJavaOptions instead of silently replaced.
+    code_cache = os.environ.get("SPARK_GRAFT_CODE_CACHE", "512m")
+    jvm_opts = f"-XX:ReservedCodeCacheSize={code_cache}" if code_cache else ""
+    extra_conf = dict(extra_conf or {})
+    caller_opts = extra_conf.pop("spark.driver.extraJavaOptions", "")
+    merged = " ".join(x for x in (jvm_opts, caller_opts) if x)
+    if merged:
+        builder = builder.config("spark.driver.extraJavaOptions", merged)
+    for k, v in extra_conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1266,6 +1266,46 @@ def test_hll_small_range_and_null_skip(spark):
     assert 5.0 < est["hll_raw"] < 9.0  # linear counting near-exact at n=7
 
 
+def test_pq_fit_joint_pass_matches_per_subspace_kmeans(spark):
+    """r11: pq_fit trains all m subspaces in one job per Lloyd
+    iteration (joint Arrow assign + one (subspace, cluster) groupBy)
+    instead of m sequential kmeans_fit loops. The codebooks must be
+    EXACTLY what the sequential formulation produces — same init
+    slices, same quantized-d2 argmin, same rounded per-dim means —
+    or the PQ entries' oracle codes drift."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_task_spark.operators.similarity import (
+        as_double,
+        kmeans_fit,
+        pq_fit,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    for m, k, n_iters, rt in [(4, 4, 2, 6), (2, 8, 1, 5)]:
+        dim = emb.select(F.size("embedding").alias("n")).limit(1).collect()[
+            0
+        ]["n"]
+        dsub = dim // m
+        seq = []
+        for j in range(m):
+            sub = emb.select(
+                "vec_id",
+                F.slice(
+                    as_double(F.col("embedding")), j * dsub + 1, dsub
+                ).alias("_sub"),
+            )
+            cb, _ = kmeans_fit(
+                sub, "vec_id", "_sub", k=k, n_iters=n_iters, round_to=rt
+            )
+            seq.append(cb)
+        joint = pq_fit(
+            emb, "vec_id", "embedding", m=m, k=k, n_iters=n_iters,
+            round_to=rt,
+        )
+        assert joint == seq, (m, k, n_iters, rt)
+
+
 def test_pq_encode_deterministic_and_compresses(spark):
     """PQ contract: (a) encode is a pure function of (vectors,
     codebooks) — two passes produce identical codes (quantized-d2
