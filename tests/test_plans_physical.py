@@ -400,6 +400,11 @@ def test_jaccard_exact_candidates_never_cartesian(spark):
     plan = _plan(spark, "doc_jaccard_join_exact")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # r11: the verify stage's shingle-array build is semi-join-pruned
+    # to candidate ids before its collect_set shuffle (guide §3.2) —
+    # at a fixed dup rate that bounds the verify input by the
+    # candidate set instead of the corpus.
+    assert "LeftSemi" in plan, plan
 
 
 def test_skyline_frontier_broadcasts_and_bounds_the_window(spark):
